@@ -1,0 +1,88 @@
+"""gpflow_tpu — a TPU-native (JAX/XLA/Pallas/pjit) Gaussian-process framework.
+
+Brand-new implementation with the capabilities of GPflow 2.9.2
+(reference at /root/reference; see SURVEY.md for the blueprint). The compute
+path is functional JAX over pytree modules; hot covariance kernels have Pallas
+TPU implementations; multi-chip scale-out uses jax.sharding meshes.
+"""
+import os
+
+import jax as _jax
+
+# The reference defaults to float64 numerics (gpflow/config/__config__.py:98);
+# we enable x64 support so the default_float()=float64 configuration works.
+# Opt out (e.g. for pure bf16/f32 benchmark runs) with GPFLOW_TPU_DISABLE_X64=1.
+if not os.environ.get("GPFLOW_TPU_DISABLE_X64"):
+    _jax.config.update("jax_enable_x64", True)
+
+from . import bijectors, config, logdensities, priors, utilities
+from .base import Module, Parameter, PriorOn, TensorType
+from .config import default_float, default_int, default_jitter
+from .utilities import set_trainable
+from .versions import __version__
+
+# Subpackages appended as they are built (see SURVEY.md §7.2 build order).
+# NOTE(build): modules not yet implemented are skipped; the tuple below is the
+# full target surface (reference gpflow/__init__.py:17-76) and test_all.py
+# asserts each listed module eventually imports.
+import importlib as _importlib
+
+_SUBPACKAGES = (
+    "quadrature",
+    "probability_distributions",
+    "functions",
+    "mean_functions",
+    "kernels",
+    "likelihoods",
+    "inducing_variables",
+    "covariances",
+    "conditionals",
+    "kullback_leiblers",
+    "posteriors",
+    "models",
+    "optimizers",
+    "expectations",
+    "monitor",
+    "parallel",
+    "experimental",
+)
+for _name in _SUBPACKAGES:
+    try:
+        globals()[_name] = _importlib.import_module(f".{_name}", __name__)
+    except ImportError as _e:  # pragma: no cover - only during staged build
+        if f"gpflow_tpu.{_name}" not in str(_e) and f"'{_name}'" not in str(_e):
+            raise
+
+__all__ = [
+    "Module",
+    "Parameter",
+    "PriorOn",
+    "TensorType",
+    "__version__",
+    "bijectors",
+    "conditionals",
+    "config",
+    "covariances",
+    "default_float",
+    "default_int",
+    "default_jitter",
+    "expectations",
+    "experimental",
+    "functions",
+    "inducing_variables",
+    "kernels",
+    "kullback_leiblers",
+    "likelihoods",
+    "logdensities",
+    "mean_functions",
+    "models",
+    "monitor",
+    "optimizers",
+    "parallel",
+    "posteriors",
+    "priors",
+    "probability_distributions",
+    "quadrature",
+    "set_trainable",
+    "utilities",
+]

@@ -1,0 +1,407 @@
+"""Core parameter/state system: pytree-native ``Module`` and ``Parameter``.
+
+TPU-native re-design of the reference's ``tf.Module`` + ``Parameter
+(tfp.util.TransformedVariable)`` tree (``/root/reference/gpflow/base.py:73-338``).
+
+Design (see SURVEY.md §7.1):
+  * A ``Parameter`` stores the *unconstrained* value as a jax array plus static
+    metadata (bijector transform, prior, prior_on, trainable, name). It is a
+    pytree with one child (the unconstrained array) so that whole models jit,
+    grad, and vmap as ordinary pytrees.
+  * A ``Module`` is a mutable Python object whose subclasses are automatically
+    registered as pytrees: attributes holding Parameters/Modules/arrays (or
+    containers thereof) are dynamic children; everything else is static aux
+    data. The same model object works imperatively outside jit (``param.assign``)
+    and functionally inside jit (tree_unflatten of traced leaves).
+  * Static aux data is made hashable so jit caches on treedef equality and a
+    model never retraces unless its structure/static config actually changed.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable, Dict, Iterable, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bijectors import Bijector, Identity
+from .config import default_float
+from .priors import Prior
+
+__all__ = [
+    "AnyNDArray",
+    "InputData",
+    "MeanAndVariance",
+    "Module",
+    "OutputData",
+    "Parameter",
+    "PriorOn",
+    "RegressionData",
+    "TensorData",
+    "TensorType",
+]
+
+# ---------------------------------------------------------------------------
+# Type aliases (reference base.py:285-296)
+# ---------------------------------------------------------------------------
+TensorType = Union[np.ndarray, jax.Array, "Parameter"]
+AnyNDArray = np.ndarray
+TensorData = Union[np.ndarray, jax.Array, "Parameter"]
+InputData = TensorType
+OutputData = TensorType
+RegressionData = Tuple[InputData, OutputData]
+MeanAndVariance = Tuple[jax.Array, jax.Array]
+
+
+class PriorOn(enum.Enum):
+    """Where a parameter's prior density is evaluated (reference base.py:66-70)."""
+
+    CONSTRAINED = "constrained"
+    UNCONSTRAINED = "unconstrained"
+
+
+# ---------------------------------------------------------------------------
+# Parameter
+# ---------------------------------------------------------------------------
+
+
+def _to_array(value: Any, dtype: Any) -> jax.Array:
+    if isinstance(value, Parameter):
+        value = value.value
+    if dtype is None:
+        probe = jnp.asarray(value)
+        dtype = probe.dtype if jnp.issubdtype(probe.dtype, jnp.floating) else default_float()
+    # explicit dtype => strongly-typed array (weak types would churn jit caches)
+    return jnp.asarray(value, dtype=dtype)
+
+
+class Parameter:
+    """A constrained model parameter (reference ``base.py:118-338``).
+
+    Holds an unconstrained array ``u``; the user-facing value is
+    ``transform.forward(u)``. Supports priors for MAP/MCMC via
+    ``log_prior_density`` (with change-of-variables Jacobian correction,
+    reference ``base.py:200-223``) and NaN/Inf-validated ``assign``
+    (reference ``base.py:250-280,314-326``).
+
+    Behaves like an array in arithmetic: ``kernel.variance * x`` works.
+    """
+
+    __array_priority__ = 100  # numpy defers binary ops to us
+
+    def __init__(
+        self,
+        value: TensorData,
+        *,
+        transform: Optional[Bijector] = None,
+        prior: Optional[Prior] = None,
+        prior_on: Union[str, PriorOn] = PriorOn.CONSTRAINED,
+        trainable: bool = True,
+        dtype: Any = None,
+        name: Optional[str] = None,
+        unconstrained_value: Optional[TensorData] = None,
+    ) -> None:
+        self._transform: Bijector = transform if transform is not None else Identity()
+        self.prior: Optional[Prior] = prior
+        self.prior_on = prior_on  # property setter normalizes
+        self.trainable: bool = bool(trainable)
+        self.name: str = name or "parameter"
+        if unconstrained_value is not None:
+            self._unconstrained = _to_array(unconstrained_value, dtype)
+        else:
+            constrained = _to_array(value, dtype)
+            _validate_finite(constrained, self.name)
+            self._unconstrained = self._transform.inverse(constrained)
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self) -> Tuple[Tuple[jax.Array], Tuple[Any, ...]]:
+        aux = (self._transform, self.prior, self._prior_on, self.trainable, self.name)
+        return (self._unconstrained,), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux: Tuple[Any, ...], children: Tuple[jax.Array]) -> "Parameter":
+        obj = object.__new__(cls)
+        obj._transform, obj.prior, obj._prior_on, obj.trainable, obj.name = aux
+        obj._unconstrained = children[0]
+        return obj
+
+    # -- core accessors -----------------------------------------------------
+    @property
+    def transform(self) -> Bijector:
+        return self._transform
+
+    @property
+    def prior_on(self) -> PriorOn:
+        return self._prior_on
+
+    @prior_on.setter
+    def prior_on(self, value: Union[str, PriorOn]) -> None:
+        self._prior_on = PriorOn(value) if not isinstance(value, PriorOn) else value
+
+    @property
+    def unconstrained_variable(self) -> jax.Array:
+        return self._unconstrained
+
+    @property
+    def value(self) -> jax.Array:
+        return self._transform.forward(self._unconstrained)
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self.value)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.value.shape)
+
+    @property
+    def dtype(self) -> Any:
+        return self._unconstrained.dtype
+
+    @property
+    def ndim(self) -> int:
+        return self.value.ndim
+
+    def assign(self, value: TensorData) -> None:
+        """Assigns a new *constrained* value (reference ``base.py:250-280``).
+
+        Validates shape compatibility and rejects NaN/Inf like the reference's
+        ``validate_unconstrained_value`` (``base.py:314-326``).
+        """
+        constrained = _to_array(value, self.dtype)
+        if constrained.shape != self._unconstrained.shape:
+            # transforms like FillTriangular change shape; compare via inverse
+            unconstrained = self._transform.inverse(constrained)
+            if unconstrained.shape != self._unconstrained.shape:
+                raise ValueError(
+                    f"Parameter {self.name!r}: cannot assign value of shape "
+                    f"{constrained.shape} to parameter of shape {self.shape}"
+                )
+        else:
+            unconstrained = self._transform.inverse(constrained)
+        _validate_finite(unconstrained, self.name)
+        self._unconstrained = unconstrained
+
+    def assign_unconstrained(self, value: TensorData) -> None:
+        self._unconstrained = _to_array(value, self.dtype)
+
+    def log_prior_density(self) -> jax.Array:
+        """Log prior density of the constrained variable, including the
+        change-of-variables Jacobian when the prior is placed on the
+        unconstrained value (reference ``base.py:201-223``)."""
+        if self.prior is None:
+            return jnp.zeros((), dtype=self.dtype)
+        if self._prior_on is PriorOn.CONSTRAINED:
+            return jnp.sum(self.prior.log_prob(self.value))
+        # prior on unconstrained, evaluated in constrained space:
+        # inverse_log_det_jacobian(y) == -forward_log_det_jacobian(x)
+        x = self._unconstrained
+        log_p = jnp.sum(self.prior.log_prob(x))
+        log_p = log_p - jnp.sum(self._transform.forward_log_det_jacobian(x))
+        return log_p
+
+    # -- array protocol -----------------------------------------------------
+    def __jax_array__(self) -> jax.Array:
+        return self.value
+
+    def __array__(self, dtype: Any = None) -> np.ndarray:
+        arr = np.asarray(self.value)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def __getitem__(self, item: Any) -> jax.Array:
+        return self.value[item]
+
+    def __len__(self) -> int:
+        return len(self.value)
+
+    def __repr__(self) -> str:
+        return (
+            f"Parameter(name={self.name!r}, transform={self._transform.name}, "
+            f"trainable={self.trainable}, shape={self.shape}, dtype={np.dtype(self.dtype).name},"
+            f" value={np.array2string(np.asarray(self.value), threshold=20)})"
+        )
+
+    # arithmetic — delegate to the constrained jax array
+    def __neg__(self) -> jax.Array:
+        return -self.value
+
+    def __abs__(self) -> jax.Array:
+        return jnp.abs(self.value)
+
+    def __add__(self, o: Any) -> jax.Array:
+        return self.value + o
+
+    def __radd__(self, o: Any) -> jax.Array:
+        return o + self.value
+
+    def __sub__(self, o: Any) -> jax.Array:
+        return self.value - o
+
+    def __rsub__(self, o: Any) -> jax.Array:
+        return o - self.value
+
+    def __mul__(self, o: Any) -> jax.Array:
+        return self.value * o
+
+    def __rmul__(self, o: Any) -> jax.Array:
+        return o * self.value
+
+    def __truediv__(self, o: Any) -> jax.Array:
+        return self.value / o
+
+    def __rtruediv__(self, o: Any) -> jax.Array:
+        return o / self.value
+
+    def __pow__(self, o: Any) -> jax.Array:
+        return self.value ** o
+
+    def __rpow__(self, o: Any) -> jax.Array:
+        return o ** self.value
+
+    def __matmul__(self, o: Any) -> jax.Array:
+        return self.value @ o
+
+    def __rmatmul__(self, o: Any) -> jax.Array:
+        return o @ self.value
+
+    def __lt__(self, o: Any) -> jax.Array:
+        return self.value < o
+
+    def __le__(self, o: Any) -> jax.Array:
+        return self.value <= o
+
+    def __gt__(self, o: Any) -> jax.Array:
+        return self.value > o
+
+    def __ge__(self, o: Any) -> jax.Array:
+        return self.value >= o
+
+    __hash__ = object.__hash__
+
+
+def _validate_finite(value: jax.Array, name: str) -> None:
+    """NaN/Inf guard on (non-traced) assignment (reference ``base.py:314-326``)."""
+    if isinstance(value, jax.core.Tracer):
+        return
+    if not bool(jnp.all(jnp.isfinite(value))):
+        raise ValueError(f"Parameter {name!r}: assigned value contains NaN or Inf")
+
+
+jax.tree_util.register_pytree_node(
+    Parameter,
+    lambda p: p.tree_flatten(),
+    Parameter.tree_unflatten,
+)
+
+
+# ---------------------------------------------------------------------------
+# Module
+# ---------------------------------------------------------------------------
+
+
+def _is_dynamic(value: Any) -> bool:
+    """True if ``value`` must be a traced pytree child (arrays / Parameters /
+    Modules, or containers holding any of them)."""
+    if isinstance(value, (Parameter, Module, jax.Array, np.ndarray)):
+        return True
+    if isinstance(value, (list, tuple)):
+        return any(_is_dynamic(v) for v in value)
+    if isinstance(value, dict):
+        return any(_is_dynamic(v) for v in value.values())
+    return False
+
+
+def _hashable(value: Any) -> Any:
+    """Best-effort conversion of static aux values to hashable form."""
+    if isinstance(value, list):
+        return tuple(_hashable(v) for v in value)
+    if isinstance(value, dict):
+        return tuple(sorted((k, _hashable(v)) for k, v in value.items()))
+    if isinstance(value, set):
+        return frozenset(_hashable(v) for v in value)
+    return value
+
+
+def _module_flatten(m: "Module") -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
+    d = vars(m)
+    dyn_keys = []
+    dyn_vals = []
+    static = []
+    for k in sorted(d):
+        v = d[k]
+        if _is_dynamic(v):
+            dyn_keys.append(k)
+            dyn_vals.append(v)
+        else:
+            static.append((k, _hashable(v)))
+    return tuple(dyn_vals), (tuple(dyn_keys), tuple(static))
+
+
+def _module_flatten_with_keys(m: "Module") -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
+    vals, aux = _module_flatten(m)
+    keys = aux[0]
+    return tuple((jax.tree_util.GetAttrKey(k), v) for k, v in zip(keys, vals)), aux
+
+
+def _module_unflatten(cls: type, aux: Tuple[Any, ...], children: Iterable[Any]) -> "Module":
+    dyn_keys, static = aux
+    obj = object.__new__(cls)
+    d = obj.__dict__
+    for k, v in static:
+        d[k] = v
+    for k, v in zip(dyn_keys, children):
+        d[k] = v
+    return obj
+
+
+class Module:
+    """Base class for all stateful components (kernels, likelihoods, models...).
+
+    Subclasses are auto-registered as jax pytrees (see module docstring).
+    Mirrors the reference's ``gpflow.Module`` surface
+    (``/root/reference/gpflow/base.py:73-110``): ``.parameters``,
+    ``.trainable_parameters``, and a notebook-friendly repr via
+    ``gpflow_tpu.utilities.print_summary``.
+    """
+
+    def __init_subclass__(cls, **kwargs: Any) -> None:
+        super().__init_subclass__(**kwargs)
+        jax.tree_util.register_pytree_with_keys(
+            cls,
+            _module_flatten_with_keys,
+            lambda aux, children, _cls=cls: _module_unflatten(_cls, aux, children),
+            flatten_func=_module_flatten,
+        )
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__.lower()
+
+    @property
+    def parameters(self) -> Tuple[Parameter, ...]:
+        leaves = jax.tree_util.tree_leaves(
+            self, is_leaf=lambda x: isinstance(x, Parameter)
+        )
+        return tuple(l for l in leaves if isinstance(l, Parameter))
+
+    @property
+    def trainable_parameters(self) -> Tuple[Parameter, ...]:
+        return tuple(p for p in self.parameters if p.trainable)
+
+    @property
+    def trainable_variables(self) -> Tuple[Parameter, ...]:
+        # TF-compatible alias used throughout reference docs.
+        return self.trainable_parameters
+
+    def _repr_html_(self) -> str:  # pragma: no cover - notebook nicety
+        from .utilities.traversal import tabulate_module_summary
+
+        return "<pre>" + tabulate_module_summary(self) + "</pre>"
+
+    def __repr__(self) -> str:
+        try:
+            from .utilities.traversal import tabulate_module_summary
+
+            return f"<{type(self).__name__}>\n" + tabulate_module_summary(self)
+        except Exception:
+            return object.__repr__(self)

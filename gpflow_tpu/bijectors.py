@@ -1,0 +1,236 @@
+"""In-house bijector library (replaces TFP bijectors used by the reference).
+
+The reference builds parameter transforms from ``tfp.bijectors``
+(``/root/reference/gpflow/utilities/bijectors.py:27-55``). Our TPU-native rebuild
+uses a small set of pure-functional, *hashable* bijectors: they are stored in
+the static (aux) part of ``Parameter`` pytrees, so the same transform instance
+compares equal across jit traces and never triggers recompilation.
+
+Every bijector maps unconstrained -> constrained with:
+  * ``forward(x)``                      constrain
+  * ``inverse(y)``                      unconstrain
+  * ``forward_log_det_jacobian(x)``     elementwise log|dy/dx| (callers sum)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Bijector",
+    "Chain",
+    "Exp",
+    "FillTriangular",
+    "Identity",
+    "positive",
+    "RescaleSpectral",
+    "Shift",
+    "Sigmoid",
+    "Softplus",
+    "triangular",
+    "triangular_size",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Bijector:
+    """Base class. Subclasses are frozen dataclasses => hashable/eq by value."""
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__.lower()
+
+
+@dataclasses.dataclass(frozen=True)
+class Identity(Bijector):
+    def forward(self, x: jax.Array) -> jax.Array:
+        return x
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        return y
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        return jnp.zeros_like(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class Exp(Bijector):
+    def forward(self, x: jax.Array) -> jax.Array:
+        return jnp.exp(x)
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        return jnp.log(y)
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        return x
+
+
+def _softplus(x: jax.Array) -> jax.Array:
+    return jnp.logaddexp(x, 0.0)
+
+
+def _softplus_inv(y: jax.Array) -> jax.Array:
+    # log(e^y - 1), stable for large and small y: y + log(1 - e^{-y}) = y + log(-expm1(-y))
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+@dataclasses.dataclass(frozen=True)
+class Softplus(Bijector):
+    def forward(self, x: jax.Array) -> jax.Array:
+        return _softplus(x)
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        return _softplus_inv(y)
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        # d/dx softplus(x) = sigmoid(x); log sigmoid(x) = -softplus(-x)
+        return -_softplus(-x)
+
+
+@dataclasses.dataclass(frozen=True)
+class Shift(Bijector):
+    shift: float = 0.0
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        return x + self.shift
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        return y - self.shift
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        return jnp.zeros_like(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class Sigmoid(Bijector):
+    """Maps R -> (low, high)."""
+
+    low: float = 0.0
+    high: float = 1.0
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        return self.low + (self.high - self.low) * jax.nn.sigmoid(x)
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        z = (y - self.low) / (self.high - self.low)
+        return jnp.log(z) - jnp.log1p(-z)
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        return (
+            jnp.log(self.high - self.low) - _softplus(-x) - _softplus(x)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Chain(Bijector):
+    """Applies ``bijectors`` right-to-left like TFP: forward = b[0](b[1](...(x)))."""
+
+    bijectors: Tuple[Bijector, ...]
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        for b in reversed(self.bijectors):
+            x = b.forward(x)
+        return x
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        for b in self.bijectors:
+            y = b.inverse(y)
+        return y
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        ldj = jnp.zeros_like(x)
+        for b in reversed(self.bijectors):
+            ldj = ldj + b.forward_log_det_jacobian(x)
+            x = b.forward(x)
+        return ldj
+
+
+def triangular_size(n: int) -> int:
+    """Number of free entries of an n x n lower-triangular matrix
+    (reference ``utilities/bijectors.py:55-63``)."""
+    return n * (n + 1) // 2
+
+
+def _fill_triangular(x: jax.Array) -> jax.Array:
+    """Packed vector [..., n(n+1)/2] -> lower-triangular [..., n, n].
+
+    Row-major lower-triangular fill matching ``tfp.bijectors.FillTriangular``:
+    the vector lists the lower-triangle entries row by row.
+    """
+    m = x.shape[-1]
+    n = int(round((np.sqrt(8.0 * m + 1.0) - 1.0) / 2.0))
+    if triangular_size(n) != m:
+        raise ValueError(f"Last dimension {m} is not a triangular number")
+    rows, cols = np.tril_indices(n)
+    out = jnp.zeros(x.shape[:-1] + (n, n), dtype=x.dtype)
+    return out.at[..., rows, cols].set(x)
+
+
+def _fill_triangular_inverse(y: jax.Array) -> jax.Array:
+    n = y.shape[-1]
+    rows, cols = np.tril_indices(n)
+    return y[..., rows, cols]
+
+
+@dataclasses.dataclass(frozen=True)
+class FillTriangular(Bijector):
+    """Vector <-> lower-triangular matrix; volume preserving (ldj = 0).
+
+    Reference uses ``tfp.bijectors.FillTriangular`` for ``q_sqrt``
+    (``utilities/bijectors.py:48-52``).
+    """
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        return _fill_triangular(x)
+
+    def inverse(self, y: jax.Array) -> jax.Array:
+        return _fill_triangular_inverse(y)
+
+    def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
+        return jnp.zeros(x.shape[:-1], dtype=x.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class RescaleSpectral(Bijector):
+    """Placeholder for spectral-density transforms; not used by core models."""
+
+
+def positive(lower: float | None = None, base: str | None = None) -> Bijector:
+    """Returns a positivity-enforcing bijector (reference
+    ``utilities/bijectors.py:27-45``): ``shift(lower) o {softplus|exp}``.
+
+    :param lower: overrides ``config.default_positive_minimum()``.
+    :param base: overrides ``config.default_positive_bijector()`` ("softplus"|"exp").
+    """
+    from .config import default_positive_bijector, default_positive_minimum
+
+    bijector: Bijector
+    name = (base if base is not None else default_positive_bijector()).lower()
+    if name == "softplus":
+        bijector = Softplus()
+    elif name == "exp":
+        bijector = Exp()
+    else:
+        raise ValueError(f"Unknown positive bijector {name!r}")
+    shift = lower if lower is not None else default_positive_minimum()
+    if shift != 0.0:
+        bijector = Chain((Shift(float(shift)), bijector))
+    return bijector
+
+
+def triangular() -> FillTriangular:
+    """Returns a FillTriangular instance (reference ``utilities/bijectors.py:48``)."""
+    return FillTriangular()

@@ -1,0 +1,202 @@
+"""Process-global configuration for gpflow_tpu.
+
+TPU-native re-design of the reference config system
+(``/root/reference/gpflow/config/__config__.py:95-384``): a frozen dataclass with
+env-var overrides, getters/setters, and an ``as_context`` context manager.
+
+Differences from the reference (documented deviations):
+  * dtypes are numpy/jax dtypes (``np.float64`` etc.); ``jax_enable_x64`` is switched
+    on at package import so the reference's float64-by-default numerics hold.
+  * ``default_positive_bijector`` names one of our in-house bijectors
+    ("softplus" | "exp") instead of a TFP bijector class.
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import enum
+import os
+from typing import Any, Generator, Mapping, Optional, Union
+
+import numpy as np
+
+__all__ = [
+    "Config",
+    "as_context",
+    "config",
+    "default_float",
+    "default_int",
+    "default_jitter",
+    "default_likelihood_positive_minimum",
+    "default_positive_bijector",
+    "default_positive_minimum",
+    "default_summary_fmt",
+    "set_config",
+    "set_default_float",
+    "set_default_int",
+    "set_default_jitter",
+    "set_default_likelihood_positive_minimum",
+    "set_default_positive_bijector",
+    "set_default_positive_minimum",
+    "set_default_summary_fmt",
+]
+
+
+class _Values(enum.Enum):
+    """Setting names / env-var suffixes (reference ``__config__.py:64-77``)."""
+
+    INT = "int"
+    FLOAT = "float"
+    POSITIVE_BIJECTOR = "positive_bijector"
+    POSITIVE_MINIMUM = "positive_minimum"
+    LIKELIHOOD_POSITIVE_MINIMUM = "likelihood_positive_minimum"
+    SUMMARY_FMT = "summary_fmt"
+    JITTER = "jitter"
+
+    @property
+    def env_name(self) -> str:
+        return f"GPFLOW_{self.name}"
+
+
+_POSITIVE_BIJECTOR_NAMES = ("softplus", "exp")
+
+
+def _default(value: _Values) -> Any:
+    """Checks the environment first, returns the reference default otherwise
+    (reference ``__config__.py:95-104``: float64, jitter 1e-6, softplus, ...)."""
+    rv = os.getenv(value.env_name)
+    if rv is None:
+        return {
+            _Values.INT: np.int32,
+            _Values.FLOAT: np.float64,
+            _Values.POSITIVE_BIJECTOR: "softplus",
+            _Values.POSITIVE_MINIMUM: 0.0,
+            _Values.LIKELIHOOD_POSITIVE_MINIMUM: 1e-6,
+            _Values.SUMMARY_FMT: "fancy_grid",
+            _Values.JITTER: 1e-6,
+        }[value]
+    if value in (_Values.INT, _Values.FLOAT):
+        return np.dtype(rv).type
+    if value in (_Values.POSITIVE_MINIMUM, _Values.LIKELIHOOD_POSITIVE_MINIMUM, _Values.JITTER):
+        return float(rv)
+    return rv
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Immutable snapshot of all settings (reference ``__config__.py:180-215``)."""
+
+    int: type = dataclasses.field(default_factory=lambda: _default(_Values.INT))
+    float: type = dataclasses.field(default_factory=lambda: _default(_Values.FLOAT))
+    jitter: float = dataclasses.field(default_factory=lambda: _default(_Values.JITTER))
+    positive_bijector: str = dataclasses.field(
+        default_factory=lambda: _default(_Values.POSITIVE_BIJECTOR)
+    )
+    positive_minimum: float = dataclasses.field(
+        default_factory=lambda: _default(_Values.POSITIVE_MINIMUM)
+    )
+    likelihood_positive_minimum: float = dataclasses.field(
+        default_factory=lambda: _default(_Values.LIKELIHOOD_POSITIVE_MINIMUM)
+    )
+    summary_fmt: Optional[str] = dataclasses.field(
+        default_factory=lambda: _default(_Values.SUMMARY_FMT)
+    )
+
+
+_config = Config()
+
+
+def config() -> Config:
+    return _config
+
+
+def set_config(new_config: Config) -> None:
+    global _config
+    _config = new_config
+
+
+def default_int() -> type:
+    return config().int
+
+
+def default_float() -> type:
+    return config().float
+
+
+def default_jitter() -> float:
+    return config().jitter
+
+
+def default_positive_bijector() -> str:
+    return config().positive_bijector
+
+
+def default_positive_minimum() -> float:
+    return config().positive_minimum
+
+
+def default_likelihood_positive_minimum() -> float:
+    return config().likelihood_positive_minimum
+
+
+def default_summary_fmt() -> Optional[str]:
+    return config().summary_fmt
+
+
+def _replace(**kwargs: Any) -> None:
+    set_config(dataclasses.replace(config(), **kwargs))
+
+
+def set_default_int(value_type: Any) -> None:
+    dtype = np.dtype(value_type).type
+    if not np.issubdtype(dtype, np.integer):
+        raise TypeError(f"{value_type} is not an integer dtype")
+    _replace(int=dtype)
+
+
+def set_default_float(value_type: Any) -> None:
+    dtype = np.dtype(value_type).type
+    if not np.issubdtype(dtype, np.floating):
+        raise TypeError(f"{value_type} is not a float dtype")
+    _replace(float=dtype)
+
+
+def set_default_jitter(value: float) -> None:
+    if value < 0:
+        raise ValueError("Jitter must be non-negative")
+    _replace(jitter=float(value))
+
+
+def set_default_positive_bijector(value: str) -> None:
+    value = value.lower()
+    if value not in _POSITIVE_BIJECTOR_NAMES:
+        raise ValueError(f"positive_bijector must be one of {_POSITIVE_BIJECTOR_NAMES}")
+    _replace(positive_bijector=value)
+
+
+def set_default_positive_minimum(value: float) -> None:
+    if value < 0:
+        raise ValueError("positive_minimum must be non-negative")
+    _replace(positive_minimum=float(value))
+
+
+def set_default_likelihood_positive_minimum(value: float) -> None:
+    if value < 0:
+        raise ValueError("likelihood_positive_minimum must be non-negative")
+    _replace(likelihood_positive_minimum=float(value))
+
+
+def set_default_summary_fmt(value: Optional[str]) -> None:
+    _replace(summary_fmt=value)
+
+
+@contextlib.contextmanager
+def as_context(temporary_config: Optional[Config] = None) -> Generator[None, None, None]:
+    """Context manager swapping the global config (reference ``__config__.py:375-384``)."""
+    current = config()
+    temporary = temporary_config or current
+    try:
+        set_config(temporary)
+        yield
+    finally:
+        set_config(current)

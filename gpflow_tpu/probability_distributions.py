@@ -1,0 +1,53 @@
+"""Tiny distribution containers for the expectations framework (reference
+``/root/reference/gpflow/probability_distributions.py:52-105``)."""
+from __future__ import annotations
+
+import jax
+
+from .base import Module, TensorType
+
+__all__ = ["DiagonalGaussian", "Gaussian", "MarkovGaussian", "ProbabilityDistribution"]
+
+
+class ProbabilityDistribution(Module):
+    """Base container for an input distribution over X."""
+
+
+class Gaussian(ProbabilityDistribution):
+    """mu: [N, D], cov: [N, D, D]."""
+
+    def __init__(self, mu: TensorType, cov: TensorType) -> None:
+        self.mu = mu
+        self.cov = cov
+
+    @property
+    def shape(self):
+        return self.mu.shape
+
+
+class DiagonalGaussian(ProbabilityDistribution):
+    """mu: [N, D], cov diagonal: [N, D]."""
+
+    def __init__(self, mu: TensorType, cov: TensorType) -> None:
+        self.mu = mu
+        self.cov = cov
+
+    @property
+    def shape(self):
+        return self.mu.shape
+
+
+class MarkovGaussian(ProbabilityDistribution):
+    """Gaussian with temporal structure for time-series models
+    (reference ``probability_distributions.py:83-105``):
+    mu: [N+1, D]; cov: [2, N+1, D, D] — cov[0] marginal covs, cov[1]
+    cross-covs between consecutive timesteps.
+    """
+
+    def __init__(self, mu: TensorType, cov: TensorType) -> None:
+        self.mu = mu
+        self.cov = cov
+
+    @property
+    def shape(self):
+        return self.mu.shape

@@ -1,0 +1,13 @@
+from .base import GaussianQuadrature
+from .gauss_hermite import NDiagGHQuadrature, gh_points_and_weights, ndgh_points_and_weights
+from .deprecated import mvnquad, ndiag_mc, ndiagquad
+
+__all__ = [
+    "GaussianQuadrature",
+    "NDiagGHQuadrature",
+    "gh_points_and_weights",
+    "mvnquad",
+    "ndgh_points_and_weights",
+    "ndiag_mc",
+    "ndiagquad",
+]

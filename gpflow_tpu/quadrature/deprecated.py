@@ -1,0 +1,135 @@
+"""Back-compat quadrature helpers (reference
+``/root/reference/gpflow/quadrature/deprecated.py``)."""
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, List, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gauss_hermite import NDiagGHQuadrature, gh_points_and_weights
+
+__all__ = ["mvnquad", "ndiag_mc", "ndiagquad"]
+
+
+def ndiagquad(
+    funcs: Union[Callable[..., jax.Array], Iterable],
+    H: int,
+    Fmu: Union[jax.Array, Tuple[jax.Array, ...], List[jax.Array]],
+    Fvar: Union[jax.Array, Tuple[jax.Array, ...], List[jax.Array]],
+    logspace: bool = False,
+    **Ys: jax.Array,
+) -> Union[jax.Array, List[jax.Array]]:
+    """Computes N Gaussian expectation integrals of one or more functions via
+    Gauss-Hermite quadrature (reference ``deprecated.py:99-221``).
+
+    ``Fmu``/``Fvar`` may be a [N, 1] array or a Din-tuple thereof; ``funcs``
+    take Din positional f-arguments plus the ``Ys`` keyword args.
+    """
+    if isinstance(Fmu, (tuple, list)):
+        dim = len(Fmu)
+        shape = jnp.shape(Fmu[0])
+        Fmu_stacked = jnp.stack([jnp.asarray(f) for f in Fmu], axis=-1)
+        Fvar_stacked = jnp.stack([jnp.asarray(v) for v in Fvar], axis=-1)
+    else:
+        dim = 1
+        shape = jnp.shape(Fmu)
+        Fmu_stacked = jnp.asarray(Fmu)[..., None] if jnp.ndim(Fmu) == 1 else jnp.asarray(Fmu)
+        Fvar_stacked = jnp.asarray(Fvar)[..., None] if jnp.ndim(Fvar) == 1 else jnp.asarray(Fvar)
+        if Fmu_stacked.shape[-1] != 1:
+            Fmu_stacked = Fmu_stacked.reshape(-1, 1)
+            Fvar_stacked = Fvar_stacked.reshape(-1, 1)
+
+    Fmu_flat = Fmu_stacked.reshape(-1, dim)
+    Fvar_flat = Fvar_stacked.reshape(-1, dim)
+    Ys_flat = {name: jnp.reshape(Y, (-1, 1)) for name, Y in Ys.items()}
+
+    def wrap(fun: Callable[..., jax.Array]) -> Callable[..., jax.Array]:
+        def new_fun(X: jax.Array, **ys: jax.Array) -> jax.Array:
+            Xs = [X[..., i] for i in range(dim)]
+            res = fun(*Xs, **ys) if not ys else fun(*Xs, **{k: v[..., 0] for k, v in ys.items()})
+            return res[..., None]
+
+        return new_fun
+
+    quadrature = NDiagGHQuadrature(dim, H)
+    if callable(funcs):
+        wrapped: Union[Callable[..., jax.Array], List[Callable[..., jax.Array]]] = wrap(funcs)
+    else:
+        wrapped = [wrap(f) for f in funcs]
+
+    if logspace:
+        result = quadrature.logspace(wrapped, Fmu_flat, Fvar_flat, **Ys_flat)
+    else:
+        result = quadrature(wrapped, Fmu_flat, Fvar_flat, **Ys_flat)
+
+    if isinstance(result, list):
+        return [jnp.reshape(r, shape) for r in result]
+    return jnp.reshape(result, shape)
+
+
+def ndiag_mc(
+    funcs: Union[Callable[..., jax.Array], Iterable],
+    S: int,
+    Fmu: jax.Array,
+    Fvar: jax.Array,
+    logspace: bool = False,
+    epsilon: jax.Array = None,
+    **Ys: jax.Array,
+) -> Union[jax.Array, List[jax.Array]]:
+    """Monte-Carlo estimate of Gaussian expectations
+    (reference ``deprecated.py:224-277``). ``epsilon`` [S, N, D] standard
+    normals; if None, drawn with a fixed seed."""
+    N, D = Fmu.shape[0], Fmu.shape[-1]
+    if epsilon is None:
+        epsilon = jax.random.normal(jax.random.PRNGKey(0), (S, N, D), dtype=Fmu.dtype)
+    mc_x = Fmu[None, :, :] + jnp.sqrt(Fvar[None, :, :]) * epsilon
+    mc_Xr = mc_x.reshape(S * N, D)
+    Ys_r = {name: jnp.tile(Y, (S, 1)) for name, Y in Ys.items()}
+
+    def eval_func(func: Callable[..., jax.Array]) -> jax.Array:
+        feval = func(mc_Xr, **Ys_r)
+        feval = feval.reshape(S, N, -1)
+        if logspace:
+            log_S = jnp.log(jnp.asarray(S, feval.dtype))
+            return jax.scipy.special.logsumexp(feval, axis=0) - log_S
+        return jnp.mean(feval, axis=0)
+
+    if callable(funcs):
+        return eval_func(funcs)
+    return [eval_func(f) for f in funcs]
+
+
+def mvnquad(
+    func: Callable[[jax.Array], jax.Array],
+    means: jax.Array,
+    covs: jax.Array,
+    H: int,
+    Din: int = None,
+    Dout: Tuple[int, ...] = None,
+) -> jax.Array:
+    """Full-covariance Gauss-Hermite quadrature (reference
+    ``deprecated.py:68-96``): rotates the GH grid by the Cholesky of each cov.
+
+    means: [N, Din], covs: [N, Din, Din] -> [N, *Dout].
+    """
+    if Din is None:
+        Din = means.shape[1]
+    xn, wn = gh_points_and_weights(H)
+    grid = np.array(np.meshgrid(*(xn,) * Din)).reshape(Din, -1).T  # [H**Din, Din]
+    wgrid = np.prod(np.array(np.meshgrid(*(wn,) * Din)).reshape(Din, -1).T, axis=1)
+    grid = jnp.asarray(grid, means.dtype)
+    wgrid = jnp.asarray(wgrid, means.dtype)
+
+    cholXcov = jnp.linalg.cholesky(covs)  # [N, Din, Din]
+    # X = mean + L @ z for each quadrature point: [N, H**Din, Din]
+    Xall = means[:, None, :] + jnp.einsum("nij,qj->nqi", cholXcov, grid)
+    N = means.shape[0]
+    Xr = Xall.reshape(-1, Din)
+    fevals = func(Xr)
+    if Dout is None:
+        Dout = fevals.shape[1:]
+    fX = fevals.reshape((N, grid.shape[0]) + tuple(Dout))
+    wr = wgrid.reshape((1, grid.shape[0]) + (1,) * len(Dout))
+    return jnp.sum(fX * wr, axis=1)

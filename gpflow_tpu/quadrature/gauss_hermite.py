@@ -1,0 +1,66 @@
+"""N-dimensional diagonal Gauss-Hermite quadrature (reference
+``/root/reference/gpflow/quadrature/gauss_hermite.py:30-154``)."""
+from __future__ import annotations
+
+import itertools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_float
+from .base import GaussianQuadrature
+
+__all__ = ["NDiagGHQuadrature", "gh_points_and_weights", "ndgh_points_and_weights"]
+
+
+def gh_points_and_weights(n_gh: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Hermite-Gauss nodes/weights rescaled for N(0, 1) expectations
+    (reference ``gauss_hermite.py:30-52``): returns z (pre-multiplied by
+    sqrt(2)) and dz (divided by sqrt(pi)), so that
+    E_{N(mu, s^2)}[f] ~= sum_i dz_i f(mu + s z_i).
+    """
+    z, dz = np.polynomial.hermite.hermgauss(n_gh)
+    z = z * np.sqrt(2.0)
+    dz = dz / np.sqrt(np.pi)
+    return z, dz
+
+
+def ndgh_points_and_weights(dim: int, n_gh: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Cartesian-product grid over ``dim`` dimensions
+    (reference ``gauss_hermite.py:75-109``): Z [n_gh**dim, dim],
+    dZ [n_gh**dim, 1] (product of 1-D weights)."""
+    z, dz = gh_points_and_weights(n_gh)
+    zs = np.array(list(itertools.product(*(z,) * dim)))  # [n_gh**dim, dim]
+    dzs = np.array(list(itertools.product(*(dz,) * dim)))
+    Z = zs.reshape(-1, dim)
+    dZ = np.prod(dzs.reshape(-1, dim), axis=-1, keepdims=True)
+    return Z, dZ
+
+
+class NDiagGHQuadrature(GaussianQuadrature):
+    """Gauss-Hermite quadrature for dim-D diagonal Gaussians
+    (reference ``gauss_hermite.py:112-154``)."""
+
+    def __init__(self, dim: int, n_gh: int) -> None:
+        self.dim = dim
+        self.n_gh = n_gh
+        self.n_gh_total = n_gh ** dim
+        Z, dZ = ndgh_points_and_weights(dim, n_gh)
+        self.Z = np.asarray(Z)
+        self.dZ = np.asarray(dZ)
+
+    def _build_X_W(self, mean: jax.Array, var: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """mean/var: [b1, ..., bN, dim] ->
+        X: [n_gh_total, b1, ..., bN, dim], W: [n_gh_total, 1, ..., 1]."""
+        dtype = mean.dtype
+        batch_ndim = mean.ndim - 1
+        # Z: [n_gh_total, 1...1, dim]; W: [n_gh_total, 1...1, 1]
+        shape_Z = (self.n_gh_total,) + (1,) * batch_ndim + (self.dim,)
+        shape_W = (self.n_gh_total,) + (1,) * batch_ndim + (1,)
+        Z = jnp.asarray(self.Z, dtype).reshape(shape_Z)
+        W = jnp.asarray(self.dZ, dtype).reshape(shape_W)
+        stddev = jnp.sqrt(var)
+        X = mean[None] + stddev[None] * Z
+        return X, W

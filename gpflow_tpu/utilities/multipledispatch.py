@@ -1,0 +1,99 @@
+"""Trace-time multiple dispatch.
+
+Replaces the reference's autograph-compatible wrapper around the
+``multipledispatch`` package (``/root/reference/gpflow/utilities/multipledispatch.py:29-85``).
+Dispatch happens at Python level *before* jit tracing (types of inducing
+variables / kernels are static), so this is fully jit-compatible.
+
+Resolution rule: among registered signatures whose types all match via
+``isinstance``, pick the one with the smallest total MRO distance (most
+specific). Ties broken by registration order.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple, Type
+
+__all__ = ["Dispatcher"]
+
+
+def _mro_distance(obj_type: Type[Any], target: Type[Any]) -> Optional[int]:
+    if not issubclass(obj_type, target):
+        return None
+    for i, base in enumerate(obj_type.__mro__):
+        if base is target:
+            return i
+    # target reachable via issubclass but not in mro (e.g. ABC register) — coarse
+    return len(obj_type.__mro__)
+
+
+class Dispatcher:
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self.funcs: Dict[Tuple[Type[Any], ...], Callable[..., Any]] = {}
+        self._order: Dict[Tuple[Type[Any], ...], int] = {}
+        self._cache: Dict[Tuple[Type[Any], ...], Callable[..., Any]] = {}
+
+    def register(self, *types: Type[Any]) -> Callable[[Callable[..., Any]], Callable[..., Any]]:
+        def _decorator(fn: Callable[..., Any]) -> Callable[..., Any]:
+            self.add(types, fn)
+            return fn
+
+        return _decorator
+
+    def add(self, types: Tuple[Type[Any], ...], fn: Callable[..., Any]) -> None:
+        self.funcs[tuple(types)] = fn
+        self._order[tuple(types)] = len(self._order)
+        self._cache.clear()
+
+    def registered_fn(self, *types: Type[Any]) -> Callable[..., Any]:
+        """Returns the best implementation for the given argument *types*
+        (mirrors ``Dispatcher.dispatch`` in the reference)."""
+        key = tuple(types)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        best: Optional[Callable[..., Any]] = None
+        best_score: Optional[Tuple[int, int]] = None
+        for sig, fn in self.funcs.items():
+            if len(sig) != len(types):
+                continue
+            total = 0
+            ok = True
+            for t, s in zip(types, sig):
+                d = _mro_distance(t, s)
+                if d is None:
+                    ok = False
+                    break
+                total += d
+            if not ok:
+                continue
+            score = (total, self._order[sig])
+            if best_score is None or score < best_score:
+                best, best_score = fn, score
+        if best is None:
+            raise NotImplementedError(
+                f"Could not find implementation of {self.name} for argument types "
+                f"({', '.join(t.__name__ for t in types)}). Registered: "
+                f"{[tuple(t.__name__ for t in sig) for sig in self.funcs]}"
+            )
+        self._cache[key] = best
+        return best
+
+    def dispatch(self, *types: Type[Any]) -> Optional[Callable[..., Any]]:
+        try:
+            return self.registered_fn(*types)
+        except NotImplementedError:
+            return None
+
+    def dispatch_or_raise(self, *types: Type[Any]) -> Callable[..., Any]:
+        return self.registered_fn(*types)
+
+    @property
+    def n_args(self) -> int:
+        return len(next(iter(self.funcs))) if self.funcs else 0
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        n = self.n_args
+        types = tuple(type(a) for a in args[:n])
+        fn = self.registered_fn(*types)
+        return fn(*args, **kwargs)

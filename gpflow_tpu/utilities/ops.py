@@ -1,0 +1,95 @@
+"""Tensor ops: pairwise distances (the kernel hot path) and helpers.
+
+Re-implements ``/root/reference/gpflow/utilities/ops.py`` in jnp. On TPU the
+``square_distance`` expansion ``|x|^2 - 2 x.x2 + |x2|^2`` maps the dominant
+term onto the MXU as one batched matmul; XLA fuses the rank-1 corrections.
+A Pallas tiled variant lives in ``gpflow_tpu.ops`` and is used by kernels
+when enabled (see ``gpflow_tpu/ops/pallas_distance.py``).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_float
+
+__all__ = [
+    "broadcasting_elementwise",
+    "difference_matrix",
+    "eye",
+    "leading_transpose",
+    "pca_reduce",
+    "square_distance",
+]
+
+
+def eye(num: int, value: jax.Array | float = 1.0, dtype: Optional[type] = None) -> jax.Array:
+    """value * I_num (reference ``ops.py:27-34``)."""
+    dtype = dtype or default_float()
+    return jnp.asarray(value, dtype) * jnp.eye(num, dtype=dtype)
+
+
+def leading_transpose(tensor: jax.Array, perm: Sequence[int]) -> jax.Array:
+    """Transposes tensors with leading dims left unchanged
+    (reference ``ops.py:37-79``). ``perm`` uses ``...`` for leading dims and
+    negative indices counted from the end, e.g. ``perm=[..., -1, -2]``.
+    """
+    perm = list(perm)
+    idx = perm.index(...)
+    rank = tensor.ndim
+    trailing = len(perm) - 1
+    lead = list(range(rank - trailing))
+    pre = [p % rank for p in perm[:idx]]
+    post = [p % rank for p in perm[idx + 1 :]]
+    return jnp.transpose(tensor, pre + lead + post)
+
+
+def broadcasting_elementwise(op, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Applies binary op to all pairs: result[i, j] = op(a[i], b[j])
+    (reference ``ops.py:87-102``)."""
+    flatres = op(jnp.reshape(a, (-1, 1)), jnp.reshape(b, (1, -1)))
+    return jnp.reshape(flatres, a.shape + b.shape)
+
+
+def square_distance(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
+    """Squared pairwise distance ||x - x2||^2, batched
+    (reference ``ops.py:105-128``).
+
+    X: [..., N, D], X2: [..., M, D] or None -> [..., N, M] (or [..., N, N]).
+    The X2=None path is exactly symmetric (important for Cholesky stability).
+    """
+    if X2 is None:
+        Xs = jnp.sum(jnp.square(X), axis=-1, keepdims=True)
+        dist = -2.0 * jnp.matmul(X, jnp.swapaxes(X, -1, -2))
+        dist += Xs + jnp.swapaxes(Xs, -1, -2)
+        return dist
+    Xs = jnp.sum(jnp.square(X), axis=-1)
+    X2s = jnp.sum(jnp.square(X2), axis=-1)
+    dist = -2.0 * jnp.matmul(X, jnp.swapaxes(X2, -1, -2))
+    dist += Xs[..., :, None] + X2s[..., None, :]
+    return dist
+
+
+def difference_matrix(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
+    """Pairwise difference X[..., n, :] - X2[..., m, :]
+    (reference ``ops.py:131-150``): [..., N, D] x [..., M, D] -> [..., N, M, D]."""
+    if X2 is None:
+        X2 = X
+    return X[..., :, None, :] - X2[..., None, :, :]
+
+
+def pca_reduce(X: jax.Array, latent_dim: int) -> jax.Array:
+    """PCA projection to ``latent_dim`` (reference ``ops.py:153-174``);
+    used to initialize GPLVM latents."""
+    if latent_dim > X.shape[1]:
+        raise ValueError("Cannot have more latent dimensions than observed")
+    X_np = np.asarray(X)
+    X_centered = X_np - X_np.mean(axis=0, keepdims=True)
+    cov = np.cov(X_centered.T)
+    evals, evecs = np.linalg.eigh(np.atleast_2d(cov))
+    W = evecs[:, -latent_dim:]
+    result = X_centered @ W
+    return jnp.asarray(result, dtype=X.dtype if hasattr(X, "dtype") else default_float())

@@ -1,0 +1,160 @@
+"""Tests for the Parameter/Module pytree core (mirrors reference
+``tests/gpflow/test_base.py`` coverage)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpflow_tpu
+from gpflow_tpu import Parameter, PriorOn, priors
+from gpflow_tpu.base import Module
+from gpflow_tpu.bijectors import Exp, Identity, Softplus, positive, triangular
+
+
+def test_parameter_constrained_roundtrip():
+    p = Parameter(1.5, transform=positive())
+    np.testing.assert_allclose(p.numpy(), 1.5, rtol=1e-12)
+    p.assign(0.25)
+    np.testing.assert_allclose(p.numpy(), 0.25, rtol=1e-12)
+
+
+def test_parameter_rejects_nonfinite():
+    p = Parameter(1.0, transform=positive())
+    with pytest.raises(ValueError):
+        p.assign(np.nan)
+    with pytest.raises(ValueError):
+        Parameter(np.inf)
+
+
+def test_parameter_default_dtype_is_default_float():
+    p = Parameter(1.0)
+    assert p.dtype == np.dtype(gpflow_tpu.default_float())
+    p_int_input = Parameter(2)
+    assert p_int_input.dtype == np.dtype(gpflow_tpu.default_float())
+
+
+def test_parameter_arithmetic_acts_like_array():
+    p = Parameter([1.0, 2.0])
+    np.testing.assert_allclose(p + 1.0, [2.0, 3.0])
+    np.testing.assert_allclose(2.0 * p, [2.0, 4.0])
+    np.testing.assert_allclose(jnp.sum(jnp.asarray(p)), 3.0)
+    np.testing.assert_allclose((-p), [-1.0, -2.0])
+    np.testing.assert_allclose(p[1], 2.0)
+
+
+def test_parameter_pytree_roundtrip():
+    p = Parameter(3.0, transform=positive(), trainable=False, name="x")
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    p2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert p2.name == "x"
+    assert not p2.trainable
+    np.testing.assert_allclose(p2.numpy(), 3.0, rtol=1e-12)
+
+
+def test_log_prior_density_constrained():
+    prior = priors.Gamma(2.0, 2.0)
+    p = Parameter(1.3, transform=positive(), prior=prior)
+    expected = 2.0 * np.log(2.0) + np.log(1.3) - 2.0 * 1.3 - 0.0  # log Gamma(2, rate 2) pdf
+    from scipy import stats
+
+    expected = stats.gamma.logpdf(1.3, a=2.0, scale=0.5)
+    np.testing.assert_allclose(p.log_prior_density(), expected, rtol=1e-10)
+
+
+def test_log_prior_density_unconstrained_jacobian():
+    # For prior on unconstrained with exp transform: log p(x) - log|dy/dx| at x
+    prior = priors.Normal(0.0, 1.0)
+    p = Parameter(2.0, transform=Exp(), prior=prior, prior_on=PriorOn.UNCONSTRAINED)
+    x = np.log(2.0)
+    from scipy import stats
+
+    expected = stats.norm.logpdf(x) - x  # forward ldj of exp at x is x
+    np.testing.assert_allclose(p.log_prior_density(), expected, rtol=1e-10)
+
+
+class _Inner(Module):
+    def __init__(self):
+        self.a = Parameter(1.0, transform=positive())
+        self.flag = True
+
+
+class _Outer(Module):
+    def __init__(self):
+        self.inner = _Inner()
+        self.b = Parameter([1.0, 2.0], trainable=False)
+        self.data = jnp.arange(3.0)
+        self.n = 7
+
+
+def test_module_parameters_and_trainability():
+    m = _Outer()
+    assert len(m.parameters) == 2
+    assert len(m.trainable_parameters) == 1
+    gpflow_tpu.set_trainable(m, False)
+    assert len(m.trainable_parameters) == 0
+
+
+def test_module_pytree_static_preserved():
+    m = _Outer()
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert m2.n == 7 and m2.inner.flag is True
+
+
+def test_module_jit_and_grad():
+    m = _Outer()
+
+    def loss(mod):
+        return mod.inner.a.value ** 2 + jnp.sum(mod.b.value) + jnp.sum(mod.data)
+
+    jitted = jax.jit(loss)
+    np.testing.assert_allclose(jitted(m), loss(m), rtol=1e-12)
+    g = jax.grad(loss)(m)
+    assert isinstance(g, _Outer)
+
+
+def test_module_jit_cache_stable():
+    m = _Outer()
+    traces = []
+
+    @jax.jit
+    def loss(mod):
+        traces.append(1)
+        return mod.inner.a.value
+
+    loss(m)
+    m.inner.a.assign(5.0)
+    loss(m)
+    assert len(traces) == 1, "mutating a parameter value must not retrace"
+
+
+def test_utilities_traversal():
+    m = _Outer()
+    pd = gpflow_tpu.utilities.parameter_dict(m)
+    assert set(pd) == {".inner.a", ".b"}
+    gpflow_tpu.utilities.multiple_assign(m, {".inner.a": 9.0})
+    np.testing.assert_allclose(m.inner.a.numpy(), 9.0, rtol=1e-10)
+    values = gpflow_tpu.utilities.read_values(m)
+    np.testing.assert_allclose(values[".inner.a"], 9.0, rtol=1e-10)
+    # summary renders
+    s = gpflow_tpu.utilities.tabulate_module_summary(m)
+    assert "inner.a" in s.replace(" ", "") or "inner.a" in s
+
+
+def test_freeze_and_deepcopy():
+    m = _Outer()
+    frozen = gpflow_tpu.utilities.freeze(m)
+    assert len(frozen.trainable_parameters) == 0
+    assert len(m.trainable_parameters) == 1  # original untouched
+    m_copy = gpflow_tpu.utilities.deepcopy(m)
+    m_copy.inner.a.assign(123.0)
+    np.testing.assert_allclose(m.inner.a.numpy(), 1.0, rtol=1e-10)
+
+
+def test_triangular_bijector():
+    tb = triangular()
+    v = jnp.arange(1.0, 7.0)
+    L = tb.forward(v)
+    assert L.shape == (3, 3)
+    np.testing.assert_allclose(np.triu(np.asarray(L), 1), 0.0)
+    np.testing.assert_allclose(tb.inverse(L), v)
