@@ -111,8 +111,12 @@ class Parameter:
             self._unconstrained = _to_array(unconstrained_value, dtype)
         else:
             constrained = _to_array(value, dtype)
-            _validate_finite(constrained, self.name)
-            self._unconstrained = self._transform.inverse(constrained)
+            unconstrained = self._transform.inverse(constrained)
+            # validate the *unconstrained* value (reference base.py:314-326):
+            # catches both NaN/Inf input and out-of-domain values (e.g. a
+            # variance below the transform's lower bound)
+            _validate_finite(unconstrained, self.name)
+            self._unconstrained = unconstrained
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self) -> Tuple[Tuple[jax.Array], Tuple[Any, ...]]:

@@ -1,0 +1,61 @@
+"""Efficient multioutput sampling (reference
+``/root/reference/gpflow/conditionals/multioutput/sample_conditionals.py:30-77``)."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...base import TensorType
+from ...inducing_variables import (
+    SeparateIndependentInducingVariables,
+    SharedIndependentInducingVariables,
+)
+from ...kernels import LinearCoregionalization, SeparateIndependent
+from ..dispatch import conditional, sample_conditional
+from ..util import mix_latent_gp, sample_mvn
+
+__all__ = ["_sample_conditional_coregionalization"]
+
+
+def _sample_conditional_coregionalization(
+    Xnew: TensorType,
+    inducing_variable,
+    kernel: LinearCoregionalization,
+    f: TensorType,
+    *,
+    full_cov: bool = False,
+    full_output_cov: bool = False,
+    q_sqrt: Optional[TensorType] = None,
+    white: bool = False,
+    num_samples: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Samples in g-space (L latent GPs) then mixes with W — cheaper than
+    sampling the P-output covariance."""
+    if full_cov:
+        raise NotImplementedError("full_cov not yet implemented")
+    if full_output_cov:
+        raise NotImplementedError("full_output_cov not yet implemented")
+
+    ind_conditional = conditional.dispatch_or_raise(
+        object, SeparateIndependentInducingVariables, SeparateIndependent, object
+    )
+    g_mu, g_var = ind_conditional(
+        Xnew, inducing_variable, kernel, f, white=white, q_sqrt=q_sqrt
+    )  # [..., N, L] each
+    g_sample = sample_mvn(g_mu, g_var, full_cov, num_samples=num_samples, key=key)
+    f_mu, f_var = mix_latent_gp(kernel.W.value, g_mu, g_var, full_cov, full_output_cov)
+    f_sample = jnp.tensordot(g_sample, kernel.W.value, [[-1], [-1]])
+    return f_sample, f_mu, f_var
+
+
+sample_conditional.add(
+    (object, SharedIndependentInducingVariables, LinearCoregionalization, object),
+    _sample_conditional_coregionalization,
+)
+sample_conditional.add(
+    (object, SeparateIndependentInducingVariables, LinearCoregionalization, object),
+    _sample_conditional_coregionalization,
+)

@@ -1,0 +1,437 @@
+"""Conditional math kernels (reference ``/root/reference/gpflow/conditionals/util.py``).
+
+These are the formulas at the heart of every model (SURVEY.md A.2):
+``base_conditional_with_lm``: A = Lm^-1 Kmn; fvar = Knn - A^T A; extra
+backsolve when not whitened; q_sqrt rank-2/3 handling.
+
+TPU notes: the triangular solves and A^T A products batch onto the MXU via
+XLA; everything is static-shaped and jit-clean. Randomness (``sample_mvn``)
+takes an explicit PRNG ``key`` (JAX-functional deviation from the reference's
+implicit ``tf.random``); a seeded default is drawn when omitted outside jit.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..base import MeanAndVariance
+from ..config import default_float, default_jitter
+from ..utilities.ops import leading_transpose
+
+__all__ = [
+    "base_conditional",
+    "base_conditional_with_lm",
+    "expand_independent_outputs",
+    "fully_correlated_conditional",
+    "fully_correlated_conditional_repeat",
+    "independent_interdomain_conditional",
+    "mix_latent_gp",
+    "rollaxis_left",
+    "rollaxis_right",
+    "sample_mvn",
+    "separate_independent_conditional_implementation",
+]
+
+_seed_counter = [0]
+
+
+def _default_key() -> jax.Array:
+    """Fresh key for convenience use outside jit (stateful; pass `key=`
+    explicitly inside jit)."""
+    _seed_counter[0] += 1
+    return jax.random.PRNGKey(_seed_counter[0])
+
+
+def base_conditional(
+    Kmn: jax.Array,
+    Kmm: jax.Array,
+    Knn: jax.Array,
+    f: jax.Array,
+    *,
+    full_cov: bool = False,
+    q_sqrt: Optional[jax.Array] = None,
+    white: bool = False,
+) -> MeanAndVariance:
+    """Single-output GP conditional q(g1) = int q(g2) p(g1|g2) dg2
+    (reference ``util.py:26-70``).
+
+    Kmn: [M, batch..., N], Kmm: [M, M], Knn: [batch..., N, N] or [batch..., N],
+    f: [M, R], q_sqrt: [M, R] (diag) or [R, M, M] (tril).
+    Returns mean [batch..., N, R] and var [batch..., R, N, N] / [batch..., N, R].
+    """
+    Lm = jnp.linalg.cholesky(Kmm)
+    return base_conditional_with_lm(
+        Kmn=Kmn, Lm=Lm, Knn=Knn, f=f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
+    )
+
+
+def base_conditional_with_lm(
+    Kmn: jax.Array,
+    Lm: jax.Array,
+    Knn: jax.Array,
+    f: jax.Array,
+    *,
+    full_cov: bool = False,
+    q_sqrt: Optional[jax.Array] = None,
+    white: bool = False,
+) -> MeanAndVariance:
+    """As base_conditional but takes the precomputed Cholesky Lm
+    (reference ``util.py:73-169``)."""
+    Kmn = jnp.asarray(Kmn)
+    f = jnp.asarray(f)
+    num_func = f.shape[-1]  # R
+    N = Kmn.shape[-1]
+    M = f.shape[-2]
+
+    # move leading dims in front: [M, ..., N] -> [..., M, N]
+    K = Kmn.ndim
+    perm = tuple(range(1, K - 1)) + (0, K - 1)
+    Kmn = jnp.transpose(Kmn, perm)
+    leading_dims = Kmn.shape[:-2]
+
+    Lm_b = jnp.broadcast_to(Lm, leading_dims + Lm.shape)  # [..., M, M]
+    A = solve_triangular(Lm_b, Kmn, lower=True)  # [..., M, N]
+
+    if full_cov:
+        fvar = Knn - jnp.matmul(jnp.swapaxes(A, -1, -2), A)  # [..., N, N]
+        fvar = jnp.broadcast_to(
+            jnp.expand_dims(fvar, -3), leading_dims + (num_func, N, N)
+        )  # [..., R, N, N]
+    else:
+        fvar = Knn - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
+        fvar = jnp.broadcast_to(
+            jnp.expand_dims(fvar, -2), leading_dims + (num_func, N)
+        )  # [..., R, N]
+
+    if not white:
+        A = solve_triangular(Lm_b, A, lower=True, trans=1)  # Lm^T A' = A
+
+    f_b = jnp.broadcast_to(f, leading_dims + (M, num_func))
+    fmean = jnp.matmul(jnp.swapaxes(A, -1, -2), f_b)  # [..., N, R]
+
+    if q_sqrt is not None:
+        q_sqrt = jnp.asarray(q_sqrt)
+        if q_sqrt.ndim == 2:
+            # diagonal [M, R] -> LTA [..., R, M, N]
+            LTA = A[..., None, :, :] * jnp.transpose(q_sqrt)[:, :, None]
+        elif q_sqrt.ndim == 3:
+            L = jnp.tril(q_sqrt)  # [R, M, M]
+            L_b = jnp.broadcast_to(L, leading_dims + L.shape)
+            A_tiled = jnp.broadcast_to(
+                jnp.expand_dims(A, -3), leading_dims + (num_func, M, N)
+            )
+            LTA = jnp.matmul(jnp.swapaxes(L_b, -1, -2), A_tiled)  # [..., R, M, N]
+        else:  # pragma: no cover
+            raise ValueError(f"Bad dimension for q_sqrt: {q_sqrt.ndim}")
+
+        if full_cov:
+            fvar = fvar + jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA)  # [..., R, N, N]
+        else:
+            fvar = fvar + jnp.sum(jnp.square(LTA), axis=-2)  # [..., R, N]
+
+    if not full_cov:
+        fvar = jnp.swapaxes(fvar, -1, -2)  # [..., N, R]
+
+    return fmean, fvar
+
+
+def sample_mvn(
+    mean: jax.Array,
+    cov: jax.Array,
+    full_cov: bool,
+    num_samples: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sample from batched D-dim MVNs (reference ``util.py:172-211``).
+
+    mean: [..., N, D]; cov: [..., N, D, D] (full_cov) or [..., N, D].
+    Returns [..., (S,) N, D].
+    """
+    if key is None:
+        key = _default_key()
+    mean = jnp.asarray(mean)
+    S = num_samples if num_samples is not None else 1
+    D = mean.shape[-1]
+    leading_dims = mean.shape[:-2]
+
+    if not full_cov:
+        eps_shape = leading_dims + (S,) + mean.shape[-2:]
+        eps = jax.random.normal(key, eps_shape, dtype=mean.dtype)  # [..., S, N, D]
+        samples = mean[..., None, :, :] + jnp.sqrt(cov)[..., None, :, :] * eps
+    else:
+        jittermat = jnp.eye(D, dtype=mean.dtype) * default_jitter()
+        eps = jax.random.normal(key, mean.shape + (S,), dtype=mean.dtype)  # [..., N, D, S]
+        chol = jnp.linalg.cholesky(cov + jittermat)  # [..., N, D, D]
+        samples = mean[..., None] + jnp.matmul(chol, eps)  # [..., N, D, S]
+        samples = leading_transpose(samples, [..., -1, -3, -2])  # [..., S, N, D]
+
+    if num_samples is None:
+        return jnp.squeeze(samples, axis=-3)
+    return samples
+
+
+def expand_independent_outputs(
+    fvar: jax.Array, full_cov: bool, full_output_cov: bool
+) -> jax.Array:
+    """Reshapes single-output covariance to multi-output layout
+    (reference ``util.py:214-239``)."""
+    if full_cov and full_output_cov:
+        # [P, N, N] -> [N, P, N, P] diagonal over outputs
+        P, N = fvar.shape[-3], fvar.shape[-1]
+        fvarT = jnp.swapaxes(jnp.swapaxes(fvar, -3, -1), -3, -2)  # [N, N, P]
+        diag = fvarT[..., :, None] * jnp.eye(P, dtype=fvar.dtype)  # [N, N, P, P]
+        return jnp.swapaxes(diag, -3, -2)  # [N, P, N, P]
+    if not full_cov and full_output_cov:
+        # [N, P] -> [N, P, P]
+        P = fvar.shape[-1]
+        return fvar[..., :, None] * jnp.eye(P, dtype=fvar.dtype)
+    return fvar
+
+
+def independent_interdomain_conditional(
+    Kmn: jax.Array,
+    Kmm: jax.Array,
+    Knn: jax.Array,
+    f: jax.Array,
+    *,
+    full_cov: bool = False,
+    full_output_cov: bool = False,
+    q_sqrt: Optional[jax.Array] = None,
+    white: bool = False,
+) -> MeanAndVariance:
+    """Interdomain conditional with L latent processes
+    (reference ``util.py:242-329``).
+
+    Kmn: [M, L, N, P], Kmm: [L, M, M], f: [M, L],
+    q_sqrt: [M, L] or [L, M, M].
+    """
+    M, L, N, P = Kmn.shape
+
+    Lm = jnp.linalg.cholesky(Kmm)  # [L, M, M]
+
+    Kmn_r = jnp.reshape(jnp.transpose(Kmn, (1, 0, 2, 3)), (L, M, N * P))
+    A = solve_triangular(Lm, Kmn_r, lower=True)  # [L, M, N*P]
+    Ar = jnp.reshape(A, (L, M, N, P))
+
+    if full_cov and full_output_cov:
+        fvar = Knn - jnp.tensordot(Ar, Ar, [[0, 1], [0, 1]])  # [N, P, N, P]
+    elif full_cov and not full_output_cov:
+        At = jnp.reshape(jnp.transpose(Ar, (3, 2, 1, 0)), (P, N, M * L))
+        fvar = Knn - jnp.matmul(At, jnp.swapaxes(At, -1, -2))  # [P, N, N]
+    elif not full_cov and full_output_cov:
+        At = jnp.reshape(jnp.transpose(Ar, (2, 3, 1, 0)), (N, P, M * L))
+        fvar = Knn - jnp.matmul(At, jnp.swapaxes(At, -1, -2))  # [N, P, P]
+    else:
+        fvar = Knn - jnp.reshape(jnp.sum(jnp.square(A), axis=(0, 1)), (N, P))
+
+    if not white:
+        A = solve_triangular(Lm, A, lower=True, trans=1)
+        Ar = jnp.reshape(A, (L, M, N, P))
+
+    fmean = jnp.tensordot(Ar, f, [[1, 0], [0, 1]])  # [N, P]
+
+    if q_sqrt is not None:
+        if q_sqrt.ndim == 3:
+            Lf = jnp.tril(q_sqrt)  # [L, M, M]
+            LTA = jnp.matmul(jnp.swapaxes(Lf, -1, -2), A)  # [L, M, N*P]
+        else:  # [M, L]
+            LTA = A * jnp.transpose(q_sqrt)[..., None]  # [L, M, N*P]
+
+        if full_cov and full_output_cov:
+            LTAr = jnp.reshape(LTA, (L * M, N * P))
+            fvar = fvar + jnp.reshape(LTAr.T @ LTAr, (N, P, N, P))
+        elif full_cov and not full_output_cov:
+            LTAr = jnp.transpose(jnp.reshape(LTA, (L * M, N, P)), (2, 0, 1))  # [P, LM, N]
+            fvar = fvar + jnp.matmul(jnp.swapaxes(LTAr, -1, -2), LTAr)  # [P, N, N]
+        elif not full_cov and full_output_cov:
+            LTAr = jnp.transpose(jnp.reshape(LTA, (L * M, N, P)), (1, 0, 2))  # [N, LM, P]
+            fvar = fvar + jnp.matmul(jnp.swapaxes(LTAr, -1, -2), LTAr)  # [N, P, P]
+        else:
+            fvar = fvar + jnp.reshape(jnp.sum(jnp.square(LTA), axis=(0, 1)), (N, P))
+
+    return fmean, fvar
+
+
+def fully_correlated_conditional(
+    Kmn: jax.Array,
+    Kmm: jax.Array,
+    Knn: jax.Array,
+    f: jax.Array,
+    *,
+    full_cov: bool = False,
+    full_output_cov: bool = False,
+    q_sqrt: Optional[jax.Array] = None,
+    white: bool = False,
+) -> MeanAndVariance:
+    """Fully-correlated multi-output conditional (reference ``util.py:332-377``).
+    Kmn: [M, N, P], Kmm: [M, M], f: [M, 1]."""
+    mean, var = fully_correlated_conditional_repeat(
+        Kmn, Kmm, Knn, f,
+        full_cov=full_cov, full_output_cov=full_output_cov, q_sqrt=q_sqrt, white=white,
+    )
+    return jnp.squeeze(mean, axis=0), jnp.squeeze(var, axis=0)
+
+
+def fully_correlated_conditional_repeat(
+    Kmn: jax.Array,
+    Kmm: jax.Array,
+    Knn: jax.Array,
+    f: jax.Array,
+    *,
+    full_cov: bool = False,
+    full_output_cov: bool = False,
+    q_sqrt: Optional[jax.Array] = None,
+    white: bool = False,
+) -> MeanAndVariance:
+    """As fully_correlated_conditional but handles R repetitions in f/q_sqrt
+    (reference ``util.py:380-480``). Kmn: [M, N, P], f: [M, R]."""
+    R = f.shape[1]
+    M, N, P = Kmn.shape
+
+    Lm = jnp.linalg.cholesky(Kmm)
+    Kmn_r = jnp.reshape(Kmn, (M, N * P))
+    A = solve_triangular(Lm, Kmn_r, lower=True)  # [M, N*P]
+    Ar = jnp.reshape(A, (M, N, P))
+
+    if full_cov and full_output_cov:
+        fvar = Knn - jnp.tensordot(Ar, Ar, [[0], [0]])  # [N, P, N, P]
+    elif full_cov and not full_output_cov:
+        At = jnp.transpose(Ar, (2, 1, 0))  # [P, N, M]
+        fvar = Knn - jnp.matmul(At, jnp.swapaxes(At, -1, -2))  # [P, N, N]
+    elif not full_cov and full_output_cov:
+        At = jnp.transpose(Ar, (1, 0, 2))  # [N, M, P]
+        fvar = Knn - jnp.matmul(jnp.swapaxes(At, -1, -2), At)  # [N, P, P]
+    else:
+        fvar = Knn - jnp.reshape(jnp.sum(jnp.square(A), axis=0), (N, P))
+
+    if not white:
+        A = solve_triangular(Lm, A, lower=True, trans=1)  # [M, N*P]
+
+    fmean = jnp.reshape(f.T @ A, (R, N, P))  # [R, N, P]
+
+    if q_sqrt is not None:
+        if q_sqrt.ndim == 3:
+            Lf = jnp.tril(q_sqrt)  # [R, M, M]
+            A_tiled = jnp.broadcast_to(A[None, :, :], (R, M, N * P))
+            LTA = jnp.matmul(jnp.swapaxes(Lf, -1, -2), A_tiled)  # [R, M, N*P]
+        elif q_sqrt.ndim == 2:
+            A_tiled = jnp.broadcast_to(A[None, :, :], (R, M, N * P))
+            LTA = jnp.transpose(q_sqrt)[:, :, None] * A_tiled  # [R, M, N*P]
+        else:  # pragma: no cover
+            raise ValueError(f"Bad dimension for q_sqrt: {q_sqrt.ndim}")
+
+        if full_cov and full_output_cov:
+            addvar = jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA)  # [R, NP, NP]
+            fvar = fvar[None] + jnp.reshape(addvar, (R, N, P, N, P))
+        elif full_cov and not full_output_cov:
+            LTAr = jnp.transpose(jnp.reshape(LTA, (R, M, N, P)), (0, 3, 1, 2))  # [R, P, M, N]
+            addvar = jnp.matmul(jnp.swapaxes(LTAr, -1, -2), LTAr)  # [R, P, N, N]
+            fvar = fvar[None] + addvar
+        elif not full_cov and full_output_cov:
+            LTAr = jnp.transpose(jnp.reshape(LTA, (R, M, N, P)), (0, 2, 3, 1))  # [R, N, P, M]
+            fvar = fvar[None] + jnp.matmul(LTAr, jnp.swapaxes(LTAr, -1, -2))  # [R, N, P, P]
+        else:
+            addvar = jnp.reshape(jnp.sum(jnp.square(LTA), axis=1), (R, N, P))
+            fvar = fvar[None] + addvar
+    else:
+        fvar = jnp.broadcast_to(fvar[None], (R,) + fvar.shape)
+
+    return fmean, fvar
+
+
+def rollaxis_left(A: jax.Array, num_rolls: int) -> jax.Array:
+    """Roll leading axes to the back (reference ``util.py:483-492``)."""
+    assert num_rolls > 0
+    rank = A.ndim
+    perm = tuple(range(num_rolls, rank)) + tuple(range(num_rolls))
+    return jnp.transpose(A, perm)
+
+
+def rollaxis_right(A: jax.Array, num_rolls: int) -> jax.Array:
+    """Roll trailing axes to the front (reference ``util.py:495-504``)."""
+    assert num_rolls > 0
+    rank = A.ndim
+    perm = tuple(range(rank - num_rolls, rank)) + tuple(range(rank - num_rolls))
+    return jnp.transpose(A, perm)
+
+
+def mix_latent_gp(
+    W: jax.Array,
+    g_mean: jax.Array,
+    g_var: jax.Array,
+    full_cov: bool,
+    full_output_cov: bool,
+) -> MeanAndVariance:
+    """Moments of f = W g for uncorrelated latent g (reference ``util.py:507-552``).
+
+    W: [P, L], g_mean: [..., N, L],
+    g_var: [..., N, L] or [L, ..., N, N] (full_cov).
+    """
+    f_mean = jnp.tensordot(g_mean, W, [[-1], [-1]])  # [..., N, P]
+
+    if full_cov and full_output_cov:  # g_var: [L, ..., N, N]
+        g_var_r = rollaxis_left(g_var, 1)  # [..., N, N, L]
+        g_var_r = jnp.expand_dims(g_var_r, axis=-2)  # [..., N, N, 1, L]
+        g_var_W = g_var_r * W  # [..., N, N, P, L]
+        f_var = jnp.tensordot(g_var_W, W, [[-1], [-1]])  # [..., N, N, P, P]
+        f_var = leading_transpose(f_var, [..., -4, -2, -3, -1])  # [..., N, P, N, P]
+    elif full_cov and not full_output_cov:  # g_var: [L, ..., N, N]
+        f_var = jnp.tensordot(g_var, W ** 2, [[0], [-1]])  # [..., N, N, P]
+        f_var = leading_transpose(f_var, [..., -1, -3, -2])  # [..., P, N, N]
+    elif not full_cov and full_output_cov:  # g_var: [..., N, L]
+        g_var_r = jnp.expand_dims(g_var, axis=-2)  # [..., N, 1, L]
+        g_var_W = g_var_r * W  # [..., N, P, L]
+        f_var = jnp.tensordot(g_var_W, W, [[-1], [-1]])  # [..., N, P, P]
+    else:  # g_var: [..., N, L]
+        f_var = jnp.tensordot(g_var, W ** 2, [[-1], [-1]])  # [..., N, P]
+
+    return f_mean, f_var
+
+
+def separate_independent_conditional_implementation(
+    Kmns: jax.Array,
+    Kmms: jax.Array,
+    Knns: jax.Array,
+    f: jax.Array,
+    *,
+    full_cov: bool = False,
+    q_sqrt: Optional[jax.Array] = None,
+    white: bool = False,
+) -> MeanAndVariance:
+    """Per-output independent conditionals, vmapped over P
+    (reference ``util.py:555-629`` uses tf.map_fn; vmap is the TPU-native
+    equivalent — one batched Cholesky + solves on the MXU).
+
+    Kmns: [P, M, N], Kmms: [P, M, M], Knns: [P, N, N] or [P, N], f: [M, P].
+    Returns fmu [N, P]; fvar [P, N, N] (full_cov) or [N, P].
+    """
+    fs = jnp.transpose(f)[:, :, None]  # [P, M, 1]
+
+    if q_sqrt is not None:
+        q_sqrts = (
+            jnp.transpose(q_sqrt)[:, :, None] if q_sqrt.ndim == 2 else q_sqrt[:, None, :, :]
+        )
+
+        def single(Kmm, Kmn, Knn, f_, q_s):
+            return base_conditional(
+                Kmn, Kmm, Knn, f_, full_cov=full_cov, q_sqrt=q_s, white=white
+            )
+
+        rmu, rvar = jax.vmap(single)(Kmms, Kmns, Knns, fs, q_sqrts)
+    else:
+
+        def single_nq(Kmm, Kmn, Knn, f_):
+            return base_conditional(Kmn, Kmm, Knn, f_, full_cov=full_cov, white=white)
+
+        rmu, rvar = jax.vmap(single_nq)(Kmms, Kmns, Knns, fs)
+
+    # rmu: [P, N, 1]; rvar: [P, 1, N, N] or [P, N, 1]
+    fmu = jnp.transpose(jnp.squeeze(rmu, axis=-1))  # [N, P]
+    if full_cov:
+        fvar = jnp.squeeze(rvar, axis=-3)  # [P, N, N]
+    else:
+        fvar = jnp.transpose(jnp.squeeze(rvar, axis=-1))  # [N, P]
+    return fmu, fvar

@@ -1,0 +1,27 @@
+from .inducing_patch import InducingPatches
+from .inducing_variables import (
+    InducingPoints,
+    InducingPointsBase,
+    InducingVariables,
+    Multiscale,
+)
+from .multioutput import (
+    FallbackSeparateIndependentInducingVariables,
+    FallbackSharedIndependentInducingVariables,
+    MultioutputInducingVariables,
+    SeparateIndependentInducingVariables,
+    SharedIndependentInducingVariables,
+)
+
+__all__ = [
+    "FallbackSeparateIndependentInducingVariables",
+    "FallbackSharedIndependentInducingVariables",
+    "InducingPatches",
+    "InducingPoints",
+    "InducingPointsBase",
+    "InducingVariables",
+    "MultioutputInducingVariables",
+    "Multiscale",
+    "SeparateIndependentInducingVariables",
+    "SharedIndependentInducingVariables",
+]

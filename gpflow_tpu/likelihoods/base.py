@@ -1,0 +1,313 @@
+"""Likelihood base hierarchy (reference ``/root/reference/gpflow/likelihoods/base.py``).
+
+Shape contract (reference ``base.py:31-60``): the last dimension of F holds
+latent functions and of Y one observation; all statistics return the
+broadcast batch shape with those trailing dims reduced.
+
+Deviation (SURVEY.md A.5.3): ``SwitchedLikelihood`` re-expresses the
+``tf.dynamic_partition``/``dynamic_stitch`` pattern with one-hot masking over
+statically-shaped full-batch evaluations of every sub-likelihood — the
+jit/TPU-compatible formulation (no data-dependent shapes).
+"""
+from __future__ import annotations
+
+import abc
+from typing import Any, Callable, Iterable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..base import MeanAndVariance, Module, TensorType
+from ..quadrature import GaussianQuadrature, NDiagGHQuadrature, ndiag_mc
+
+__all__ = [
+    "DEFAULT_NUM_GAUSS_HERMITE_POINTS",
+    "Likelihood",
+    "MonteCarloLikelihood",
+    "QuadratureLikelihood",
+    "ScalarLikelihood",
+    "SwitchedLikelihood",
+]
+
+DEFAULT_NUM_GAUSS_HERMITE_POINTS = 20
+"""Fallback Gauss-Hermite resolution (reference ``base.py:23-28``)."""
+
+
+class Likelihood(Module, abc.ABC):
+    """Observation model p(Y | X, F) (reference ``base.py:31-276``)."""
+
+    def __init__(
+        self,
+        input_dim: Optional[int],
+        latent_dim: Optional[int],
+        observation_dim: Optional[int],
+    ) -> None:
+        self.input_dim = input_dim
+        self.latent_dim = latent_dim
+        self.observation_dim = observation_dim
+
+    def log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
+        """log p(Y | X, F) -> [batch...]."""
+        return self._log_prob(X, F, Y)
+
+    @abc.abstractmethod
+    def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
+        raise NotImplementedError
+
+    def conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
+        """E[Y | X, F] -> [batch..., observation_dim]."""
+        return self._conditional_mean(X, F)
+
+    def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
+        raise NotImplementedError
+
+    def conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
+        """var[Y | X, F] -> [batch..., observation_dim]."""
+        return self._conditional_variance(X, F)
+
+    def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
+        raise NotImplementedError
+
+    def predict_mean_and_var(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType
+    ) -> MeanAndVariance:
+        """Mean/variance of Y under q(f)=N(Fmu, Fvar) (reference ``base.py:135-170``)."""
+        return self._predict_mean_and_var(X, Fmu, Fvar)
+
+    @abc.abstractmethod
+    def _predict_mean_and_var(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType
+    ) -> MeanAndVariance:
+        raise NotImplementedError
+
+    def predict_log_density(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        """log int p(Y|F) q(F) dF -> [batch...] (reference ``base.py:186-215``)."""
+        return self._predict_log_density(X, Fmu, Fvar, Y)
+
+    @abc.abstractmethod
+    def _predict_log_density(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        raise NotImplementedError
+
+    def variational_expectations(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        """int log p(Y|f) q(f) df -> [batch...] (reference ``base.py:236-266``)."""
+        return self._variational_expectations(X, Fmu, Fvar, Y)
+
+    @abc.abstractmethod
+    def _variational_expectations(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        raise NotImplementedError
+
+
+class QuadratureLikelihood(Likelihood, abc.ABC):
+    """Plugs Gauss-Hermite quadrature in as a generic fallback for all three
+    Gaussian integrals (reference ``base.py:279-400``)."""
+
+    def __init__(
+        self,
+        input_dim: Optional[int],
+        latent_dim: Optional[int],
+        observation_dim: Optional[int],
+        *,
+        quadrature: Optional[GaussianQuadrature] = None,
+    ) -> None:
+        super().__init__(
+            input_dim=input_dim, latent_dim=latent_dim, observation_dim=observation_dim
+        )
+        if quadrature is None:
+            quadrature = NDiagGHQuadrature(self._quadrature_dim, DEFAULT_NUM_GAUSS_HERMITE_POINTS)
+        self.quadrature = quadrature
+
+    @property
+    def _quadrature_dim(self) -> int:
+        assert self.latent_dim is not None
+        return self.latent_dim
+
+    def _quadrature_log_prob(self, F: TensorType, X: TensorType, Y: TensorType) -> jax.Array:
+        return jnp.expand_dims(self.log_prob(X, F, Y), axis=-1)
+
+    def _quadrature_reduction(self, quadrature_result: jax.Array) -> jax.Array:
+        return jnp.squeeze(quadrature_result, axis=-1)
+
+    def _predict_log_density(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        return self._quadrature_reduction(
+            self.quadrature.logspace(self._quadrature_log_prob, Fmu, Fvar, X=X, Y=Y)
+        )
+
+    def _variational_expectations(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        return self._quadrature_reduction(
+            self.quadrature(self._quadrature_log_prob, Fmu, Fvar, X=X, Y=Y)
+        )
+
+    def _predict_mean_and_var(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType
+    ) -> MeanAndVariance:
+        def conditional_mean(F: TensorType, X_: TensorType) -> jax.Array:
+            return self.conditional_mean(X_, F)
+
+        def conditional_y_squared(F: TensorType, X_: TensorType) -> jax.Array:
+            return self.conditional_variance(X_, F) + jnp.square(self.conditional_mean(X_, F))
+
+        E_y, E_y2 = self.quadrature([conditional_mean, conditional_y_squared], Fmu, Fvar, X_=X)
+        V_y = E_y2 - E_y ** 2
+        return E_y, V_y
+
+
+class ScalarLikelihood(QuadratureLikelihood, abc.ABC):
+    """Per-scalar-latent likelihoods: implements ``_scalar_log_prob`` and sums
+    over the last axis (reference ``base.py:403-483``)."""
+
+    def __init__(self, **kwargs: Any) -> None:
+        super().__init__(input_dim=None, latent_dim=None, observation_dim=None, **kwargs)
+
+    def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
+        return jnp.sum(self._scalar_log_prob(X, F, Y), axis=-1)
+
+    @abc.abstractmethod
+    def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
+        raise NotImplementedError
+
+    @property
+    def _quadrature_dim(self) -> int:
+        # 1-D quadrature broadcast over latent dims (reference ``base.py:449-457``)
+        return 1
+
+    def _quadrature_log_prob(self, F: TensorType, X: TensorType, Y: TensorType) -> jax.Array:
+        return self._scalar_log_prob(X, F, Y)
+
+    def _quadrature_reduction(self, quadrature_result: jax.Array) -> jax.Array:
+        return jnp.sum(quadrature_result, axis=-1)
+
+
+class SwitchedLikelihood(ScalarLikelihood):
+    """The last column of Y holds an integer selecting the likelihood per
+    datum (reference ``base.py:486-561``); see module docstring for the
+    masked static-shape formulation.
+
+    Note: every sub-likelihood is evaluated on the full batch; data rows must
+    be *valid* (finite log-prob) under all sub-likelihoods, as is the case for
+    the canonical per-group-noise-Gaussian use.
+    """
+
+    def __init__(self, likelihood_list: Iterable[ScalarLikelihood], **kwargs: Any) -> None:
+        super().__init__(**kwargs)
+        self.likelihoods = list(likelihood_list)
+
+    def _masked_apply(self, args: Sequence[TensorType], func_name: str) -> jax.Array:
+        args_list = [jnp.asarray(a) for a in args]
+        Y = args_list[-1]
+        ind = Y[..., -1].astype(jnp.int32)  # [batch...]
+        args_list[-1] = Y[..., :-1]
+        results = jnp.stack(
+            [getattr(lik, func_name)(*args_list) for lik in self.likelihoods], axis=0
+        )  # [K, batch..., (latent)]
+        mask = jax.nn.one_hot(ind, len(self.likelihoods), axis=0, dtype=results.dtype)
+        # pad mask with trailing singleton dims to match results
+        mask = mask.reshape(mask.shape + (1,) * (results.ndim - mask.ndim))
+        return jnp.sum(results * mask, axis=0)
+
+    def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
+        return self._masked_apply([X, F, Y], "_scalar_log_prob")
+
+    def _predict_log_density(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        return self._masked_apply([X, Fmu, Fvar, Y], "predict_log_density")
+
+    def _variational_expectations(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
+    ) -> jax.Array:
+        return self._masked_apply([X, Fmu, Fvar, Y], "variational_expectations")
+
+    def _predict_mean_and_var(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType
+    ) -> MeanAndVariance:
+        mvs = [lik.predict_mean_and_var(X, Fmu, Fvar) for lik in self.likelihoods]
+        mu_list, var_list = zip(*mvs)
+        mu = jnp.concatenate(mu_list, axis=1)
+        var = jnp.concatenate(var_list, axis=1)
+        return mu, var
+
+    def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
+        raise NotImplementedError
+
+    def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
+        raise NotImplementedError
+
+
+class MonteCarloLikelihood(Likelihood):
+    """Generic Monte-Carlo fallback, 100 samples (reference ``base.py:564-696``)."""
+
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
+        super().__init__(*args, **kwargs)
+        self.num_monte_carlo_points = 100
+
+    def _mc_quadrature(
+        self,
+        funcs: Union[Callable[..., jax.Array], Iterable[Callable[..., jax.Array]]],
+        Fmu: TensorType,
+        Fvar: TensorType,
+        logspace: bool = False,
+        epsilon: Optional[TensorType] = None,
+        **Ys: TensorType,
+    ) -> Any:
+        return ndiag_mc(
+            funcs, self.num_monte_carlo_points, jnp.asarray(Fmu), jnp.asarray(Fvar),
+            logspace, epsilon, **Ys,
+        )
+
+    def _predict_mean_and_var(
+        self, X: TensorType, Fmu: TensorType, Fvar: TensorType, epsilon: Optional[TensorType] = None
+    ) -> MeanAndVariance:
+        def conditional_mean(F: TensorType, X_: TensorType) -> jax.Array:
+            return self.conditional_mean(X_, F)
+
+        def conditional_y_squared(F: TensorType, X_: TensorType) -> jax.Array:
+            return self.conditional_variance(X_, F) + jnp.square(self.conditional_mean(X_, F))
+
+        E_y, E_y2 = self._mc_quadrature(
+            [conditional_mean, conditional_y_squared], Fmu, Fvar, epsilon=epsilon, X_=X
+        )
+        V_y = E_y2 - jnp.square(E_y)
+        return E_y, V_y
+
+    def _predict_log_density(
+        self,
+        X: TensorType,
+        Fmu: TensorType,
+        Fvar: TensorType,
+        Y: TensorType,
+        epsilon: Optional[TensorType] = None,
+    ) -> jax.Array:
+        def log_prob(F: TensorType, X_: TensorType, Y_: TensorType) -> jax.Array:
+            return self.log_prob(X_, F, Y_)
+
+        return jnp.sum(
+            self._mc_quadrature(log_prob, Fmu, Fvar, logspace=True, epsilon=epsilon, X_=X, Y_=Y),
+            axis=-1,
+        )
+
+    def _variational_expectations(
+        self,
+        X: TensorType,
+        Fmu: TensorType,
+        Fvar: TensorType,
+        Y: TensorType,
+        epsilon: Optional[TensorType] = None,
+    ) -> jax.Array:
+        def log_prob(F: TensorType, X_: TensorType, Y_: TensorType) -> jax.Array:
+            return self.log_prob(X_, F, Y_)
+
+        return jnp.sum(
+            self._mc_quadrature(log_prob, Fmu, Fvar, epsilon=epsilon, X_=X, Y_=Y), axis=-1
+        )

@@ -1,0 +1,68 @@
+"""Training-loss mixins (reference ``/root/reference/gpflow/models/training_mixins.py``).
+
+``training_loss_closure(compile=True)`` returns a callable backed by a
+``jax.jit``-compiled function over the whole model pytree: parameters AND data
+are traced leaves, the module structure is the static cache key, so repeated
+calls never retrace (the jit analog of the reference's ``tf.function`` with
+``input_signature``, reference ``training_mixins.py:109-147``).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..base import RegressionData
+
+__all__ = ["ExternalDataTrainingLossMixin", "InternalDataTrainingLossMixin"]
+
+LossClosure = Callable[[], jax.Array]
+
+
+class InternalDataTrainingLossMixin:
+    """For models keeping their data internally (GPR, SGPR, VGP, GPMC;
+    reference ``training_mixins.py:43-78``)."""
+
+    def training_loss(self) -> jax.Array:
+        return self._training_loss()
+
+    def training_loss_closure(self, *, compile: bool = True) -> LossClosure:
+        if not compile:
+            return self.training_loss
+
+        @jax.jit
+        def _loss(model: Any) -> jax.Array:
+            return model._training_loss()
+
+        return lambda: _loss(self)
+
+
+class ExternalDataTrainingLossMixin:
+    """For models taking minibatches (SVGP, SGPMC;
+    reference ``training_mixins.py:81-147``)."""
+
+    def training_loss(self, data: RegressionData) -> jax.Array:
+        return self._training_loss(data)
+
+    def training_loss_closure(
+        self,
+        data: Union[RegressionData, Iterator[RegressionData]],
+        *,
+        compile: bool = True,
+    ) -> LossClosure:
+        """``data`` is either a fixed (X, Y) tuple or an iterator of
+        minibatches; one compiled graph is reused for every batch of the same
+        shape."""
+        training_loss = self.training_loss
+        if compile:
+
+            @jax.jit
+            def _loss(model: Any, batch: RegressionData) -> jax.Array:
+                return model._training_loss(batch)
+
+            training_loss = lambda batch: _loss(self, batch)  # noqa: E731
+
+        if isinstance(data, tuple):
+            return lambda: training_loss(data)
+        return lambda: training_loss(next(data))
