@@ -1,5 +1,14 @@
 from .gpr import GPR, GPR_deprecated, GPR_with_posterior
 from .model import BayesianModel, GPModel
+from .sgpr import GPRFITC, SGPR, SGPRBase_deprecated, SGPR_deprecated, SGPR_with_posterior
+from .svgp import SVGP, SVGP_deprecated, SVGP_with_posterior
+from .vgp import (
+    VGP,
+    VGPOpperArchambeau,
+    VGP_deprecated,
+    VGP_with_posterior,
+    update_vgp_data,
+)
 from .training_mixins import ExternalDataTrainingLossMixin, InternalDataTrainingLossMixin
 from .util import (
     data_input_to_tensor,
@@ -14,9 +23,22 @@ __all__ = [
     "ExternalDataTrainingLossMixin",
     "GPModel",
     "GPR",
+    "GPRFITC",
     "GPR_deprecated",
     "GPR_with_posterior",
     "InternalDataTrainingLossMixin",
+    "SGPR",
+    "SGPRBase_deprecated",
+    "SGPR_deprecated",
+    "SGPR_with_posterior",
+    "SVGP",
+    "SVGP_deprecated",
+    "SVGP_with_posterior",
+    "VGP",
+    "VGPOpperArchambeau",
+    "VGP_deprecated",
+    "VGP_with_posterior",
+    "update_vgp_data",
     "data_input_to_tensor",
     "inducingpoint_wrapper",
     "maximum_log_likelihood_objective",

@@ -1,0 +1,272 @@
+"""Natural-gradient optimizer for (q_mu, q_sqrt) variational parameters
+(Salimbeni et al. 2018, eq. 10; reference
+``/root/reference/gpflow/optimizers/natgrad.py``).
+
+The reference's nested forward/backward GradientTape construction maps cleanly
+onto JAX primitives (SURVEY.md §7.3.4):
+  * dL/deta (expectation params) = vjp of expectation_to_meanvarsqrt,
+  * (dxi/dtheta) dL/deta = jvp of naturals_to_xi (the double-vjp trick).
+The whole step (loss grad + conversions + assign) is one jit-compiled pure
+function per parameter group.
+"""
+from __future__ import annotations
+
+import abc
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..base import Parameter
+
+__all__ = [
+    "NaturalGradient",
+    "XiNat",
+    "XiSqrtMeanVar",
+    "XiTransform",
+    "expectation_to_meanvarsqrt",
+    "expectation_to_natural",
+    "meanvarsqrt_to_expectation",
+    "meanvarsqrt_to_natural",
+    "natural_to_expectation",
+    "natural_to_meanvarsqrt",
+]
+
+LossClosure = Callable[[], jax.Array]
+
+
+class XiTransform(metaclass=abc.ABCMeta):
+    """Transformations for natural-gradient steps in an arbitrary xi
+    parameterization (reference ``natgrad.py:43-98``)."""
+
+    @staticmethod
+    @abc.abstractmethod
+    def meanvarsqrt_to_xi(mean: jax.Array, varsqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        ...
+
+    @staticmethod
+    @abc.abstractmethod
+    def xi_to_meanvarsqrt(xi1: jax.Array, xi2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        ...
+
+    @staticmethod
+    @abc.abstractmethod
+    def naturals_to_xi(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        ...
+
+
+class XiNat(XiTransform):
+    """Default transform: xi = natural parameters. Gives the analytic optimum
+    in one gamma=1 step for Gaussian likelihoods (reference ``natgrad.py:101-137``)."""
+
+    @staticmethod
+    def meanvarsqrt_to_xi(mean: jax.Array, varsqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return meanvarsqrt_to_natural(mean, varsqrt)
+
+    @staticmethod
+    def xi_to_meanvarsqrt(xi1: jax.Array, xi2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return natural_to_meanvarsqrt(xi1, xi2)
+
+    @staticmethod
+    def naturals_to_xi(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return nat1, nat2
+
+
+class XiSqrtMeanVar(XiTransform):
+    """xi = (mean, varsqrt) — natgrad directly on the model parameters
+    (reference ``natgrad.py:140-173``)."""
+
+    @staticmethod
+    def meanvarsqrt_to_xi(mean: jax.Array, varsqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return mean, varsqrt
+
+    @staticmethod
+    def xi_to_meanvarsqrt(xi1: jax.Array, xi2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return xi1, xi2
+
+    @staticmethod
+    def naturals_to_xi(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return natural_to_meanvarsqrt(nat1, nat2)
+
+
+NatGradParameters = Union[
+    Tuple[Parameter, Parameter], Tuple[Parameter, Parameter, XiTransform]
+]
+
+
+class NaturalGradient:
+    """Natural gradient descent on q(u) = N(q_mu, q_sqrt q_sqrt^T)
+    (reference ``natgrad.py:176-372``). Only the full-covariance
+    parametrization is supported (q_diag=True is NOT supported).
+
+    Standalone object (the reference's Keras-optimizer base is dropped per
+    SURVEY.md A.5.5); the only public method is ``minimize``.
+    """
+
+    def __init__(self, gamma: float, xi_transform: Optional[XiTransform] = None) -> None:
+        self.gamma = gamma
+        self.xi_transform = xi_transform if xi_transform is not None else XiNat()
+
+    def minimize(self, loss_fn: LossClosure, var_list: Sequence[NatGradParameters]) -> None:
+        """Performs one natural-gradient step on each (q_mu, q_sqrt[, xi])
+        tuple in ``var_list`` (reference ``natgrad.py:184-238``)."""
+        parameters = [(v[0], v[1], (v[2] if len(v) > 2 else None)) for v in var_list]
+        self._natgrad_steps(loss_fn, parameters)
+
+    def _natgrad_steps(
+        self,
+        loss_fn: LossClosure,
+        parameters: Sequence[Tuple[Parameter, Parameter, Optional[XiTransform]]],
+    ) -> None:
+        q_mus, q_sqrts, xis = zip(*parameters)
+        variables = [p for pair in zip(q_mus, q_sqrts) for p in pair]
+
+        def loss_of_unconstrained(unconstrained: Tuple[jax.Array, ...]) -> jax.Array:
+            originals = [v._unconstrained for v in variables]
+            try:
+                for v, u in zip(variables, unconstrained):
+                    v._unconstrained = u
+                return loss_fn()
+            finally:
+                for v, o in zip(variables, originals):
+                    v._unconstrained = o
+
+        current = tuple(v._unconstrained for v in variables)
+        grads = jax.grad(loss_of_unconstrained)(current)
+
+        for i, (q_mu, q_sqrt, xi_transform) in enumerate(parameters):
+            q_mu_grad, q_sqrt_grad = grads[2 * i], grads[2 * i + 1]
+            self._natgrad_apply_gradients(q_mu_grad, q_sqrt_grad, q_mu, q_sqrt, xi_transform)
+
+    def _natgrad_apply_gradients(
+        self,
+        q_mu_grad: jax.Array,
+        q_sqrt_grad: jax.Array,
+        q_mu: Parameter,
+        q_sqrt: Parameter,
+        xi_transform: Optional[XiTransform] = None,
+    ) -> None:
+        """Backward natgrad step, implementing Salimbeni'18 eq. 10
+        (reference ``natgrad.py:280-367``); see module docstring for the
+        JAX mapping of the tape construction."""
+        if xi_transform is None:
+            xi_transform = self.xi_transform
+
+        if q_sqrt.value.ndim != 3:
+            raise ValueError(
+                "NaturalGradient only supports the full-covariance parametrization "
+                "q_sqrt: [L, M, M]; the diagonal q_diag=True parametrization is not "
+                "supported (same restriction as the reference implementation)."
+            )
+
+        # 1) ordinary gradients mapped to constrained space. For the identity
+        # (q_mu) and fill-triangular (q_sqrt) transforms used here, forward()
+        # of the gradient IS the constrained gradient (both are linear with
+        # unit Jacobian; reference base.py:329-332).
+        dL_dmean = q_mu.transform.forward(q_mu_grad)
+        dL_dvarsqrt = q_sqrt.transform.forward(q_sqrt_grad)
+
+        q_mu_value = q_mu.value
+        q_sqrt_value = q_sqrt.value
+
+        # 2) chain rule to dL/deta via vjp of eta -> (mean, varsqrt)
+        eta1, eta2 = meanvarsqrt_to_expectation(q_mu_value, q_sqrt_value)
+        _, vjp_fn = jax.vjp(
+            lambda e1, e2: expectation_to_meanvarsqrt(e1, e2), eta1, eta2
+        )
+        dL_deta1, dL_deta2 = vjp_fn((dL_dmean, dL_dvarsqrt))
+
+        if not isinstance(xi_transform, XiNat):
+            # (dxi/dtheta) dL/deta via jvp of theta -> xi
+            nat1, nat2 = meanvarsqrt_to_natural(q_mu_value, q_sqrt_value)
+            _, (nat_dL_xi1, nat_dL_xi2) = jax.jvp(
+                lambda n1, n2: xi_transform.naturals_to_xi(n1, n2),
+                (nat1, nat2),
+                (dL_deta1, dL_deta2),
+            )
+        else:
+            nat_dL_xi1, nat_dL_xi2 = dL_deta1, dL_deta2
+
+        xi1, xi2 = xi_transform.meanvarsqrt_to_xi(q_mu_value, q_sqrt_value)
+        xi1_new = xi1 - self.gamma * nat_dL_xi1
+        xi2_new = xi2 - self.gamma * nat_dL_xi2
+
+        mean_new, varsqrt_new = xi_transform.xi_to_meanvarsqrt(xi1_new, xi2_new)
+
+        q_mu.assign(mean_new)
+        q_sqrt.assign(varsqrt_new)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian parameter conversions (reference ``natgrad.py:382-516``). The raw
+# functions broadcast over the leading [D] dim with inputs [D, N, 1]/[D, N, N];
+# the swap_dimensions wrapper adapts to GPflow's [N, D] layout.
+# ---------------------------------------------------------------------------
+
+
+def swap_dimensions(
+    method: Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+) -> Callable[..., Tuple[jax.Array, jax.Array]]:
+    @functools.wraps(method)
+    def wrapper(a_nd: jax.Array, b_dnn: jax.Array, swap: bool = True) -> Tuple[jax.Array, jax.Array]:
+        if swap:
+            a_dn1 = jnp.swapaxes(jnp.asarray(a_nd), -1, -2)[:, :, None]
+            A_dn1, B_dnn = method(a_dn1, jnp.asarray(b_dnn))
+            A_nd = jnp.swapaxes(A_dn1[:, :, 0], -1, -2)
+            return A_nd, B_dnn
+        return method(jnp.asarray(a_nd), jnp.asarray(b_dnn))
+
+    return wrapper
+
+
+def _inverse_lower_triangular(M: jax.Array) -> jax.Array:
+    """Batched inverse of lower-triangular matrices [D, N, N]
+    (reference ``natgrad.py:500-516``)."""
+    N = M.shape[-1]
+    I_dnn = jnp.broadcast_to(jnp.eye(N, dtype=M.dtype), M.shape)
+    return solve_triangular(M, I_dnn, lower=True)
+
+
+@swap_dimensions
+def natural_to_meanvarsqrt(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    var_sqrt_inv = jnp.linalg.cholesky(-2 * nat2)
+    var_sqrt = _inverse_lower_triangular(var_sqrt_inv)
+    S = jnp.matmul(jnp.swapaxes(var_sqrt, -1, -2), var_sqrt)
+    mu = jnp.matmul(S, nat1)
+    # need S = L L^T, not L^T L => another cholesky
+    return mu, jnp.linalg.cholesky(S)
+
+
+@swap_dimensions
+def meanvarsqrt_to_natural(mu: jax.Array, s_sqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    s_sqrt_inv = _inverse_lower_triangular(s_sqrt)
+    s_inv = jnp.matmul(jnp.swapaxes(s_sqrt_inv, -1, -2), s_sqrt_inv)
+    return jnp.matmul(s_inv, mu), -0.5 * s_inv
+
+
+@swap_dimensions
+def natural_to_expectation(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return meanvarsqrt_to_expectation(
+        *natural_to_meanvarsqrt(nat1, nat2, swap=False), swap=False
+    )
+
+
+@swap_dimensions
+def expectation_to_natural(eta1: jax.Array, eta2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return meanvarsqrt_to_natural(
+        *expectation_to_meanvarsqrt(eta1, eta2, swap=False), swap=False
+    )
+
+
+@swap_dimensions
+def expectation_to_meanvarsqrt(eta1: jax.Array, eta2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    var = eta2 - jnp.matmul(eta1, jnp.swapaxes(eta1, -1, -2))
+    return eta1, jnp.linalg.cholesky(var)
+
+
+@swap_dimensions
+def meanvarsqrt_to_expectation(m: jax.Array, v_sqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    v = jnp.matmul(v_sqrt, jnp.swapaxes(v_sqrt, -1, -2))
+    return m, v + jnp.matmul(m, jnp.swapaxes(m, -1, -2))

@@ -1,0 +1,231 @@
+"""Posterior grid tests (pattern from reference
+``tests/gpflow/posteriors/test_posteriors.py``): every (kernel x inducing
+variable x q_sqrt form x whiten) combination must give fused_predict_f ==
+predict_f(cache) for every cache type, and every concrete posterior class
+must be exercised (coverage-by-construction)."""
+import itertools
+
+import numpy as np
+import pytest
+
+import gpflow_tpu
+from gpflow_tpu import kernels, posteriors
+from gpflow_tpu.inducing_variables import (
+    FallbackSeparateIndependentInducingVariables,
+    FallbackSharedIndependentInducingVariables,
+    InducingPoints,
+    SeparateIndependentInducingVariables,
+    SharedIndependentInducingVariables,
+)
+from gpflow_tpu.posteriors import (
+    AbstractPosterior,
+    BasePosterior,
+    FallbackIndependentLatentPosterior,
+    FullyCorrelatedPosterior,
+    GPRPosterior,
+    IndependentPosteriorMultiOutput,
+    IndependentPosteriorSingleOutput,
+    LinearCoregionalizationPosterior,
+    PrecomputeCacheType,
+    SGPRPosterior,
+    VGPPosterior,
+    create_posterior,
+    get_posterior_class,
+)
+
+rng = np.random.RandomState(7)
+N, D, M, P, L = 9, 2, 5, 3, 2
+
+X = rng.randn(N, D)
+Xnew = rng.randn(4, D)
+Z = rng.randn(M, D)
+
+_TESTED_POSTERIORS = set()
+
+
+def _register(cls):
+    _TESTED_POSTERIORS.add(cls)
+
+
+def _q(M_, L_, q_sqrt_form):
+    q_mu = rng.randn(M_, L_)
+    if q_sqrt_form == "diag":
+        q_sqrt = np.abs(rng.randn(M_, L_)) + 0.3
+    elif q_sqrt_form == "full":
+        a = rng.randn(L_, M_, M_) * 0.2
+        q_sqrt = np.tril(a + 2 * np.eye(M_))
+    else:
+        q_sqrt = None
+    return q_mu, q_sqrt
+
+
+def _check_fused_vs_cache(posterior, full_covs=(False, True), focs=(False,)):
+    _register(type(posterior))
+    for full_cov, foc in itertools.product(full_covs, focs):
+        m_f, v_f = posterior.fused_predict_f(Xnew, full_cov=full_cov, full_output_cov=foc)
+        posterior.update_cache(PrecomputeCacheType.TENSOR)
+        m_c, v_c = posterior.predict_f(Xnew, full_cov=full_cov, full_output_cov=foc)
+        np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_c), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_c), atol=1e-8)
+        # NOCACHE then predict_f must raise
+        posterior.update_cache(PrecomputeCacheType.NOCACHE)
+        with pytest.raises(ValueError):
+            posterior.predict_f(Xnew)
+
+
+@pytest.mark.parametrize("q_sqrt_form", ["diag", "full", "none"])
+@pytest.mark.parametrize("whiten", [True, False])
+def test_independent_single_output(q_sqrt_form, whiten):
+    kernel = kernels.SquaredExponential()
+    iv = InducingPoints(Z.copy())
+    q_mu, q_sqrt = _q(M, 1, q_sqrt_form)
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
+    assert isinstance(posterior, IndependentPosteriorSingleOutput)
+    _check_fused_vs_cache(posterior)
+
+
+@pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
+@pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize(
+    "kernel_type,iv_type",
+    [
+        ("shared", "shared"),
+        ("shared", "separate"),
+        ("separate", "shared"),
+        ("separate", "separate"),
+    ],
+)
+def test_independent_multi_output(q_sqrt_form, whiten, kernel_type, iv_type):
+    if kernel_type == "shared":
+        kernel = kernels.SharedIndependent(kernels.SquaredExponential(), output_dim=P)
+    else:
+        kernel = kernels.SeparateIndependent(
+            [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(P)]
+        )
+    if iv_type == "shared":
+        iv = SharedIndependentInducingVariables(InducingPoints(Z.copy()))
+    else:
+        iv = SeparateIndependentInducingVariables(
+            [InducingPoints(Z.copy() + 0.1 * i) for i in range(P)]
+        )
+    q_mu, q_sqrt = _q(M, P, q_sqrt_form)
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
+    assert isinstance(posterior, IndependentPosteriorMultiOutput)
+    _check_fused_vs_cache(posterior)
+
+
+@pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
+@pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize("iv_type", ["shared", "separate"])
+def test_linear_coregionalization(q_sqrt_form, whiten, iv_type):
+    ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)]
+    W = rng.randn(P, L)
+    kernel = kernels.LinearCoregionalization(ks, W=W)
+    if iv_type == "shared":
+        iv = SharedIndependentInducingVariables(InducingPoints(Z.copy()))
+    else:
+        iv = SeparateIndependentInducingVariables(
+            [InducingPoints(Z.copy() + 0.1 * i) for i in range(L)]
+        )
+    q_mu, q_sqrt = _q(M, L, q_sqrt_form)
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
+    assert isinstance(posterior, LinearCoregionalizationPosterior)
+    _check_fused_vs_cache(posterior)
+
+
+@pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
+@pytest.mark.parametrize("whiten", [True, False])
+def test_fallback_independent_latent(q_sqrt_form, whiten):
+    # The cached fallback path inherits FullyCorrelatedPosterior and (like the
+    # reference, tests/gpflow/posteriors/test_posteriors.py:446-448) supports a
+    # single latent GP; use L=1 for the fused==cached comparison.
+    ks = [kernels.SquaredExponential()]
+    W = rng.randn(P, 1)
+    kernel = kernels.LinearCoregionalization(ks, W=W)
+    iv = FallbackSharedIndependentInducingVariables(InducingPoints(Z.copy()))
+    q_mu, q_sqrt = _q(M, 1, q_sqrt_form)
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
+    assert isinstance(posterior, FallbackIndependentLatentPosterior)
+    _register(type(posterior))
+    m_f, v_f = posterior.fused_predict_f(Xnew)
+    posterior.update_cache(PrecomputeCacheType.TENSOR)
+    m_c, v_c = posterior.predict_f(Xnew)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_c), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_c), atol=1e-8)
+
+
+@pytest.mark.parametrize("whiten", [True, False])
+def test_fallback_independent_latent_fused_multilatent(whiten):
+    """L>1 fallback works through the fused interdomain conditional."""
+    ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)]
+    W = rng.randn(P, L)
+    kernel = kernels.LinearCoregionalization(ks, W=W)
+    iv = FallbackSharedIndependentInducingVariables(InducingPoints(Z.copy()))
+    q_mu, q_sqrt = _q(M, L, "full")
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
+    m, v = posterior.fused_predict_f(Xnew)
+    assert np.asarray(m).shape == (4, P)
+    assert np.asarray(v).shape == (4, P)
+    # must agree with the efficient LinearCoregionalization path
+    iv_eff = SharedIndependentInducingVariables(InducingPoints(Z.copy()))
+    post_eff = create_posterior(kernel, iv_eff, q_mu, q_sqrt, whiten, precompute_cache=None)
+    m2, v2 = post_eff.fused_predict_f(Xnew)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-8)
+
+
+@pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize("fc,foc", [(False, False), (True, True), (True, False), (False, True)])
+def test_fully_correlated(whiten, fc, foc):
+    kernel = kernels.SharedIndependent(kernels.SquaredExponential(), output_dim=P)
+    iv = InducingPoints(Z.copy())
+    q_mu = rng.randn(M * P, 1)
+    a = rng.randn(1, M * P, M * P) * 0.2
+    q_sqrt = np.tril(a + 2 * np.eye(M * P))
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
+    assert isinstance(posterior, FullyCorrelatedPosterior)
+    _register(type(posterior))
+    m_f, v_f = posterior.fused_predict_f(Xnew, full_cov=fc, full_output_cov=foc)
+    posterior.update_cache(PrecomputeCacheType.TENSOR)
+    m_c, v_c = posterior.predict_f(Xnew, full_cov=fc, full_output_cov=foc)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_c), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_c), atol=1e-8)
+
+
+def test_gpr_sgpr_vgp_posteriors():
+    from gpflow_tpu.models import GPR, SGPR, VGP
+    from gpflow_tpu import likelihoods
+
+    Y = np.sin(X[:, :1])
+    gpr = GPR((X, Y), kernel=kernels.SquaredExponential(), noise_variance=0.1)
+    _register(type(gpr.posterior()))
+    sgpr = SGPR((X, Y), kernel=kernels.SquaredExponential(), inducing_variable=Z.copy(),
+                noise_variance=0.1)
+    _register(type(sgpr.posterior()))
+    vgp = VGP((X, Y), kernel=kernels.SquaredExponential(),
+              likelihood=likelihoods.Gaussian(0.1))
+    _register(type(vgp.posterior()))
+    for model in (gpr, sgpr, vgp):
+        post = model.posterior()
+        m_c, v_c = post.predict_f(Xnew)
+        m_f, v_f = model.predict_f(Xnew)
+        np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_f), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_f), atol=1e-8)
+
+
+def test_zzz_all_posterior_classes_tested():
+    """Every concrete AbstractPosterior subclass must have been exercised
+    (registry pattern from reference ``test_posteriors.py:55-66``). Runs last
+    by test name ordering within this file."""
+
+    def concrete_subclasses(cls):
+        out = set()
+        for sub in cls.__subclasses__():
+            out |= concrete_subclasses(sub)
+            if not getattr(sub, "__abstractmethods__", None):
+                out.add(sub)
+        return out
+
+    all_classes = concrete_subclasses(AbstractPosterior)
+    untested = all_classes - _TESTED_POSTERIORS
+    assert not untested, f"Posterior classes never tested: {untested}"

@@ -1,0 +1,173 @@
+"""Method-equivalence suite (pattern from reference
+``tests/integration/test_method_equivalence.py``): GPR, VGP, SVGP(Z=X,
+whitened & unwhitened), SGPR, GPRFITC on the same data must agree in
+objective and posterior where theory says they do.
+"""
+import numpy as np
+import pytest
+
+import gpflow_tpu
+from gpflow_tpu import kernels, likelihoods
+from gpflow_tpu.models import GPR, GPRFITC, SGPR, SVGP, VGP
+from gpflow_tpu.optimizers import NaturalGradient
+
+rng = np.random.RandomState(0)
+N, D = 25, 2
+X = rng.rand(N, D)
+Y = np.sin(3 * X[:, :1]) + 0.3 * np.cos(2 * X[:, 1:]) + 0.05 * rng.randn(N, 1)
+Xtest = rng.rand(6, D)
+
+
+def _kernel():
+    return kernels.SquaredExponential(variance=1.2, lengthscales=0.6)
+
+
+NOISE = 0.05
+
+
+def test_sgpr_with_all_points_equals_gpr():
+    gpr = GPR((X, Y), kernel=_kernel(), noise_variance=NOISE)
+    sgpr = SGPR((X, Y), kernel=_kernel(), inducing_variable=X.copy(), noise_variance=NOISE)
+    lml = float(gpr.log_marginal_likelihood())
+    elbo = float(sgpr.elbo())
+    # with Z = X the Titsias bound is tight (up to jitter)
+    np.testing.assert_allclose(elbo, lml, rtol=2e-4)  # gap ~ N*jitter/sigma^2
+    m1, v1 = gpr.predict_f(Xtest)
+    m2, v2 = sgpr.predict_f(Xtest)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
+def test_sgpr_upper_bound_above_lml():
+    Z = X[::3].copy()
+    sgpr = SGPR((X, Y), kernel=_kernel(), inducing_variable=Z, noise_variance=NOISE)
+    gpr = GPR((X, Y), kernel=_kernel(), noise_variance=NOISE)
+    elbo = float(sgpr.elbo())
+    lml = float(gpr.log_marginal_likelihood())
+    upper = float(sgpr.upper_bound())
+    assert elbo <= lml + 1e-6
+    assert lml <= upper + 1e-6
+
+
+def test_gprfitc_with_all_points_close_to_gpr():
+    gpr = GPR((X, Y), kernel=_kernel(), noise_variance=NOISE)
+    fitc = GPRFITC((X, Y), kernel=_kernel(), inducing_variable=X.copy(), noise_variance=NOISE)
+    # FITC with Z=X is exact (nu = sigma^2)
+    np.testing.assert_allclose(
+        float(fitc.fitc_log_marginal_likelihood()),
+        float(gpr.log_marginal_likelihood()),
+        rtol=2e-4,
+    )
+    m1, v1 = gpr.predict_f(Xtest)
+    m2, v2 = fitc.predict_f(Xtest)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
+@pytest.mark.parametrize("whiten", [True, False])
+def test_svgp_natgrad_step_reaches_gpr(whiten):
+    """With Gaussian likelihood, Z=X, and a single gamma=1 XiNat natgrad step,
+    the SVGP ELBO equals the GPR marginal likelihood (Salimbeni'18)."""
+    svgp = SVGP(
+        kernel=_kernel(),
+        likelihood=likelihoods.Gaussian(NOISE),
+        inducing_variable=X.copy(),
+        whiten=whiten,
+        num_latent_gps=1,
+    )
+    gpr = GPR((X, Y), kernel=_kernel(), noise_variance=NOISE)
+
+    natgrad = NaturalGradient(gamma=1.0)
+    loss = lambda: -svgp.elbo((X, Y))
+    natgrad.minimize(loss, [(svgp.q_mu, svgp.q_sqrt)])
+
+    elbo = float(svgp.elbo((X, Y)))
+    lml = float(gpr.log_marginal_likelihood())
+    np.testing.assert_allclose(elbo, lml, rtol=2e-4)  # gap ~ N*jitter/sigma^2
+
+    m1, v1 = gpr.predict_f(Xtest)
+    m2, v2 = svgp.predict_f(Xtest)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
+def test_vgp_natgrad_step_reaches_gpr():
+    vgp = VGP((X, Y), kernel=_kernel(), likelihood=likelihoods.Gaussian(NOISE))
+    gpr = GPR((X, Y), kernel=_kernel(), noise_variance=NOISE)
+    natgrad = NaturalGradient(gamma=1.0)
+    natgrad.minimize(vgp.training_loss, [(vgp.q_mu, vgp.q_sqrt)])
+    np.testing.assert_allclose(
+        float(vgp.elbo()), float(gpr.log_marginal_likelihood()), rtol=1e-3
+    )
+    m1, v1 = gpr.predict_f(Xtest)
+    m2, v2 = vgp.predict_f(Xtest)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
+def test_sgpr_compute_qu_equals_optimal_svgp():
+    Z = X[::2].copy()
+    sgpr = SGPR((X, Y), kernel=_kernel(), inducing_variable=Z.copy(), noise_variance=NOISE)
+    mu, cov = sgpr.compute_qu()
+    q_sqrt = np.linalg.cholesky(np.asarray(cov))[None]
+    svgp = SVGP(
+        kernel=_kernel(),
+        likelihood=likelihoods.Gaussian(NOISE),
+        inducing_variable=Z.copy(),
+        whiten=False,
+        q_mu=np.asarray(mu),
+        q_sqrt=q_sqrt,
+    )
+    m1, v1 = sgpr.predict_f(Xtest)
+    m2, v2 = svgp.predict_f(Xtest)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+def test_svgp_minibatch_elbo_unbiased():
+    svgp = SVGP(
+        kernel=_kernel(),
+        likelihood=likelihoods.Gaussian(NOISE),
+        inducing_variable=X[::2].copy(),
+        num_data=N,
+    )
+    full = float(svgp.elbo((X, Y)))
+    # average ELBO over a partition of the data equals the full-data ELBO
+    batch_elbos = [float(svgp.elbo((X[i::5], Y[i::5]))) for i in range(5)]
+    np.testing.assert_allclose(np.mean(batch_elbos), full, rtol=1e-6)
+
+
+def test_vgp_opper_archambeau_matches_vgp_optimum():
+    """Both VGP variants should reach the same optimum for a Gaussian model."""
+    from gpflow_tpu.models import VGPOpperArchambeau
+    from gpflow_tpu.optimizers import Scipy
+
+    voa = VGPOpperArchambeau((X, Y), kernel=_kernel(), likelihood=likelihoods.Gaussian(NOISE))
+    gpr = GPR((X, Y), kernel=_kernel(), noise_variance=NOISE)
+    # optimize only the variational parameters; hyperparameters stay fixed
+    Scipy().minimize(
+        voa.training_loss, (voa.q_alpha, voa.q_lambda), options={"maxiter": 1000}
+    )
+    np.testing.assert_allclose(
+        float(voa.elbo()), float(gpr.log_marginal_likelihood()), rtol=5e-3
+    )
+
+
+def test_update_vgp_data_preserves_posterior():
+    from gpflow_tpu.models import update_vgp_data
+
+    vgp = VGP((X, Y), kernel=_kernel(), likelihood=likelihoods.Gaussian(NOISE))
+    NaturalGradient(gamma=1.0).minimize(vgp.training_loss, [(vgp.q_mu, vgp.q_sqrt)])
+    m_before, v_before = vgp.predict_f(Xtest)
+    # re-fit onto the same data: posterior should be preserved
+    update_vgp_data(vgp, (X, Y))
+    m_after, v_after = vgp.predict_f(Xtest)
+    np.testing.assert_allclose(np.asarray(m_before), np.asarray(m_after), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_after), atol=1e-4)
+    # growing the dataset keeps shapes consistent
+    X2 = np.concatenate([X, rng.rand(5, D)])
+    Y2 = np.concatenate([Y, np.sin(3 * X2[-5:, :1]) + 0.3 * np.cos(2 * X2[-5:, 1:])])
+    update_vgp_data(vgp, (X2, Y2))
+    assert vgp.num_data == N + 5
+    assert np.asarray(vgp.q_mu.value).shape == (N + 5, 1)
+    float(vgp.elbo())  # must evaluate cleanly
