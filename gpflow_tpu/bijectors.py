@@ -164,25 +164,44 @@ def triangular_size(n: int) -> int:
     return n * (n + 1) // 2
 
 
-def _fill_triangular(x: jax.Array) -> jax.Array:
-    """Packed vector [..., n(n+1)/2] -> lower-triangular [..., n, n].
-
-    Row-major lower-triangular fill matching ``tfp.bijectors.FillTriangular``:
-    the vector lists the lower-triangle entries row by row.
-    """
-    m = x.shape[-1]
+def _tri_n(m: int) -> int:
     n = int(round((np.sqrt(8.0 * m + 1.0) - 1.0) / 2.0))
     if triangular_size(n) != m:
         raise ValueError(f"Last dimension {m} is not a triangular number")
-    rows, cols = np.tril_indices(n)
-    out = jnp.zeros(x.shape[:-1] + (n, n), dtype=x.dtype)
-    return out.at[..., rows, cols].set(x)
+    return n
+
+
+def _fill_triangular(x: jax.Array) -> jax.Array:
+    """Packed vector [..., n(n+1)/2] -> lower-triangular [..., n, n].
+
+    Uses the concat/reverse/reshape construction (as in
+    ``tfp.math.fill_triangular``) instead of a scatter: on TPU a scatter of
+    n(n+1)/2 elements costs ~10ms at n=2048 while this is pure data movement
+    that XLA fuses. The packing order is therefore TFP's, not row-major;
+    ``_fill_triangular_inverse`` is its exact inverse.
+    """
+    m = x.shape[-1]
+    n = _tri_n(m)
+    tail = x[..., n:]
+    xc = jnp.concatenate([tail, x[..., ::-1]], axis=-1)  # [..., n*n]
+    y = jnp.reshape(xc, x.shape[:-1] + (n, n))
+    return jnp.tril(y)
 
 
 def _fill_triangular_inverse(y: jax.Array) -> jax.Array:
+    """Exact inverse of ``_fill_triangular`` (static gather; only used at
+    parameter construction/assign time, never in the jit hot path)."""
     n = y.shape[-1]
+    m = triangular_size(n)
+    # simulate the forward construction on indices to recover the permutation
+    idx = np.arange(m)
+    xc = np.concatenate([idx[n:], idx[::-1]])
+    packed_at_slot = xc.reshape(n, n)  # which packed index landed at [i, j]
     rows, cols = np.tril_indices(n)
-    return y[..., rows, cols]
+    perm = packed_at_slot[rows, cols]  # tril slot s holds packed element perm[s]
+    inv_perm = np.argsort(perm)
+    tri_vals = y[..., rows, cols]
+    return tri_vals[..., inv_perm]
 
 
 @dataclasses.dataclass(frozen=True)

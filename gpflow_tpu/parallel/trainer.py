@@ -1,0 +1,150 @@
+"""Data-parallel training driver for minibatch models (SVGP & friends).
+
+The training step is one jit-compiled pure function over (params, opt_state,
+leaves, batch): params/opt_state/static model leaves replicated, batch sharded
+over the mesh's data axis. XLA's sharding propagation turns the ELBO's
+``sum(var_exp)`` and the parameter gradients into ICI ``psum``s — no explicit
+collectives needed (SURVEY.md §7.1: "batch-dim sharding, psum ELBO/grads").
+
+Buffers are donated between steps, so parameters and optimizer state stay
+device-resident for the whole training run; only the scalar loss returns to
+host.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import Module, Parameter
+from .mesh import DEFAULT_AXIS, make_mesh, replicated, shard_batch
+
+__all__ = ["DataParallelTrainer"]
+
+
+class DataParallelTrainer:
+    """Runs data-parallel optimization steps on a model with an
+    ``ExternalDataTrainingLossMixin``-style ``_training_loss(batch)``.
+
+    :param model: the model (e.g. SVGP). Its trainable parameters are
+        optimized; everything else is closed over as replicated constants.
+    :param optimizer: an optax GradientTransformation (default adam(1e-2)).
+    :param mesh: a 1-D jax Mesh; defaults to all local devices.
+    """
+
+    def __init__(
+        self,
+        model: Module,
+        optimizer: Optional[Any] = None,
+        mesh=None,
+        axis_name: str = DEFAULT_AXIS,
+        donate: bool = True,
+    ) -> None:
+        import optax
+
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        self.axis_name = axis_name
+        self.optimizer = optimizer if optimizer is not None else optax.adam(1e-2)
+
+        leaves, treedef = jax.tree_util.tree_flatten(model)
+        self._treedef = treedef
+        train_ids = {id(p.unconstrained_variable) for p in model.trainable_parameters}
+        self._train_idx = tuple(i for i, l in enumerate(leaves) if id(l) in train_ids)
+        if not self._train_idx:
+            raise ValueError("Model has no trainable parameters")
+
+        rep = replicated(self.mesh)
+        self._batch_sharding = shard_batch(self.mesh, axis_name)
+        self._leaves = [jax.device_put(jnp.asarray(l), rep) for l in leaves]
+        self.params = tuple(self._leaves[i] for i in self._train_idx)
+        self.opt_state = jax.device_put(self.optimizer.init(self.params), rep)
+
+        train_idx = self._train_idx
+        optimizer_ = self.optimizer
+
+        def loss_fn(params, leaves, batch):
+            leaves = list(leaves)
+            for i, p in zip(train_idx, params):
+                leaves[i] = p
+            m = jax.tree_util.tree_unflatten(treedef, leaves)
+            return m._training_loss(batch)
+
+        donate_argnums = (0, 1) if donate else ()
+
+        @jax.jit
+        def _eval_loss(params, leaves, batch):
+            return loss_fn(params, leaves, batch)
+
+        self._eval_loss = _eval_loss
+
+        def train_step(params, opt_state, leaves, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, leaves, batch)
+            updates, opt_state = optimizer_.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=donate_argnums)
+
+        def multi_step(params, opt_state, leaves, batches):
+            """K steps in one device dispatch via lax.scan — amortizes the
+            host->device round trip (dominant on remote-attached TPUs)."""
+
+            def body(carry, batch):
+                params, opt_state = carry
+                params, opt_state, loss = train_step(params, opt_state, leaves, batch)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), batches)
+            return params, opt_state, losses
+
+        self._multi_step = jax.jit(multi_step, donate_argnums=donate_argnums)
+
+    def shard(self, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
+        """Places a (X, Y) batch sharded over the data axis."""
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), self._batch_sharding), batch
+        )
+
+    def step(self, batch: Tuple[Any, ...], presharded: bool = False) -> jax.Array:
+        """One optimization step; returns the (device-resident scalar) loss."""
+        if not presharded:
+            batch = self.shard(batch)
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, self._leaves, batch
+        )
+        return loss
+
+    def run_steps(self, batches: Tuple[Any, ...], presharded: bool = False) -> jax.Array:
+        """Runs K steps in ONE device call. ``batches`` is an (X, Y) tuple with
+        a leading scan axis: X [K, B, D], Y [K, B, P] (B sharded over the
+        mesh). Returns the per-step losses [K]."""
+        if not presharded:
+            batches = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    jnp.asarray(a),
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(None, self.axis_name)
+                    ),
+                ),
+                batches,
+            )
+        self.params, self.opt_state, losses = self._multi_step(
+            self.params, self.opt_state, self._leaves, batches
+        )
+        return losses
+
+    def loss(self, batch: Tuple[Any, ...], presharded: bool = False) -> jax.Array:
+        if not presharded:
+            batch = self.shard(batch)
+        return self._eval_loss(self.params, self._leaves, batch)
+
+    def finalize(self) -> None:
+        """Writes the optimized parameter values back into the model."""
+        for i, p in zip(self._train_idx, self.params):
+            self._leaves[i] = p
+        updated = jax.tree_util.tree_unflatten(self._treedef, self._leaves)
+        for target, source in zip(self.model.trainable_parameters, updated.trainable_parameters):
+            target.assign_unconstrained(source.unconstrained_variable)

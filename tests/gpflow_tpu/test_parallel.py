@@ -1,0 +1,90 @@
+"""Sharded-training tests on the virtual 8-device CPU mesh (SURVEY.md §4.9)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import gpflow_tpu
+from gpflow_tpu import kernels, likelihoods
+from gpflow_tpu.models import SVGP
+from gpflow_tpu.parallel import DataParallelTrainer, make_mesh, shard_batch
+
+rng = np.random.RandomState(0)
+N, D, M = 256, 3, 8
+X = rng.randn(N, D)
+Y = np.sin(X[:, :1]) + 0.1 * rng.randn(N, 1)
+
+
+def _svgp():
+    return SVGP(
+        kernel=kernels.SquaredExponential(),
+        likelihood=likelihoods.Gaussian(0.1),
+        inducing_variable=X[:M].copy(),
+        num_data=N,
+    )
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_loss_matches_single_device():
+    model = _svgp()
+    trainer = DataParallelTrainer(model, optimizer=optax.adam(1e-2))
+    batch = (X, Y)
+    sharded_loss = float(trainer.loss(batch))
+    local_loss = float(model.training_loss(batch))
+    np.testing.assert_allclose(sharded_loss, local_loss, rtol=1e-10)
+
+
+def test_sharded_training_improves_and_finalizes():
+    model = _svgp()
+    trainer = DataParallelTrainer(model, optimizer=optax.adam(5e-2))
+    batch = trainer.shard((X, Y))
+    first = float(trainer.step(batch, presharded=True))
+    for _ in range(30):
+        last = float(trainer.step(batch, presharded=True))
+    assert last < first - 1.0
+    trainer.finalize()
+    # model now holds the trained (post-update) parameters
+    np.testing.assert_allclose(
+        float(model.training_loss((X, Y))), float(trainer.loss((X, Y))), rtol=1e-8
+    )
+
+
+def test_sharded_gradients_match_single_device():
+    model = _svgp()
+    trainer = DataParallelTrainer(model, optimizer=optax.sgd(0.1), donate=False)
+    batch = (X, Y)
+
+    # one sharded SGD step
+    trainer.step(batch)
+    sharded_params = [np.asarray(p) for p in trainer.params]
+
+    # manual single-device SGD step
+    model2 = _svgp()
+    params = model2.trainable_parameters
+
+    def loss_fn(unc):
+        old = [p._unconstrained for p in params]
+        try:
+            for p, u in zip(params, unc):
+                p._unconstrained = u
+            return model2.training_loss(batch)
+        finally:
+            for p, o in zip(params, old):
+                p._unconstrained = o
+
+    grads = jax.grad(loss_fn)(tuple(p._unconstrained for p in params))
+    expected = [np.asarray(p._unconstrained - 0.1 * g) for p, g in zip(params, grads)]
+    for s, e in zip(sharded_params, expected):
+        np.testing.assert_allclose(s, e, rtol=1e-8, atol=1e-10)
+
+
+def test_batch_actually_sharded():
+    mesh = make_mesh()
+    sharding = shard_batch(mesh)
+    xb = jax.device_put(jnp.asarray(X), sharding)
+    assert len(xb.sharding.device_set) == 8
