@@ -1,0 +1,198 @@
+"""Analytic psi statistics for the SquaredExponential kernel (reference
+``/root/reference/gpflow/expectations/squared_exponentials.py``; formulas in
+SURVEY.md A.2)."""
+from __future__ import annotations
+
+from typing import Type, Union
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from .. import kernels
+from .. import functions as mfn
+from ..inducing_variables import InducingPoints
+from ..probability_distributions import DiagonalGaussian, Gaussian, MarkovGaussian
+from ..utilities.ops import square_distance
+from . import dispatch
+from .expectations import expectation
+
+NoneType: Type[None] = type(None)
+
+
+def _ard_lengthscales(kernel, D):
+    lengthscales = kernel.lengthscales.value
+    if not kernel.ard:
+        lengthscales = jnp.zeros((D,), dtype=lengthscales.dtype) + lengthscales
+    return lengthscales
+
+
+@dispatch.expectation.register(Gaussian, kernels.SquaredExponential, NoneType, NoneType, NoneType)
+def _expectation_gaussian_sqe(p, kernel, _, __, ___, nghp=None):
+    """psi0 = <diag(K(X, X))>_p(X) = N sigma^2 (reference ``:31-46``)."""
+    return kernel(p.mu, full_cov=False)
+
+
+@dispatch.expectation.register(
+    Gaussian, kernels.SquaredExponential, InducingPoints, NoneType, NoneType
+)
+def _expectation_gaussian_sqe_inducingpoints(p, kernel, inducing_variable, _, __, nghp=None):
+    """psi1 = <K(X, Z)>_p(X): per-datum Mahalanobis through chol(L^2 + Xcov)
+    + determinant ratio (reference ``:49-96``). Returns [N, M]."""
+    Xcov = kernel.slice_cov(p.cov)
+    Z, Xmu = kernel.slice(inducing_variable.Z.value, p.mu)
+    D = Xmu.shape[1]
+    lengthscales = _ard_lengthscales(kernel, D)
+
+    chol_L_plus_Xcov = jnp.linalg.cholesky(jnp.diag(lengthscales ** 2) + Xcov)  # [N, D, D]
+
+    all_diffs = jnp.transpose(Z) - Xmu[:, :, None]  # [N, D, M]
+    exponent_mahalanobis = solve_triangular(chol_L_plus_Xcov, all_diffs, lower=True)
+    exponent_mahalanobis = jnp.sum(jnp.square(exponent_mahalanobis), 1)  # [N, M]
+    exponent_mahalanobis = jnp.exp(-0.5 * exponent_mahalanobis)
+
+    sqrt_det_L = jnp.prod(lengthscales)
+    sqrt_det_L_plus_Xcov = jnp.exp(
+        jnp.sum(jnp.log(jnp.diagonal(chol_L_plus_Xcov, axis1=-2, axis2=-1)), axis=1)
+    )
+    determinants = sqrt_det_L / sqrt_det_L_plus_Xcov  # [N]
+
+    return kernel.variance * (determinants[:, None] * exponent_mahalanobis)
+
+
+@dispatch.expectation.register(
+    Gaussian, mfn.Identity, NoneType, kernels.SquaredExponential, InducingPoints
+)
+def _expectation_gaussian__sqe_inducingpoints(p, mean, _, kernel, inducing_variable, nghp=None):
+    """exKxz[n] = <x_n K(x_n, Z)>_p(x_n) -> [N, D, M] (reference ``:99-150``)."""
+    Xmu, Xcov = p.mu, p.cov
+    D = Xmu.shape[1]
+    lengthscales = _ard_lengthscales(kernel, D)
+
+    chol_L_plus_Xcov = jnp.linalg.cholesky(jnp.diag(lengthscales ** 2) + Xcov)  # [N, D, D]
+    all_diffs = jnp.transpose(inducing_variable.Z.value) - Xmu[:, :, None]  # [N, D, M]
+
+    sqrt_det_L = jnp.prod(lengthscales)
+    sqrt_det_L_plus_Xcov = jnp.exp(
+        jnp.sum(jnp.log(jnp.diagonal(chol_L_plus_Xcov, axis1=-2, axis2=-1)), axis=1)
+    )
+    determinants = sqrt_det_L / sqrt_det_L_plus_Xcov  # [N]
+
+    exponent_mahalanobis = cho_solve((chol_L_plus_Xcov, True), all_diffs)  # [N, D, M]
+    non_exponent_term = jnp.matmul(jnp.swapaxes(Xcov, -1, -2), exponent_mahalanobis)
+    non_exponent_term = Xmu[:, :, None] + non_exponent_term  # [N, D, M]
+
+    exponent_mahalanobis = jnp.sum(all_diffs * exponent_mahalanobis, 1)  # [N, M]
+    exponent_mahalanobis = jnp.exp(-0.5 * exponent_mahalanobis)
+
+    return (
+        kernel.variance
+        * (determinants[:, None] * exponent_mahalanobis)[:, None, :]
+        * non_exponent_term
+    )
+
+
+@dispatch.expectation.register(
+    MarkovGaussian, mfn.Identity, NoneType, kernels.SquaredExponential, InducingPoints
+)
+def _expectation_markov__sqe_inducingpoints(p, mean, _, kernel, inducing_variable, nghp=None):
+    """<x_{n+1} K(x_n, Z)>_p for time series -> [N, D, M] (reference ``:153-204``)."""
+    Xmu, Xcov = p.mu, p.cov
+    D = Xmu.shape[1]
+    lengthscales = _ard_lengthscales(kernel, D)
+
+    chol_L_plus_Xcov = jnp.linalg.cholesky(jnp.diag(lengthscales ** 2) + Xcov[0, :-1])
+    all_diffs = jnp.transpose(inducing_variable.Z.value) - Xmu[:-1][:, :, None]
+
+    sqrt_det_L = jnp.prod(lengthscales)
+    sqrt_det_L_plus_Xcov = jnp.exp(
+        jnp.sum(jnp.log(jnp.diagonal(chol_L_plus_Xcov, axis1=-2, axis2=-1)), axis=1)
+    )
+    determinants = sqrt_det_L / sqrt_det_L_plus_Xcov
+
+    exponent_mahalanobis = cho_solve((chol_L_plus_Xcov, True), all_diffs)
+    non_exponent_term = jnp.matmul(jnp.swapaxes(Xcov[1, :-1], -1, -2), exponent_mahalanobis)
+    non_exponent_term = Xmu[1:][:, :, None] + non_exponent_term
+
+    exponent_mahalanobis = jnp.sum(all_diffs * exponent_mahalanobis, 1)
+    exponent_mahalanobis = jnp.exp(-0.5 * exponent_mahalanobis)
+
+    return (
+        kernel.variance
+        * (determinants[:, None] * exponent_mahalanobis)[:, None, :]
+        * non_exponent_term
+    )
+
+
+@dispatch.expectation.register(
+    (Gaussian, DiagonalGaussian),
+    kernels.SquaredExponential,
+    InducingPoints,
+    kernels.SquaredExponential,
+    InducingPoints,
+)
+def _expectation_gaussian_sqe_inducingpoints__sqe_inducingpoints(
+    p, kern1, feat1, kern2, feat2, nghp=None
+):
+    """psi2[n] = <K(Z, x_n) K(x_n, Z)>_p(x_n) -> [N, M, M]
+    (reference ``:207-292``). The explicit kernel_sqrt factor avoids NaN
+    gradients (reference note at ``:289-291``)."""
+    if kern1.on_separate_dims(kern2) and isinstance(p, DiagonalGaussian):
+        eKxz1 = expectation(p, (kern1, feat1))
+        eKxz2 = expectation(p, (kern2, feat2))
+        return eKxz1[:, :, None] * eKxz2[:, None, :]
+
+    if feat1 is not feat2 or kern1 is not kern2:
+        raise NotImplementedError(
+            "The expectation over two kernels has only an "
+            "analytical implementation if both kernels are equal."
+        )
+
+    kernel = kern1
+    inducing_variable = feat1
+
+    Xcov = kernel.slice_cov(
+        jax.vmap(jnp.diag)(p.cov) if isinstance(p, DiagonalGaussian) else p.cov
+    )
+    Z, Xmu = kernel.slice(inducing_variable.Z.value, p.mu)
+
+    N, D = Xmu.shape
+
+    squared_lengthscales = kernel.lengthscales.value ** 2
+    if not kernel.ard:
+        squared_lengthscales = squared_lengthscales + jnp.zeros(
+            (D,), dtype=squared_lengthscales.dtype
+        )
+
+    sqrt_det_L = jnp.prod(0.5 * squared_lengthscales) ** 0.5
+    C = jnp.linalg.cholesky(0.5 * jnp.diag(squared_lengthscales) + Xcov)  # [N, D, D]
+    dets = sqrt_det_L / jnp.exp(
+        jnp.sum(jnp.log(jnp.diagonal(C, axis1=-2, axis2=-1)), axis=1)
+    )  # [N]
+
+    C_inv_mu = solve_triangular(C, Xmu[:, :, None], lower=True)  # [N, D, 1]
+    C_inv_z = solve_triangular(
+        C, jnp.broadcast_to((0.5 * jnp.transpose(Z))[None], (N, D, Z.shape[0])), lower=True
+    )  # [N, D, M]
+    mu_CC_inv_mu = jnp.sum(jnp.square(C_inv_mu), 1)[:, :, None]  # [N, 1, 1]
+    z_CC_inv_z = jnp.sum(jnp.square(C_inv_z), 1)  # [N, M]
+    zm_CC_inv_zn = jnp.matmul(jnp.swapaxes(C_inv_z, -1, -2), C_inv_z)  # [N, M, M]
+    two_z_CC_inv_mu = 2 * jnp.matmul(jnp.swapaxes(C_inv_z, -1, -2), C_inv_mu)[:, :, 0]  # [N, M]
+
+    exponent_mahalanobis = (
+        mu_CC_inv_mu
+        + z_CC_inv_z[:, None, :]
+        + z_CC_inv_z[:, :, None]
+        + 2 * zm_CC_inv_zn
+        - two_z_CC_inv_mu[:, :, None]
+        - two_z_CC_inv_mu[:, None, :]
+    )
+    exponent_mahalanobis = jnp.exp(-0.5 * exponent_mahalanobis)  # [N, M, M]
+
+    kernel_sqrt = jnp.exp(-0.25 * square_distance(Z / kernel.lengthscales, None))
+    return (
+        kernel.variance.value ** 2
+        * kernel_sqrt
+        * jnp.reshape(dets, (N, 1, 1))
+        * exponent_mahalanobis
+    )

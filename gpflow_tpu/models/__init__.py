@@ -1,5 +1,9 @@
+from .cglb import CGLB
+from .gplvm import GPLVM, BayesianGPLVM
+from .gpmc import GPMC
 from .gpr import GPR, GPR_deprecated, GPR_with_posterior
 from .model import BayesianModel, GPModel
+from .sgpmc import SGPMC
 from .sgpr import GPRFITC, SGPR, SGPRBase_deprecated, SGPR_deprecated, SGPR_with_posterior
 from .svgp import SVGP, SVGP_deprecated, SVGP_with_posterior
 from .vgp import (
@@ -20,8 +24,13 @@ from .util import (
 
 __all__ = [
     "BayesianModel",
+    "BayesianGPLVM",
+    "CGLB",
     "ExternalDataTrainingLossMixin",
+    "GPLVM",
+    "GPMC",
     "GPModel",
+    "SGPMC",
     "GPR",
     "GPRFITC",
     "GPR_deprecated",

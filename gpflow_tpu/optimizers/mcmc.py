@@ -1,0 +1,154 @@
+"""MCMC glue + a built-in HMC sampler (reference
+``/root/reference/gpflow/optimizers/mcmc.py:49-132``).
+
+``SamplingHelper`` exposes the unconstrained variables as chain state and a
+*pure* ``target_log_prob_fn`` (log posterior + forward log-det-Jacobian of the
+transforms), directly usable with any JAX sampler (e.g. blackjax).
+
+Since TFP's samplers are not available here, ``run_hmc`` provides a complete
+jit-compiled HMC implementation (leapfrog within ``lax.scan``) so HMC/MCMC
+workflows are self-contained — the whole chain runs in one device dispatch.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..base import Parameter
+
+__all__ = ["SamplingHelper", "run_hmc"]
+
+
+class SamplingHelper:
+    """Bridges Parameter-based models and sample-space MCMC.
+
+    Example::
+
+        helper = SamplingHelper(model.log_posterior_density, model.trainable_parameters)
+        samples, log_probs = run_hmc(
+            helper.target_log_prob_fn, helper.current_state,
+            num_samples=500, num_burnin_steps=300, step_size=0.01,
+            key=jax.random.PRNGKey(0))
+        constrained = helper.convert_to_constrained_values(samples)
+    """
+
+    def __init__(
+        self,
+        target_log_prob_fn: Callable[[], jax.Array],
+        parameters: Sequence[Parameter],
+    ) -> None:
+        if not all(isinstance(p, Parameter) and p.prior is not None for p in parameters):
+            raise ValueError(
+                "`parameters` should only contain gpflow_tpu.Parameter objects with priors"
+            )
+        self._parameters = tuple(parameters)
+        self._model_log_prob_fn = target_log_prob_fn
+
+    @property
+    def current_state(self) -> Tuple[jax.Array, ...]:
+        """Current unconstrained values — the initial chain state."""
+        return tuple(p.unconstrained_variable for p in self._parameters)
+
+    @property
+    def target_log_prob_fn(self) -> Callable[..., jax.Array]:
+        """Pure function of the unconstrained state: log posterior density
+        + sum of forward log-det-Jacobians (change of variables to the
+        unconstrained space; reference ``mcmc.py:75-114``)."""
+        parameters = self._parameters
+        model_log_prob_fn = self._model_log_prob_fn
+
+        def _target_log_prob_fn(*unconstrained: jax.Array) -> jax.Array:
+            originals = [p._unconstrained for p in parameters]
+            try:
+                for p, u in zip(parameters, unconstrained):
+                    p._unconstrained = u
+                log_prob = model_log_prob_fn()
+                for p in parameters:
+                    x = p.unconstrained_variable
+                    log_prob += jnp.sum(p.transform.forward_log_det_jacobian(x))
+                return log_prob
+            finally:
+                for p, o in zip(parameters, originals):
+                    p._unconstrained = o
+
+        return _target_log_prob_fn
+
+    def convert_to_constrained_values(
+        self, hmc_samples: Sequence[jax.Array]
+    ) -> Sequence[jax.Array]:
+        """Maps sampled unconstrained chains back through the transforms
+        (reference ``mcmc.py:116-132``)."""
+        return [
+            p.transform.forward(sample) for sample, p in zip(hmc_samples, self._parameters)
+        ]
+
+    def assign_values(self, state: Sequence[jax.Array]) -> None:
+        """Writes an (unconstrained) state back into the parameters."""
+        for p, v in zip(self._parameters, state):
+            p.assign_unconstrained(v)
+
+
+def run_hmc(
+    target_log_prob_fn: Callable[..., jax.Array],
+    current_state: Tuple[jax.Array, ...],
+    num_samples: int,
+    num_burnin_steps: int = 0,
+    step_size: float = 0.01,
+    num_leapfrog_steps: int = 10,
+    key: Optional[jax.Array] = None,
+    thin: int = 1,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Hamiltonian Monte Carlo over a tuple-state target; the full chain is
+    one jit-compiled ``lax.scan``. Returns (stacked samples per state leaf,
+    log probs [num_samples])."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    state = tuple(jnp.asarray(s) for s in current_state)
+    logp_fn = lambda st: target_log_prob_fn(*st)
+    grad_fn = jax.grad(lambda st: logp_fn(st))
+
+    def leapfrog(q, p, step):
+        g = grad_fn(q)
+        p = tuple(pi + 0.5 * step * gi for pi, gi in zip(p, g))
+        for _ in range(num_leapfrog_steps - 1):
+            q = tuple(qi + step * pi for qi, pi in zip(q, p))
+            g = grad_fn(q)
+            p = tuple(pi + step * gi for pi, gi in zip(p, g))
+        q = tuple(qi + step * pi for qi, pi in zip(q, p))
+        g = grad_fn(q)
+        p = tuple(pi + 0.5 * step * gi for pi, gi in zip(p, g))
+        return q, p
+
+    def hmc_step(carry, key_i):
+        q, logp = carry
+        k_mom, k_acc = jax.random.split(key_i)
+        keys = jax.random.split(k_mom, len(q))
+        p0 = tuple(
+            jax.random.normal(k, qi.shape, qi.dtype) for k, qi in zip(keys, q)
+        )
+        q_new, p_new = leapfrog(q, p0, jnp.asarray(step_size))
+        logp_new = logp_fn(q_new)
+        kinetic0 = sum(0.5 * jnp.sum(jnp.square(pi)) for pi in p0)
+        kinetic1 = sum(0.5 * jnp.sum(jnp.square(pi)) for pi in p_new)
+        log_accept = (logp_new - kinetic1) - (logp - kinetic0)
+        accept = jnp.log(jax.random.uniform(k_acc, (), logp.dtype)) < log_accept
+        q_out = tuple(jnp.where(accept, qn, qo) for qn, qo in zip(q_new, q))
+        logp_out = jnp.where(accept, logp_new, logp)
+        return (q_out, logp_out), (q_out, logp_out)
+
+    total = num_burnin_steps + num_samples * thin
+    keys = jax.random.split(key, total)
+    init = (state, logp_fn(state))
+
+    @jax.jit
+    def run(init, keys):
+        (_, _), (qs, logps) = jax.lax.scan(hmc_step, init, keys)
+        return qs, logps
+
+    qs, logps = run(init, keys)
+    # drop burn-in, apply thinning
+    samples = tuple(q[num_burnin_steps::thin] for q in qs)
+    return samples, logps[num_burnin_steps::thin]

@@ -33,16 +33,22 @@ class Dispatcher:
         self._order: Dict[Tuple[Type[Any], ...], int] = {}
         self._cache: Dict[Tuple[Type[Any], ...], Callable[..., Any]] = {}
 
-    def register(self, *types: Type[Any]) -> Callable[[Callable[..., Any]], Callable[..., Any]]:
+    def register(self, *types: Any) -> Callable[[Callable[..., Any]], Callable[..., Any]]:
         def _decorator(fn: Callable[..., Any]) -> Callable[..., Any]:
             self.add(types, fn)
             return fn
 
         return _decorator
 
-    def add(self, types: Tuple[Type[Any], ...], fn: Callable[..., Any]) -> None:
-        self.funcs[tuple(types)] = fn
-        self._order[tuple(types)] = len(self._order)
+    def add(self, types: Tuple[Any, ...], fn: Callable[..., Any]) -> None:
+        # a tuple in any position registers the cartesian product of signatures
+        # (multipledispatch-package semantics, used heavily by expectations)
+        import itertools
+
+        expanded = [t if isinstance(t, tuple) else (t,) for t in types]
+        for sig in itertools.product(*expanded):
+            self.funcs[sig] = fn
+            self._order[sig] = len(self._order)
         self._cache.clear()
 
     def registered_fn(self, *types: Type[Any]) -> Callable[..., Any]:
@@ -53,21 +59,23 @@ class Dispatcher:
         if hit is not None:
             return hit
         best: Optional[Callable[..., Any]] = None
-        best_score: Optional[Tuple[int, int]] = None
+        best_score: Optional[Tuple[Any, ...]] = None
         for sig, fn in self.funcs.items():
             if len(sig) != len(types):
                 continue
-            total = 0
+            dists = []
             ok = True
             for t, s in zip(types, sig):
                 d = _mro_distance(t, s)
                 if d is None:
                     ok = False
                     break
-                total += d
+                dists.append(d)
             if not ok:
                 continue
-            score = (total, self._order[sig])
+            # lexicographic left-to-right specificity (multipledispatch
+            # semantics), registration order as the final tie-break
+            score = (tuple(dists), self._order[sig])
             if best_score is None or score < best_score:
                 best, best_score = fn, score
         if best is None:
