@@ -15,7 +15,7 @@ import jax as _jax
 if not os.environ.get("GPFLOW_TPU_DISABLE_X64"):
     _jax.config.update("jax_enable_x64", True)
 
-from . import bijectors, config, logdensities, priors, utilities
+from . import bijectors, ci_utils, config, logdensities, priors, utilities
 from .base import Module, Parameter, PriorOn, TensorType
 from .config import default_float, default_int, default_jitter
 from .utilities import set_trainable
@@ -60,6 +60,7 @@ __all__ = [
     "TensorType",
     "__version__",
     "bijectors",
+    "ci_utils",
     "conditionals",
     "config",
     "covariances",

@@ -26,11 +26,11 @@ __all__ = [
     "Exp",
     "FillTriangular",
     "Identity",
-    "positive",
     "RescaleSpectral",
     "Shift",
     "Sigmoid",
     "Softplus",
+    "positive",
     "triangular",
     "triangular_size",
 ]

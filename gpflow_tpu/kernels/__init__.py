@@ -66,9 +66,9 @@ __all__ = [
     "ReducingCombination",
     "SeparateIndependent",
     "SharedIndependent",
+    "SquaredExponential",
     "Static",
     "Stationary",
-    "SquaredExponential",
     "Sum",
     "White",
 ]

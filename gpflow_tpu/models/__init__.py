@@ -23,19 +23,19 @@ from .util import (
 )
 
 __all__ = [
-    "BayesianModel",
     "BayesianGPLVM",
+    "BayesianModel",
     "CGLB",
     "ExternalDataTrainingLossMixin",
     "GPLVM",
     "GPMC",
     "GPModel",
-    "SGPMC",
     "GPR",
     "GPRFITC",
     "GPR_deprecated",
     "GPR_with_posterior",
     "InternalDataTrainingLossMixin",
+    "SGPMC",
     "SGPR",
     "SGPRBase_deprecated",
     "SGPR_deprecated",
@@ -47,10 +47,10 @@ __all__ = [
     "VGPOpperArchambeau",
     "VGP_deprecated",
     "VGP_with_posterior",
-    "update_vgp_data",
     "data_input_to_tensor",
     "inducingpoint_wrapper",
     "maximum_log_likelihood_objective",
     "training_loss",
     "training_loss_closure",
+    "update_vgp_data",
 ]

@@ -1,0 +1,19 @@
+"""Monitoring / observability (reference ``/root/reference/gpflow/monitor/``)."""
+from .base import ExecuteCallback, Monitor, MonitorTask, MonitorTaskGroup
+from .tensorboard import (
+    ImageToTensorBoard,
+    ModelToTensorBoard,
+    ScalarToTensorBoard,
+    ToTensorBoard,
+)
+
+__all__ = [
+    "ExecuteCallback",
+    "ImageToTensorBoard",
+    "ModelToTensorBoard",
+    "Monitor",
+    "MonitorTask",
+    "MonitorTaskGroup",
+    "ScalarToTensorBoard",
+    "ToTensorBoard",
+]

@@ -1,4 +1,5 @@
 from ..bijectors import positive, triangular, triangular_size
+from .checkpoints import load_checkpoint, save_checkpoint
 from .misc import (
     positive_parameter,
     set_trainable,
@@ -46,6 +47,7 @@ __all__ = [
     "freeze",
     "leading_transpose",
     "leaf_components",
+    "load_checkpoint",
     "multiple_assign",
     "parameter_dict",
     "pca_reduce",
@@ -54,6 +56,7 @@ __all__ = [
     "prepare_parameter_or_function",
     "print_summary",
     "read_values",
+    "save_checkpoint",
     "select_dict_parameters_with_prior",
     "set_trainable",
     "square_distance",
