@@ -109,7 +109,28 @@ class AnisotropicStationary(Stationary):
 
 
 class SquaredExponential(IsotropicStationary):
-    """RBF: k(r) = sigma^2 exp(-r^2/2) (reference ``stationaries.py:195-210``)."""
+    """RBF: k(r) = sigma^2 exp(-r^2/2) (reference ``stationaries.py:195-210``).
+
+    On TPU with f32/bf16 the full K matrix is computed by a fused Pallas tile
+    kernel (``gpflow_tpu.ops.rbf_kernel_matrix``): cross terms on the MXU,
+    norm corrections + exp fused in VMEM, gradients as matmuls via custom VJP.
+    """
+
+    def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
+        from ..ops.pallas_distance import pallas_available, rbf_kernel_matrix
+
+        X = jnp.asarray(X)
+        X2a = None if X2 is None else jnp.asarray(X2)
+        if (
+            pallas_available(X.dtype)
+            and X.ndim == 2
+            and (X2a is None or X2a.ndim == 2)
+        ):
+            Z = X if X2a is None else X2a
+            return rbf_kernel_matrix(
+                X, Z, self.lengthscales.value, jnp.squeeze(self.variance.value)
+            )
+        return super().K(X, X2)
 
     def K_r2(self, r2: jax.Array) -> jax.Array:
         return self.variance * jnp.exp(-0.5 * r2)

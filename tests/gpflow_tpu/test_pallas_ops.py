@@ -1,0 +1,83 @@
+"""Pallas covariance-kernel tests (interpret mode on CPU; the real-TPU path is
+exercised by bench.py / verification drives)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpflow_tpu.ops.pallas_distance import (
+    _rbf_pallas_forward,
+    _rbf_scaled_bwd,
+    _rbf_scaled_fwd,
+    pallas_available,
+    set_pallas_enabled,
+)
+
+rng = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("N,M,D", [(16, 24, 3), (100, 130, 5), (8, 8, 1)])
+def test_pallas_rbf_forward_matches_xla(N, M, D):
+    X = jnp.asarray(rng.randn(N, D), jnp.float32)
+    Z = jnp.asarray(rng.randn(M, D), jnp.float32)
+    var = jnp.asarray(1.7, jnp.float32)
+    K = np.asarray(_rbf_pallas_forward(X, Z, var, interpret=True))
+    d2 = np.sum((np.asarray(X)[:, None, :] - np.asarray(Z)[None, :, :]) ** 2, -1)
+    expected = 1.7 * np.exp(-0.5 * d2)
+    np.testing.assert_allclose(K, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_rbf_custom_vjp_matches_autodiff():
+    N, M, D = 12, 10, 3
+    Xs = jnp.asarray(rng.randn(N, D), jnp.float32)
+    Zs = jnp.asarray(rng.randn(M, D), jnp.float32)
+    var = jnp.asarray(1.3, jnp.float32)
+    g = jnp.asarray(rng.randn(N, M), jnp.float32)
+
+    # reference function in plain XLA
+    def ref(Xs, Zs, var):
+        d2 = jnp.sum((Xs[:, None, :] - Zs[None, :, :]) ** 2, -1)
+        return var * jnp.exp(-0.5 * d2)
+
+    _, ref_vjp = jax.vjp(ref, Xs, Zs, var)
+    dX_ref, dZ_ref, dv_ref = ref_vjp(g)
+
+    K, res = _rbf_scaled_fwd.__wrapped__(Xs, Zs, var) if hasattr(_rbf_scaled_fwd, "__wrapped__") else (None, None)
+    # compute residuals using the XLA forward (identical math) to test the bwd formulas
+    Kx = ref(Xs, Zs, var)
+    dX, dZ, dv = _rbf_scaled_bwd((Xs, Zs, var, Kx), g)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dZ), np.asarray(dZ_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_disabled_on_cpu_by_default():
+    # tests run on CPU: auto mode must not select the pallas path
+    assert not pallas_available(jnp.float64)
+    assert not pallas_available(jnp.float32)
+
+
+def test_set_pallas_enabled_override():
+    set_pallas_enabled(True)
+    try:
+        assert pallas_available(jnp.float32)
+    finally:
+        set_pallas_enabled(None)
+
+
+def test_squared_exponential_uses_pallas_when_forced():
+    """Force-enable: SquaredExponential.K must agree with the XLA path
+    (pallas interpret mode is used transparently on CPU? No — forcing on CPU
+    runs the compiled pallas path via interpret fallback only if requested,
+    so here we compare the module-level kernel fn in interpret mode)."""
+    from gpflow_tpu.ops.pallas_distance import _rbf_pallas_forward
+    from gpflow_tpu import kernels
+
+    X = rng.randn(20, 2).astype(np.float32)
+    k = kernels.SquaredExponential(variance=1.2, lengthscales=0.7)
+    K_xla = np.asarray(k(X))
+    Xs = jnp.asarray(X / 0.7, jnp.float32)
+    K_pallas = 1.2 * np.asarray(
+        _rbf_pallas_forward(Xs, Xs, jnp.asarray(1.0, jnp.float32), interpret=True)
+    )
+    np.testing.assert_allclose(K_pallas, K_xla, rtol=2e-4, atol=1e-5)
