@@ -1,0 +1,77 @@
+"""Benchmark suites (reference ``benchmark/benchmarks.py:29-112``): a suite is
+a dataset x model grid filtered by tag compatibility."""
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+from .datasets import DATASETS
+from .models import MODELS
+from .registry import Registry
+
+__all__ = ["SUITES", "BenchmarkSet", "Task", "get_suite"]
+
+
+class Task(NamedTuple):
+    dataset: str
+    model: str
+    repetitions: int
+    maxiter: int
+
+
+class BenchmarkSet(NamedTuple):
+    name: str
+    datasets: List[str]
+    models: List[str]
+    repetitions: int
+    maxiter: int
+
+    def get_tasks(self) -> List[Task]:
+        tasks = []
+        for d in self.datasets:
+            d_tags = DATASETS.tags_of(d)
+            for m in self.models:
+                m_tags = MODELS.tags_of(m)
+                if "LARGE" in d_tags and "all_sizes" not in m_tags:
+                    continue  # dense N^3 models are excluded from LARGE datasets
+                if "classification" in d_tags and "classification" not in m_tags:
+                    continue
+                tasks.append(Task(d, m, self.repetitions, self.maxiter))
+        return tasks
+
+
+SUITES: Registry = Registry("suite")
+
+SUITES.register(
+    "integration_test",
+    BenchmarkSet(
+        "integration_test",
+        datasets=["tiny_linear", "tiny_sine"],
+        models=["gpr", "svgp"],
+        repetitions=2,
+        maxiter=10,
+    ),
+)
+SUITES.register(
+    "ci",
+    BenchmarkSet(
+        "ci",
+        datasets=["synth_medium"],
+        models=["gpr", "sgpr", "vgp", "svgp"],
+        repetitions=5,
+        maxiter=100,
+    ),
+)
+SUITES.register(
+    "full",
+    BenchmarkSet(
+        "full",
+        datasets=DATASETS.names(),
+        models=MODELS.names(),
+        repetitions=5,
+        maxiter=1000,
+    ),
+)
+
+
+def get_suite(name: str) -> BenchmarkSet:
+    return SUITES.get(name)

@@ -15,6 +15,18 @@ import jax as _jax
 if not os.environ.get("GPFLOW_TPU_DISABLE_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 matmuls default to bf16 input precision (~3e-3 relative error).
+# GP numerics pivot on cancellation-heavy quantities (pairwise distances,
+# Kff - A^T A diagonals, Cholesky inputs), where bf16 rounding produces
+# indefinite covariances and NaN gradients. Force full-precision f32 matmuls
+# (3/6-pass bf16 on the MXU) library-wide; opt out for raw-speed experiments
+# with JAX_DEFAULT_MATMUL_PRECISION or GPFLOW_TPU_FAST_MATMUL=1.
+if (
+    "JAX_DEFAULT_MATMUL_PRECISION" not in os.environ
+    and not os.environ.get("GPFLOW_TPU_FAST_MATMUL")
+):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import bijectors, ci_utils, config, logdensities, priors, utilities
 from .base import Module, Parameter, PriorOn, TensorType
 from .config import default_float, default_int, default_jitter

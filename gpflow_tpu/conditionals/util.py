@@ -38,6 +38,13 @@ __all__ = [
 _seed_counter = [0]
 
 
+def _use_inv_solve() -> bool:
+    """Opt-in TPU optimization: see base_conditional_with_lm."""
+    import os
+
+    return os.environ.get("GPFLOW_TPU_INV_SOLVE", "0") not in ("0", "false", "False")
+
+
 def _default_key() -> jax.Array:
     """Fresh key for convenience use outside jit (stateful; pass `key=`
     explicitly inside jit)."""
@@ -93,7 +100,16 @@ def base_conditional_with_lm(
     leading_dims = Kmn.shape[:-2]
 
     Lm_b = jnp.broadcast_to(Lm, leading_dims + Lm.shape)  # [..., M, M]
-    A = solve_triangular(Lm_b, Kmn, lower=True)  # [..., M, N]
+    if _use_inv_solve() and N > M:
+        # TPU fast path: triangular solves with wide right-hand sides are
+        # slower than matmuls on the MXU. Invert L once ([M, M] solve, 4x
+        # cheaper than the [M, N] solve when N >> M) and turn the projection
+        # and its backward pass into pure matmuls.
+        Lm_inv = solve_triangular(Lm_b, jnp.eye(M, dtype=Lm.dtype), lower=True)
+        A = jnp.matmul(Lm_inv, Kmn)  # [..., M, N]
+    else:
+        Lm_inv = None
+        A = solve_triangular(Lm_b, Kmn, lower=True)  # [..., M, N]
 
     if full_cov:
         fvar = Knn - jnp.matmul(jnp.swapaxes(A, -1, -2), A)  # [..., N, N]
@@ -107,7 +123,10 @@ def base_conditional_with_lm(
         )  # [..., R, N]
 
     if not white:
-        A = solve_triangular(Lm_b, A, lower=True, trans=1)  # Lm^T A' = A
+        if Lm_inv is not None:
+            A = jnp.matmul(jnp.swapaxes(Lm_inv, -1, -2), A)  # Lm^-T A
+        else:
+            A = solve_triangular(Lm_b, A, lower=True, trans=1)  # Lm^T A' = A
 
     f_b = jnp.broadcast_to(f, leading_dims + (M, num_func))
     fmean = jnp.matmul(jnp.swapaxes(A, -1, -2), f_b)  # [..., N, R]

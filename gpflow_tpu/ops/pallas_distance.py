@@ -62,7 +62,11 @@ def _rbf_block_kernel(x_ref, z_ref, xsq_ref, zsq_ref, var_ref, out_ref):
     x = x_ref[:]  # [TN, D]
     z = z_ref[:]  # [TM, D]
     cross = jax.lax.dot_general(
-        x, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, z, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full f32: bf16 rounding of the
+        # cross term breaks the xsq - 2xz + zsq cancellation at small
+        # lengthscales (distance errors ~|x|^2 * 4e-3 -> indefinite K)
     )  # [TN, TM]
     d2 = xsq_ref[:] - 2.0 * cross + zsq_ref[:]  # [TN, 1] + [1, TM] broadcasting
     d2 = jnp.maximum(d2, 0.0)

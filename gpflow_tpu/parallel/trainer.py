@@ -117,20 +117,22 @@ class DataParallelTrainer:
         )
         return loss
 
+    def shard_stacked(self, batches: Tuple[Any, ...]) -> Tuple[Any, ...]:
+        """Stages stacked batches [K, B, ...] on device, B sharded over the
+        mesh (use to prefetch ahead of ``run_steps``)."""
+        sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, self.axis_name)
+        )
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), sharding), batches
+        )
+
     def run_steps(self, batches: Tuple[Any, ...], presharded: bool = False) -> jax.Array:
         """Runs K steps in ONE device call. ``batches`` is an (X, Y) tuple with
         a leading scan axis: X [K, B, D], Y [K, B, P] (B sharded over the
         mesh). Returns the per-step losses [K]."""
         if not presharded:
-            batches = jax.tree_util.tree_map(
-                lambda a: jax.device_put(
-                    jnp.asarray(a),
-                    jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec(None, self.axis_name)
-                    ),
-                ),
-                batches,
-            )
+            batches = self.shard_stacked(batches)
         self.params, self.opt_state, losses = self._multi_step(
             self.params, self.opt_state, self._leaves, batches
         )
