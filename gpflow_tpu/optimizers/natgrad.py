@@ -105,15 +105,81 @@ class NaturalGradient:
     SURVEY.md A.5.5); the only public method is ``minimize``.
     """
 
-    def __init__(self, gamma: float, xi_transform: Optional[XiTransform] = None) -> None:
+    def __init__(
+        self, gamma: float, xi_transform: Optional[XiTransform] = None, compile: bool = True
+    ) -> None:
         self.gamma = gamma
         self.xi_transform = xi_transform if xi_transform is not None else XiNat()
+        self.compile = compile
+        self._compiled_steps: dict = {}
 
     def minimize(self, loss_fn: LossClosure, var_list: Sequence[NatGradParameters]) -> None:
         """Performs one natural-gradient step on each (q_mu, q_sqrt[, xi])
-        tuple in ``var_list`` (reference ``natgrad.py:184-238``)."""
+        tuple in ``var_list`` (reference ``natgrad.py:184-238``).
+
+        With ``compile=True`` (default) the entire step — loss gradient,
+        parameter conversions, and the new unconstrained values — is one
+        jit-compiled pure function, cached per (loss_fn, parameter set).
+        """
         parameters = [(v[0], v[1], (v[2] if len(v) > 2 else None)) for v in var_list]
-        self._natgrad_steps(loss_fn, parameters)
+        if self.compile:
+            self._compiled_step(loss_fn, parameters)
+        else:
+            self._natgrad_steps(loss_fn, parameters)
+
+    def _compiled_step(
+        self,
+        loss_fn: LossClosure,
+        parameters: Sequence[Tuple[Parameter, Parameter, Optional[XiTransform]]],
+    ) -> None:
+        q_mus, q_sqrts, xis = zip(*parameters)
+        variables = [p for pair in zip(q_mus, q_sqrts) for p in pair]
+        for _, q_sqrt, _xi in parameters:
+            if q_sqrt.value.ndim != 3:
+                raise ValueError(
+                    "NaturalGradient only supports the full-covariance parametrization "
+                    "q_sqrt: [L, M, M] (q_diag=True is not supported)."
+                )
+
+        key = (id(loss_fn), tuple(id(v) for v in variables),
+               tuple(type(x) for x in xis))
+        step = self._compiled_steps.get(key)
+        if step is None:
+            xi_transforms = [x if x is not None else self.xi_transform for x in xis]
+            transforms = [v.transform for v in variables]
+
+            def _step(unconstrained: Tuple[jax.Array, ...]) -> Tuple[jax.Array, ...]:
+                def loss_of_unconstrained(unc: Tuple[jax.Array, ...]) -> jax.Array:
+                    originals = [v._unconstrained for v in variables]
+                    try:
+                        for v, u in zip(variables, unc):
+                            v._unconstrained = u
+                        return loss_fn()
+                    finally:
+                        for v, o in zip(variables, originals):
+                            v._unconstrained = o
+
+                grads = jax.grad(loss_of_unconstrained)(unconstrained)
+                new_unc = []
+                for i, xi_transform in enumerate(xi_transforms):
+                    mu_t, sq_t = transforms[2 * i], transforms[2 * i + 1]
+                    q_mu_value = mu_t.forward(unconstrained[2 * i])
+                    q_sqrt_value = sq_t.forward(unconstrained[2 * i + 1])
+                    mean_new, varsqrt_new = self._natgrad_values(
+                        grads[2 * i], grads[2 * i + 1],
+                        q_mu_value, q_sqrt_value, mu_t, sq_t, xi_transform,
+                    )
+                    new_unc.append(mu_t.inverse(mean_new))
+                    new_unc.append(sq_t.inverse(varsqrt_new))
+                return tuple(new_unc)
+
+            step = jax.jit(_step)
+            self._compiled_steps[key] = step
+
+        current = tuple(v._unconstrained for v in variables)
+        new_values = step(current)
+        for v, nv in zip(variables, new_values):
+            v._unconstrained = nv
 
     def _natgrad_steps(
         self,
@@ -139,6 +205,39 @@ class NaturalGradient:
         for i, (q_mu, q_sqrt, xi_transform) in enumerate(parameters):
             q_mu_grad, q_sqrt_grad = grads[2 * i], grads[2 * i + 1]
             self._natgrad_apply_gradients(q_mu_grad, q_sqrt_grad, q_mu, q_sqrt, xi_transform)
+
+    def _natgrad_values(
+        self,
+        q_mu_grad: jax.Array,
+        q_sqrt_grad: jax.Array,
+        q_mu_value: jax.Array,
+        q_sqrt_value: jax.Array,
+        mu_transform,
+        sqrt_transform,
+        xi_transform: XiTransform,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Pure-functional core of the backward natgrad step."""
+        dL_dmean = mu_transform.forward(q_mu_grad)
+        dL_dvarsqrt = sqrt_transform.forward(q_sqrt_grad)
+
+        eta1, eta2 = meanvarsqrt_to_expectation(q_mu_value, q_sqrt_value)
+        _, vjp_fn = jax.vjp(lambda e1, e2: expectation_to_meanvarsqrt(e1, e2), eta1, eta2)
+        dL_deta1, dL_deta2 = vjp_fn((dL_dmean, dL_dvarsqrt))
+
+        if not isinstance(xi_transform, XiNat):
+            nat1, nat2 = meanvarsqrt_to_natural(q_mu_value, q_sqrt_value)
+            _, (nat_dL_xi1, nat_dL_xi2) = jax.jvp(
+                lambda n1, n2: xi_transform.naturals_to_xi(n1, n2),
+                (nat1, nat2),
+                (dL_deta1, dL_deta2),
+            )
+        else:
+            nat_dL_xi1, nat_dL_xi2 = dL_deta1, dL_deta2
+
+        xi1, xi2 = xi_transform.meanvarsqrt_to_xi(q_mu_value, q_sqrt_value)
+        xi1_new = xi1 - self.gamma * nat_dL_xi1
+        xi2_new = xi2 - self.gamma * nat_dL_xi2
+        return xi_transform.xi_to_meanvarsqrt(xi1_new, xi2_new)
 
     def _natgrad_apply_gradients(
         self,
