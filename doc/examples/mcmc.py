@@ -1,0 +1,56 @@
+"""Fully Bayesian inference with MCMC: GPMC + the built-in HMC sampler
+(mirrors the reference's mcmc notebook)."""
+import jax
+import numpy as np
+
+import gpflow_tpu as gpf
+from gpflow_tpu.ci_utils import reduce_in_tests
+from gpflow_tpu.optimizers import SamplingHelper
+from gpflow_tpu.optimizers.mcmc import run_hmc
+
+NUM_SAMPLES = reduce_in_tests(200, 20)
+BURNIN = reduce_in_tests(200, 20)
+
+
+def main() -> None:
+    rng = np.random.RandomState(0)
+    N = 80
+    X = rng.rand(N, 1) * 4
+    Y = (np.sin(3 * X) > 0.0).astype(float)
+
+    model = gpf.models.GPMC(
+        (X, Y),
+        kernel=gpf.kernels.Matern32(),
+        likelihood=gpf.likelihoods.Bernoulli(),
+    )
+    # every sampled parameter needs a prior
+    model.kernel.variance.prior = gpf.priors.LogNormal(0.0, 1.0)
+    model.kernel.lengthscales.prior = gpf.priors.LogNormal(-1.0, 1.0)
+
+    helper = SamplingHelper(model.log_posterior_density, model.trainable_parameters)
+    samples, log_probs = run_hmc(
+        helper.target_log_prob_fn,
+        helper.current_state,
+        num_samples=NUM_SAMPLES,
+        num_burnin_steps=BURNIN,
+        step_size=0.03,
+        num_leapfrog_steps=8,
+        key=jax.random.PRNGKey(42),
+    )
+    constrained = helper.convert_to_constrained_values(samples)
+    names = [p.name for p in model.trainable_parameters]
+    for name, chain in zip(names, constrained):
+        arr = np.asarray(chain)
+        if arr.ndim == 1:
+            print(f"{name}: posterior mean {arr.mean():.3f} +- {arr.std():.3f}")
+    print("final log posterior:", float(np.asarray(log_probs)[-1]))
+
+    # posterior predictive from the last sample
+    helper.assign_values([s[-1] for s in samples])
+    pmean, _ = model.predict_y(X)
+    acc = float(np.mean((np.asarray(pmean)[:, 0] > 0.5) == (Y[:, 0] > 0.5)))
+    print("posterior-sample accuracy:", acc)
+
+
+if __name__ == "__main__":
+    main()
