@@ -66,10 +66,14 @@ def square_distance(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
         dist = -2.0 * jnp.matmul(X, jnp.swapaxes(X, -1, -2))
         dist += Xs + jnp.swapaxes(Xs, -1, -2)
         return dist
-    Xs = jnp.sum(jnp.square(X), axis=-1)
-    X2s = jnp.sum(jnp.square(X2), axis=-1)
-    dist = -2.0 * jnp.matmul(X, jnp.swapaxes(X2, -1, -2))
-    dist += Xs[..., :, None] + X2s[..., None, :]
+    # cross-batch semantics matching the reference (``ops.py:120-127``):
+    # all leading dims of X and X2 cross, via tensordot + outer-sum
+    Xs = jnp.sum(jnp.square(X), axis=-1)  # [batch..., N]
+    X2s = jnp.sum(jnp.square(X2), axis=-1)  # [batch2..., M]
+    dist = -2.0 * jnp.tensordot(X, X2, axes=[[-1], [-1]])  # [batch..., N, batch2..., M]
+    dist += Xs.reshape(Xs.shape + (1,) * X2s.ndim) + X2s.reshape(
+        (1,) * Xs.ndim + X2s.shape
+    )
     return dist
 
 

@@ -1,0 +1,213 @@
+"""Lightweight runtime shape contracts (the TPU-native stand-in for the
+reference's pervasive ``check_shapes`` package — SURVEY.md §5 lists it as the
+closest thing the reference has to a sanitizer).
+
+Disabled by default (zero overhead beyond a flag check); enable in tests or
+debugging with ``set_enable_check_shapes(True)`` or ``GPFLOW_TPU_CHECK_SHAPES=1``.
+Under jit, shapes are static, so checks run once at trace time.
+
+Spec syntax (subset of the reference package's):
+
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, batch2..., N2]",
+    )
+    def K(X, X2): ...
+
+* uppercase/lowercase names bind dimensions consistently across arguments
+* ``name...`` matches zero or more leading dims (at most one per spec)
+* integer literals match exactly; ``.`` matches any single dim
+* ``None``-valued arguments are skipped
+"""
+from __future__ import annotations
+
+import functools
+import inspect
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, TypeVar
+
+__all__ = [
+    "ShapeError",
+    "check_shape",
+    "check_shapes",
+    "get_enable_check_shapes",
+    "inherit_check_shapes",
+    "set_enable_check_shapes",
+]
+
+F = TypeVar("F", bound=Callable[..., Any])
+
+_state = {"enabled": os.environ.get("GPFLOW_TPU_CHECK_SHAPES", "0") not in ("0", "", "false")}
+
+
+class ShapeError(ValueError):
+    pass
+
+
+def set_enable_check_shapes(value: bool) -> None:
+    _state["enabled"] = bool(value)
+
+
+def get_enable_check_shapes() -> bool:
+    return _state["enabled"]
+
+
+def _parse_spec(spec: str) -> Tuple[str, List[str]]:
+    name, _, dims = spec.partition(":")
+    dims = dims.strip()
+    if not (dims.startswith("[") and dims.endswith("]")):
+        raise ValueError(f"Bad shape spec {spec!r}")
+    inner = dims[1:-1].strip()
+    tokens = [t.strip() for t in inner.split(",")] if inner else []
+    return name.strip(), tokens
+
+
+def _match(
+    tokens: Sequence[str], shape: Tuple[int, ...], bindings: Dict[str, Any], where: str
+) -> None:
+    ell = [i for i, t in enumerate(tokens) if t.endswith("...")]
+    if len(ell) > 1:
+        # multiple variadic groups are only checkable when all are already
+        # bound (e.g. a return spec [batch..., N, batch2..., N2]) — expand
+        # them in place and re-match
+        expanded: List[str] = []
+        for t in tokens:
+            if t.endswith("..."):
+                bound = bindings.get(t)
+                if bound is None:
+                    return  # unbound multi-variadic: skip (can't disambiguate)
+                expanded.extend(str(d) for d in bound)
+            else:
+                expanded.append(t)
+        _match(expanded, shape, bindings, where)
+        return
+    if ell:
+        i = ell[0]
+        head, tail = list(tokens[:i]), list(tokens[i + 1 :])
+        n_var = len(shape) - len(head) - len(tail)
+        if n_var < 0:
+            raise ShapeError(
+                f"{where}: shape {shape} has fewer dims than spec {list(tokens)}"
+            )
+        var_name = tokens[i][:-3]
+        var_dims = tuple(shape[len(head) : len(head) + n_var])
+        if var_name:
+            prev = bindings.get(var_name + "...")
+            if prev is not None and prev != var_dims:
+                raise ShapeError(
+                    f"{where}: variadic dims {var_name!r} = {var_dims} inconsistent "
+                    f"with previous binding {prev}"
+                )
+            bindings[var_name + "..."] = var_dims
+        fixed = list(zip(head, shape[: len(head)])) + list(zip(tail, shape[len(shape) - len(tail):]))
+    else:
+        if len(tokens) != len(shape):
+            raise ShapeError(
+                f"{where}: expected rank {len(tokens)} ({list(tokens)}), got shape {shape}"
+            )
+        fixed = list(zip(tokens, shape))
+
+    for token, dim in fixed:
+        if token in (".", "*"):
+            continue
+        if token.startswith("broadcast "):
+            continue  # broadcastable dims are not pinned
+        if token.isdigit():
+            if int(token) != dim:
+                raise ShapeError(f"{where}: expected dim {token}, got {dim} in shape {shape}")
+            continue
+        prev = bindings.get(token)
+        if prev is None:
+            bindings[token] = dim
+        elif prev != dim:
+            raise ShapeError(
+                f"{where}: dim {token!r} = {dim} inconsistent with previous binding {prev} "
+                f"(shape {shape})"
+            )
+
+
+def _shape_of(value: Any) -> Optional[Tuple[int, ...]]:
+    shape = getattr(value, "shape", None)
+    if shape is None:
+        return None
+    try:
+        return tuple(int(s) for s in shape)
+    except TypeError:  # pragma: no cover - abstract/dynamic dims
+        return None
+
+
+def check_shape(value: Any, spec: str, where: str = "value") -> Any:
+    """Inline single-value check: ``check_shape(x, "[N, D]")``."""
+    if not _state["enabled"]:
+        return value
+    tokens = [t.strip() for t in spec.strip()[1:-1].split(",")] if spec.strip() != "[]" else []
+    shape = _shape_of(value)
+    if shape is not None:
+        _match(tokens, shape, {}, where)
+    return value
+
+
+def check_shapes(*specs: str) -> Callable[[F], F]:
+    """Decorator enforcing the shape contracts in ``specs`` (see module doc)."""
+    parsed = [_parse_spec(s) for s in specs]
+    arg_specs = [(n, t) for n, t in parsed if not n.startswith("return")]
+    ret_specs = [(n, t) for n, t in parsed if n.startswith("return")]
+
+    def decorator(fn: F) -> F:
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args: Any, **kwargs: Any) -> Any:
+            if not _state["enabled"]:
+                return fn(*args, **kwargs)
+            try:
+                bound = sig.bind_partial(*args, **kwargs)
+            except TypeError:
+                return fn(*args, **kwargs)
+            bindings: Dict[str, Any] = {}
+            for name, tokens in arg_specs:
+                if name not in bound.arguments:
+                    continue
+                value = bound.arguments[name]
+                if value is None:
+                    continue
+                shape = _shape_of(value)
+                if shape is not None:
+                    _match(tokens, shape, bindings, f"{fn.__qualname__} argument {name!r}")
+            result = fn(*args, **kwargs)
+            for name, tokens in ret_specs:
+                value = result
+                if name.startswith("return["):
+                    idx = int(name[len("return[") : -1])
+                    value = result[idx]
+                if value is None:
+                    continue
+                shape = _shape_of(value)
+                if shape is not None:
+                    _match(tokens, shape, bindings, f"{fn.__qualname__} {name}")
+            return result
+
+        wrapper.__check_shapes__ = specs  # type: ignore[attr-defined]
+        return wrapper  # type: ignore[return-value]
+
+    return decorator
+
+
+def inherit_check_shapes(fn: F) -> F:
+    """Marker for methods inheriting the base method's contract (resolved at
+    call time through the MRO when checking is enabled)."""
+
+    @functools.wraps(fn)
+    def wrapper(self: Any, *args: Any, **kwargs: Any) -> Any:
+        if not _state["enabled"]:
+            return fn(self, *args, **kwargs)
+        for base in type(self).__mro__[1:]:
+            parent = getattr(base, fn.__name__, None)
+            specs = getattr(parent, "__check_shapes__", None)
+            if specs is not None:
+                checked = check_shapes(*specs)(fn)
+                return checked(self, *args, **kwargs)
+        return fn(self, *args, **kwargs)
+
+    return wrapper  # type: ignore[return-value]

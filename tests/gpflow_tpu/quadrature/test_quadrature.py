@@ -1,0 +1,78 @@
+"""Quadrature module tests (patterns from reference
+``tests/gpflow/quadrature``)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+from gpflow_tpu.quadrature import (
+    NDiagGHQuadrature,
+    gh_points_and_weights,
+    mvnquad,
+    ndiag_mc,
+    ndiagquad,
+)
+
+rng = np.random.RandomState(0)
+
+
+def test_gh_points_integrate_standard_normal_moments():
+    z, dz = gh_points_and_weights(30)
+    assert np.isclose(np.sum(dz), 1.0)
+    assert np.isclose(np.sum(dz * z), 0.0, atol=1e-12)
+    assert np.isclose(np.sum(dz * z ** 2), 1.0)
+    assert np.isclose(np.sum(dz * z ** 4), 3.0)
+
+
+def test_ndiag_gh_2d():
+    q = NDiagGHQuadrature(2, 15)
+    mean = jnp.asarray([[0.5, -1.0]])
+    var = jnp.asarray([[0.3, 2.0]])
+    # E[x0 * x1] = mu0 * mu1 for independent gaussians
+    r = q(lambda X: (X[..., 0] * X[..., 1])[..., None], mean, var)
+    np.testing.assert_allclose(np.asarray(r)[0, 0], 0.5 * -1.0, rtol=1e-8)
+    # E[exp(x)] = exp(mu + var/2) per dim
+    r = q(lambda X: jnp.exp(X[..., :1]), mean, var)
+    np.testing.assert_allclose(np.asarray(r)[0, 0], np.exp(0.5 + 0.15), rtol=1e-8)
+
+
+def test_logspace_matches_linear():
+    q = NDiagGHQuadrature(1, 25)
+    mean = jnp.asarray([[0.2]])
+    var = jnp.asarray([[0.7]])
+    fun = lambda X: -0.5 * X ** 2
+    linear = np.log(np.asarray(q(lambda X: jnp.exp(fun(X)), mean, var)))
+    logspace = np.asarray(q.logspace(fun, mean, var))
+    np.testing.assert_allclose(linear, logspace, rtol=1e-10)
+
+
+def test_ndiagquad_back_compat():
+    Fmu = rng.randn(7, 1)
+    Fvar = 0.1 + rng.rand(7, 1)
+    Y = rng.randn(7, 1)
+    r = ndiagquad(lambda F, Y: -0.5 * (F - Y) ** 2, 20, Fmu, Fvar, Y=Y)
+    expected = -0.5 * ((Fmu - Y) ** 2 + Fvar)
+    np.testing.assert_allclose(np.asarray(r), expected, rtol=1e-8)
+    # list of functions
+    r1, r2 = ndiagquad([lambda F, Y: F, lambda F, Y: F ** 2], 20, Fmu, Fvar, Y=Y)
+    np.testing.assert_allclose(np.asarray(r1), Fmu, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r2), Fmu ** 2 + Fvar, rtol=1e-8)
+
+
+def test_mvnquad_full_covariance():
+    N, D = 4, 2
+    means = rng.randn(N, D)
+    a = 0.3 * rng.randn(N, D, D)
+    covs = np.einsum("nij,nkj->nik", a, a) + 0.2 * np.eye(D)
+    # E[x x^T] = cov + mu mu^T; check E[x0*x1]
+    r = np.asarray(mvnquad(lambda X: (X[:, 0] * X[:, 1])[:, None], jnp.asarray(means), jnp.asarray(covs), 20))
+    expected = covs[:, 0, 1] + means[:, 0] * means[:, 1]
+    np.testing.assert_allclose(r[:, 0], expected, rtol=1e-6)
+
+
+def test_ndiag_mc_close_to_quadrature():
+    Fmu = jnp.asarray(rng.randn(5, 1))
+    Fvar = jnp.asarray(0.1 + rng.rand(5, 1))
+    r_mc = np.asarray(ndiag_mc(lambda F: F ** 2, 50_000, Fmu, Fvar))
+    expected = np.asarray(Fmu) ** 2 + np.asarray(Fvar)
+    np.testing.assert_allclose(r_mc, expected, atol=0.05)

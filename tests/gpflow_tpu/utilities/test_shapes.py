@@ -1,0 +1,102 @@
+"""Tests for the lightweight shape-contract utility."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpflow_tpu.utilities.shapes import (
+    ShapeError,
+    check_shape,
+    check_shapes,
+    set_enable_check_shapes,
+)
+
+
+@pytest.fixture(autouse=True)
+def _enable():
+    set_enable_check_shapes(True)
+    yield
+    set_enable_check_shapes(False)
+
+
+@check_shapes(
+    "X: [batch..., N, D]",
+    "X2: [batch2..., N2, D]",
+    "return: [batch..., N, batch2..., N2]",
+)
+def cross(X, X2=None):
+    if X2 is None:
+        X2 = X
+    return jnp.tensordot(X, X2, axes=[[-1], [-1]])
+
+
+def test_accepts_valid_shapes():
+    X = jnp.ones((5, 3))
+    X2 = jnp.ones((4, 3))
+    assert cross(X, X2).shape == (5, 4)
+    # batched
+    Xb = jnp.ones((2, 5, 3))
+    assert cross(Xb, X2).shape == (2, 5, 4)
+    # None argument is skipped
+    assert cross(X).shape == (5, 5)
+
+
+def test_rejects_inconsistent_dims():
+    X = jnp.ones((5, 3))
+    X2 = jnp.ones((4, 2))  # D mismatch
+    with pytest.raises(ShapeError):
+        cross(X, X2)
+
+
+def test_rejects_bad_return():
+    @check_shapes("X: [N, D]", "return: [N, N]")
+    def bad(X):
+        return jnp.ones((X.shape[0], X.shape[0] + 1))
+
+    with pytest.raises(ShapeError):
+        bad(jnp.ones((3, 2)))
+
+
+def test_literal_and_wildcard_dims():
+    @check_shapes("X: [N, 2]", "return: [N, .]")
+    def f(X):
+        return jnp.ones((X.shape[0], 7))
+
+    f(jnp.ones((4, 2)))
+    with pytest.raises(ShapeError):
+        f(jnp.ones((4, 3)))
+
+
+def test_disabled_is_noop():
+    @check_shapes("X: [N, 2]", "return: [N]")
+    def f(X):
+        return jnp.ones((X.shape[0],))
+
+    set_enable_check_shapes(False)
+    f(jnp.ones((4, 5)))  # spec violation ignored when disabled
+    set_enable_check_shapes(True)
+    with pytest.raises(ShapeError):
+        f(jnp.ones((4, 5)))
+
+
+def test_tuple_returns():
+    @check_shapes("X: [N, D]", "return[0]: [N]", "return[1]: [N, N]")
+    def f(X):
+        n = X.shape[0]
+        return jnp.ones((n,)), jnp.ones((n, n))
+
+    f(jnp.ones((3, 2)))
+
+    @check_shapes("X: [N, D]", "return[0]: [N]", "return[1]: [N, N]")
+    def g(X):
+        n = X.shape[0]
+        return jnp.ones((n,)), jnp.ones((n, n + 1))
+
+    with pytest.raises(ShapeError):
+        g(jnp.ones((3, 2)))
+
+
+def test_check_shape_inline():
+    x = jnp.ones((3, 2))
+    assert check_shape(x, "[N, D]") is x
+    with pytest.raises(ShapeError):
+        check_shape(x, "[N, N, N]")
