@@ -26,6 +26,11 @@ os.environ.setdefault("GPFLOW_FLOAT", "float32")
 # run at the MXU's fast (bf16-input) mode. Validated NaN-free over long runs;
 # remove this to force full-precision matmuls everywhere.
 os.environ.setdefault("GPFLOW_TPU_FAST_MATMUL", "1")
+# Replace the wide [M, B] triangular solves in the conditional with one
+# [M, M] inversion + MXU matmuls (GPFLOW_TPU_INV_SOLVE): 1.6x at this config.
+# Validated: identical 400-step loss trajectory to the solve path (within
+# 0.2%) and the full f64 correctness suites pass with the flag on.
+os.environ.setdefault("GPFLOW_TPU_INV_SOLVE", "1")
 
 import numpy as np
 

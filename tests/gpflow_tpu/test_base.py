@@ -151,8 +151,19 @@ def test_freeze_and_deepcopy():
     np.testing.assert_allclose(m.inner.a.numpy(), 1.0, rtol=1e-10)
 
 
-def test_triangular_bijector():
-    tb = triangular()
+def test_triangular_bijector_mask():
+    tb = triangular()  # TriangularMask: full-matrix storage, tril select
+    x = jnp.arange(1.0, 10.0).reshape(3, 3)
+    L = tb.forward(x)
+    np.testing.assert_allclose(np.triu(np.asarray(L), 1), 0.0)
+    np.testing.assert_allclose(np.tril(np.asarray(L)), np.tril(np.asarray(x)))
+    np.testing.assert_allclose(tb.inverse(L), np.asarray(L))
+
+
+def test_fill_triangular_bijector_roundtrip():
+    from gpflow_tpu.bijectors import FillTriangular
+
+    tb = FillTriangular()
     v = jnp.arange(1.0, 7.0)
     L = tb.forward(v)
     assert L.shape == (3, 3)
