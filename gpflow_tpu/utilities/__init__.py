@@ -1,6 +1,7 @@
 from ..bijectors import positive, triangular, triangular_size
 from .checkpoints import load_checkpoint, save_checkpoint
 from .misc import (
+    is_variable,
     positive_parameter,
     set_trainable,
     to_default_float,
@@ -45,6 +46,7 @@ __all__ = [
     "evaluate_parameter_or_function",
     "eye",
     "freeze",
+    "is_variable",
     "leading_transpose",
     "leaf_components",
     "load_checkpoint",

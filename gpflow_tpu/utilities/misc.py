@@ -11,6 +11,7 @@ from ..base import Module, Parameter
 from ..config import default_float, default_int
 
 __all__ = [
+    "is_variable",
     "positive_parameter",
     "set_trainable",
     "to_default_float",
@@ -39,6 +40,12 @@ def set_trainable(model: Union[Module, Parameter, Iterable[Union[Module, Paramet
         return
     for m in model:
         set_trainable(m, flag)
+
+
+def is_variable(t: Any) -> bool:
+    """True if ``t`` is a trainable state object (reference ``misc.py:69-73``
+    checks for tf.Variable; here that role is played by Parameter)."""
+    return isinstance(t, Parameter)
 
 
 def positive_parameter(value: Any) -> Parameter:

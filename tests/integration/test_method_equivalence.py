@@ -171,3 +171,25 @@ def test_update_vgp_data_preserves_posterior():
     assert vgp.num_data == N + 5
     assert np.asarray(vgp.q_mu.value).shape == (N + 5, 1)
     float(vgp.elbo())  # must evaluate cleanly
+
+
+def test_svgp_natgrad_xi_sqrt_meanvar_converges():
+    """The XiSqrtMeanVar transform must also optimize the ELBO (smaller steps
+    than XiNat; reference natgrad tests cover both transforms)."""
+    from gpflow_tpu.optimizers import XiSqrtMeanVar
+
+    svgp = SVGP(
+        kernel=_kernel(),
+        likelihood=likelihoods.Gaussian(NOISE),
+        inducing_variable=X[::2].copy(),
+        num_latent_gps=1,
+    )
+    loss = lambda: -svgp.elbo((X, Y))
+    before = float(svgp.elbo((X, Y)))
+    # XiSqrtMeanVar takes raw natgrad steps in (mean, sqrt) coordinates and
+    # needs small steps (reference tests use gamma=0.01 with 500 iterations)
+    natgrad = NaturalGradient(gamma=0.001, xi_transform=XiSqrtMeanVar())
+    for _ in range(20):
+        natgrad.minimize(loss, [(svgp.q_mu, svgp.q_sqrt)])
+    after = float(svgp.elbo((X, Y)))
+    assert after > before + 5.0
