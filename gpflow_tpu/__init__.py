@@ -23,7 +23,7 @@ if not os.environ.get("GPFLOW_TPU_DISABLE_X64"):
 # with JAX_DEFAULT_MATMUL_PRECISION or GPFLOW_TPU_FAST_MATMUL=1.
 if (
     "JAX_DEFAULT_MATMUL_PRECISION" not in os.environ
-    and not os.environ.get("GPFLOW_TPU_FAST_MATMUL")
+    and os.environ.get("GPFLOW_TPU_FAST_MATMUL", "0") in ("0", "", "false", "False")
 ):
     _jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -379,7 +379,9 @@ class Module:
 
     @property
     def name(self) -> str:
-        return type(self).__name__.lower()
+        # honors a user-supplied name (stored by subclasses as _name);
+        # falls back to the lowercased class name like the reference
+        return getattr(self, "_name", None) or type(self).__name__.lower()
 
     @property
     def parameters(self) -> Tuple[Parameter, ...]:

@@ -167,6 +167,11 @@ class ScalarLikelihood(QuadratureLikelihood, abc.ABC):
     """Per-scalar-latent likelihoods: implements ``_scalar_log_prob`` and sums
     over the last axis (reference ``base.py:403-483``)."""
 
+    #: an observation value with finite log-prob under this likelihood, used
+    #: by SwitchedLikelihood to substitute non-selected rows (0.5 is valid for
+    #: every built-in scalar likelihood: real, positive, (0,1), count, binary)
+    safe_observation: float = 0.5
+
     def __init__(self, **kwargs: Any) -> None:
         super().__init__(input_dim=None, latent_dim=None, observation_dim=None, **kwargs)
 
@@ -194,9 +199,12 @@ class SwitchedLikelihood(ScalarLikelihood):
     datum (reference ``base.py:486-561``); see module docstring for the
     masked static-shape formulation.
 
-    Note: every sub-likelihood is evaluated on the full batch; data rows must
-    be *valid* (finite log-prob) under all sub-likelihoods, as is the case for
-    the canonical per-group-noise-Gaussian use.
+    Every sub-likelihood is evaluated on the full batch; rows belonging to
+    *other* likelihoods have their observation substituted by the evaluated
+    likelihood's ``safe_observation`` (a value with finite log-prob for every
+    built-in likelihood) and the result is selected per row with
+    ``jnp.where`` — so out-of-support observations under non-selected
+    branches can neither poison the values nor the gradients.
     """
 
     def __init__(self, likelihood_list: Iterable[ScalarLikelihood], **kwargs: Any) -> None:
@@ -207,14 +215,19 @@ class SwitchedLikelihood(ScalarLikelihood):
         args_list = [jnp.asarray(a) for a in args]
         Y = args_list[-1]
         ind = Y[..., -1].astype(jnp.int32)  # [batch...]
-        args_list[-1] = Y[..., :-1]
-        results = jnp.stack(
-            [getattr(lik, func_name)(*args_list) for lik in self.likelihoods], axis=0
-        )  # [K, batch..., (latent)]
-        mask = jax.nn.one_hot(ind, len(self.likelihoods), axis=0, dtype=results.dtype)
-        # pad mask with trailing singleton dims to match results
-        mask = mask.reshape(mask.shape + (1,) * (results.ndim - mask.ndim))
-        return jnp.sum(results * mask, axis=0)
+        Ydata = Y[..., :-1]
+        results = []
+        for k, lik in enumerate(self.likelihoods):
+            selected = (ind == k)[..., None]  # [batch..., 1]
+            safe = jnp.asarray(getattr(lik, "safe_observation", 0.5), Ydata.dtype)
+            Y_safe = jnp.where(selected, Ydata, safe)
+            results.append(getattr(lik, func_name)(*args_list[:-1], Y_safe))
+        stacked = jnp.stack(results, axis=0)  # [K, batch..., (latent)]
+        mask_bool = ind[None, ...] == jnp.arange(len(self.likelihoods)).reshape(
+            (-1,) + (1,) * ind.ndim
+        )
+        mask_bool = mask_bool.reshape(mask_bool.shape + (1,) * (stacked.ndim - mask_bool.ndim))
+        return jnp.sum(jnp.where(mask_bool, stacked, jnp.zeros((), stacked.dtype)), axis=0)
 
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return self._masked_apply([X, F, Y], "_scalar_log_prob")

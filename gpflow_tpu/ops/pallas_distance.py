@@ -44,17 +44,21 @@ def set_pallas_enabled(value: Optional[bool]) -> None:
 
 
 def pallas_available(dtype) -> bool:
+    # the kernel computes in f32 internally: float64 must NEVER route here
+    # (silent precision loss), regardless of any force-enable flag
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
+        return False
     env = os.environ.get("GPFLOW_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
     if _state["enabled"] is not None:
         return bool(_state["enabled"])
-    # auto: TPU backend and a dtype the MXU supports
+    # auto: only on the TPU backend
     try:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover
         return False
-    return backend == "tpu" and jnp.dtype(dtype) in (jnp.float32, jnp.bfloat16)
+    return backend == "tpu"
 
 
 def _rbf_block_kernel(x_ref, z_ref, xsq_ref, zsq_ref, var_ref, out_ref):

@@ -141,9 +141,16 @@ class NaturalGradient:
                     "q_sqrt: [L, M, M] (q_diag=True is not supported)."
                 )
 
+        # the cache holds a strong reference to loss_fn (inside the cached
+        # closure), so its id cannot be recycled while the entry lives —
+        # an id-keyed lookup is therefore collision-free. A fresh closure per
+        # call (e.g. a lambda created inside the training loop) recompiles
+        # every step; create the loss closure once outside the loop. The
+        # cache is capped to bound memory for that usage pattern.
         key = (id(loss_fn), tuple(id(v) for v in variables),
                tuple(type(x) for x in xis))
-        step = self._compiled_steps.get(key)
+        entry = self._compiled_steps.get(key)
+        step = entry[1] if entry is not None and entry[0] is loss_fn else None
         if step is None:
             xi_transforms = [x if x is not None else self.xi_transform for x in xis]
             transforms = [v.transform for v in variables]
@@ -174,7 +181,9 @@ class NaturalGradient:
                 return tuple(new_unc)
 
             step = jax.jit(_step)
-            self._compiled_steps[key] = step
+            if len(self._compiled_steps) >= 16:  # bound growth for per-call closures
+                self._compiled_steps.pop(next(iter(self._compiled_steps)))
+            self._compiled_steps[key] = (loss_fn, step)
 
         current = tuple(v._unconstrained for v in variables)
         new_values = step(current)

@@ -22,8 +22,61 @@ import numpy as np
 import scipy.optimize
 
 from ..base import Parameter
+from ..bijectors import TriangularMask
 
 __all__ = ["Scipy"]
+
+
+def _tril_indices(shape: Tuple[int, ...]) -> Tuple[np.ndarray, np.ndarray]:
+    n = shape[-1]
+    return np.tril_indices(n)
+
+
+class _ParameterCodec:
+    """Flattens a parameter's unconstrained value for scipy; parameters with a
+    TriangularMask transform pack only the lower-triangle entries, so L-BFGS
+    never carries the permanently-zero upper-triangle dimensions."""
+
+    def __init__(self, variables: Sequence[Parameter]) -> None:
+        self.shapes = [tuple(np.shape(v.unconstrained_variable)) for v in variables]
+        self.tril = [isinstance(v.transform, TriangularMask) for v in variables]
+        self.sizes = []
+        for shape, tri in zip(self.shapes, self.tril):
+            if tri:
+                n = shape[-1]
+                batch = int(np.prod(shape[:-2])) if shape[:-2] else 1
+                self.sizes.append(batch * n * (n + 1) // 2)
+            else:
+                self.sizes.append(int(np.prod(shape)) if shape else 1)
+
+    def encode(self, arrays: Sequence[np.ndarray]) -> np.ndarray:
+        flat = []
+        for a, shape, tri in zip(arrays, self.shapes, self.tril):
+            a = np.asarray(a, dtype=np.float64)
+            if tri:
+                rows, cols = _tril_indices(shape)
+                flat.append(a[..., rows, cols].reshape(-1))
+            else:
+                flat.append(a.reshape(-1))
+        if not flat:
+            return np.zeros((0,), dtype=np.float64)
+        return np.concatenate(flat)
+
+    def decode(self, x: np.ndarray) -> List[np.ndarray]:
+        out = []
+        i = 0
+        for shape, tri, size in zip(self.shapes, self.tril, self.sizes):
+            chunk = x[i : i + size]
+            i += size
+            if tri:
+                n = shape[-1]
+                rows, cols = _tril_indices(shape)
+                full = np.zeros(shape, dtype=np.float64)
+                full[..., rows, cols] = chunk.reshape(shape[:-2] + (len(rows),))
+                out.append(full)
+            else:
+                out.append(chunk.reshape(shape))
+        return out
 
 LossClosure = Callable[[], jax.Array]
 StepCallback = Callable[[int, Sequence[Parameter], Sequence[np.ndarray]], None]
@@ -58,11 +111,15 @@ class Scipy:
         if not all(isinstance(v, Parameter) for v in variables):
             raise TypeError("The 'variables' argument is expected to only contain Parameters.")
 
-        initial_params = self.initial_parameters(variables)
+        codec = _ParameterCodec(variables)
+        initial_params = codec.encode(
+            [np.asarray(v.unconstrained_variable) for v in variables]
+        )
 
         func = self.eval_func(
             closure,
             variables,
+            codec,
             compile=compile,
             allow_unused_variables=allow_unused_variables,
             step_callback=step_callback,
@@ -72,23 +129,26 @@ class Scipy:
             func, initial_params, jac=True, method=method, **scipy_kwargs
         )
         # assign the optimum back into the parameters
-        _assign_from_flat(variables, result.x)
+        for v, val in zip(variables, codec.decode(np.asarray(result.x))):
+            v.assign_unconstrained(jnp.asarray(val, dtype=v.dtype))
         return result
 
     def initial_parameters(self, variables: Sequence[Parameter]) -> np.ndarray:
-        return _pack(
-            [np.asarray(v.unconstrained_variable, dtype=np.float64) for v in variables]
+        return _ParameterCodec(variables).encode(
+            [np.asarray(v.unconstrained_variable) for v in variables]
         )
 
     def eval_func(
         self,
         closure: LossClosure,
         variables: Sequence[Parameter],
+        codec: Optional[_ParameterCodec] = None,
         compile: bool = True,
         allow_unused_variables: bool = False,
         step_callback: Optional[StepCallback] = None,
     ) -> Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]]:
-        shapes = [tuple(np.shape(v.unconstrained_variable)) for v in variables]
+        if codec is None:
+            codec = _ParameterCodec(variables)
         dtypes = [v.dtype for v in variables]
 
         def loss_fn(unconstrained: Tuple[jax.Array, ...]) -> jax.Array:
@@ -110,7 +170,7 @@ class Scipy:
         def _eval(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
             unconstrained = tuple(
                 jnp.asarray(u, dtype=d)
-                for u, d in zip(_unpack(x, shapes), dtypes)
+                for u, d in zip(codec.decode(np.asarray(x)), dtypes)
             )
             loss, grads = value_and_grad(unconstrained)
             grad_arrays = [np.asarray(g, dtype=np.float64) for g in grads]
@@ -120,28 +180,8 @@ class Scipy:
                 values = [np.asarray(u) for u in unconstrained]
                 step_callback(step[0], variables, values)
             step[0] += 1
-            return np.asarray(loss, dtype=np.float64), _pack(grad_arrays)
+            return np.asarray(loss, dtype=np.float64), codec.encode(grad_arrays)
 
         return _eval
 
 
-def _pack(arrays: List[np.ndarray]) -> np.ndarray:
-    if not arrays:
-        return np.zeros((0,), dtype=np.float64)
-    return np.concatenate([np.reshape(a, (-1,)) for a in arrays])
-
-
-def _unpack(x: np.ndarray, shapes: Sequence[Tuple[int, ...]]) -> List[np.ndarray]:
-    out = []
-    i = 0
-    for shape in shapes:
-        size = int(np.prod(shape)) if shape else 1
-        out.append(np.reshape(x[i : i + size], shape))
-        i += size
-    return out
-
-
-def _assign_from_flat(variables: Sequence[Parameter], x: np.ndarray) -> None:
-    shapes = [tuple(np.shape(v.unconstrained_variable)) for v in variables]
-    for v, val in zip(variables, _unpack(np.asarray(x), shapes)):
-        v.assign_unconstrained(jnp.asarray(val, dtype=v.dtype))

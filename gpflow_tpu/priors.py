@@ -113,7 +113,8 @@ class HalfNormal(Prior):
 
     def log_prob(self, x: jax.Array) -> jax.Array:
         var = jnp.asarray(self.scale, x.dtype) ** 2
-        return jnp.log(2.0) + logdensities.gaussian(x, jnp.zeros((), x.dtype), var)
+        density = jnp.log(2.0) + logdensities.gaussian(x, jnp.zeros((), x.dtype), var)
+        return jnp.where(x >= 0, density, -jnp.inf)
 
 
 @dataclasses.dataclass(frozen=True)

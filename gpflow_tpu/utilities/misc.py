@@ -64,42 +64,52 @@ def training_loop(
     compile: bool = False,
     learning_rate: float = 0.01,
 ) -> None:
-    """Simple Adam training loop over a model loss closure
-    (reference ``misc.py:76-109``). ``closure`` must be a bound
-    ``model.training_loss``-style callable; optimization runs on the
-    unconstrained leaves of ``var_list`` via optax.
+    """Simple Adam training loop over a loss closure
+    (reference ``misc.py:76-109``). ``closure`` is any zero-argument callable
+    returning the loss and reading the current values of ``var_list`` (e.g.
+    ``model.training_loss``, ``model.training_loss_closure(data)``, or a
+    lambda). ``var_list`` defaults to the closure's bound object's trainable
+    parameters when the closure is a bound method.
     """
     import optax
 
-    model = getattr(closure, "__self__", None)
-    if model is None:
-        raise ValueError("training_loop expects a bound method like model.training_loss")
-    params = tuple(var_list) if var_list is not None else model.trainable_parameters
+    if var_list is not None:
+        params = tuple(var_list)
+    else:
+        model = getattr(closure, "__self__", None)
+        if model is None:
+            raise ValueError(
+                "training_loop needs `var_list` when `closure` is not a bound "
+                "method (it cannot infer which parameters to optimize)"
+            )
+        params = tuple(model.trainable_parameters)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
-    leaves, treedef = jax.tree_util.tree_flatten(model)
-    param_ids = [id(p.unconstrained_variable) for p in params]
-    train_idx = [i for i, l in enumerate(leaves) if id(l) in param_ids]
+    def loss_fn(unconstrained):
+        # functionalize the closure by temporarily swapping parameter values
+        # (same technique as optimizers.Scipy)
+        originals = [p._unconstrained for p in params]
+        try:
+            for p, u in zip(params, unconstrained):
+                p._unconstrained = u
+            return closure()
+        finally:
+            for p, o in zip(params, originals):
+                p._unconstrained = o
 
-    def loss_fn(train_leaves, all_leaves):
-        all_leaves = list(all_leaves)
-        for i, v in zip(train_idx, train_leaves):
-            all_leaves[i] = v
-        m = jax.tree_util.tree_unflatten(treedef, all_leaves)
-        return m.training_loss()
+    value_and_grad = jax.value_and_grad(loss_fn)
+    if compile:
+        value_and_grad = jax.jit(value_and_grad)
 
     @jax.jit
-    def step(train_leaves, opt_state, all_leaves):
-        loss, grads = jax.value_and_grad(loss_fn)(train_leaves, all_leaves)
-        updates, opt_state = opt.update(grads, opt_state, train_leaves)
-        train_leaves = optax.apply_updates(train_leaves, updates)
-        return train_leaves, opt_state, loss
+    def apply(unconstrained, grads, opt_state):
+        updates, opt_state = opt.update(grads, opt_state, unconstrained)
+        return optax.apply_updates(unconstrained, updates), opt_state
 
-    train_leaves = [leaves[i] for i in train_idx]
-    opt_state = opt.init(train_leaves)
+    unconstrained = tuple(p._unconstrained for p in params)
+    opt_state = opt.init(unconstrained)
     for _ in range(maxiter):
-        train_leaves, opt_state, _loss = step(train_leaves, opt_state, leaves)
-        for i, v in zip(train_idx, train_leaves):
-            leaves[i] = v
-    for p, v in zip(params, (leaves[i] for i in train_idx)):
-        p.assign_unconstrained(v)
+        _loss, grads = value_and_grad(unconstrained)
+        unconstrained, opt_state = apply(unconstrained, grads, opt_state)
+    for p, u in zip(params, unconstrained):
+        p.assign_unconstrained(u)

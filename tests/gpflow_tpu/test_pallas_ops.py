@@ -61,6 +61,8 @@ def test_set_pallas_enabled_override():
     set_pallas_enabled(True)
     try:
         assert pallas_available(jnp.float32)
+        # f64 must never route through the f32 kernel, even when forced
+        assert not pallas_available(jnp.float64)
     finally:
         set_pallas_enabled(None)
 
