@@ -12,20 +12,31 @@ import jax as _jax
 # The reference defaults to float64 numerics (gpflow/config/__config__.py:98);
 # we enable x64 support so the default_float()=float64 configuration works.
 # Opt out (e.g. for pure bf16/f32 benchmark runs) with GPFLOW_TPU_DISABLE_X64=1.
-if not os.environ.get("GPFLOW_TPU_DISABLE_X64"):
+if os.environ.get("GPFLOW_TPU_DISABLE_X64", "0") in ("0", "", "false", "False"):
     _jax.config.update("jax_enable_x64", True)
 
 # On TPU, f32 matmuls default to bf16 input precision (~3e-3 relative error).
 # GP numerics pivot on cancellation-heavy quantities (pairwise distances,
 # Kff - A^T A diagonals, Cholesky inputs), where bf16 rounding produces
 # indefinite covariances and NaN gradients. Force full-precision f32 matmuls
-# (3/6-pass bf16 on the MXU) library-wide; opt out for raw-speed experiments
-# with JAX_DEFAULT_MATMUL_PRECISION or GPFLOW_TPU_FAST_MATMUL=1.
-if (
-    "JAX_DEFAULT_MATMUL_PRECISION" not in os.environ
-    and os.environ.get("GPFLOW_TPU_FAST_MATMUL", "0") in ("0", "", "false", "False")
-):
-    _jax.config.update("jax_default_matmul_precision", "highest")
+# (6-pass bf16 on the MXU) library-wide; opt out for raw-speed experiments
+# with JAX_DEFAULT_MATMUL_PRECISION or GPFLOW_TPU_FAST_MATMUL:
+#   0 (default) -> "highest": exact f32, safe for every model/likelihood.
+#   high        -> "high" (3-pass bf16, ~1e-5 rel err): keeps quadrature
+#                  likelihoods and natural-gradient training stable at
+#                  M>=1024 while recovering most of the MXU throughput.
+#   1           -> raw bf16-input matmuls: fastest; intended for the
+#                  Gaussian-likelihood ELBO path, where the predictive
+#                  variance enters linearly and rounding never NaNs. With
+#                  quadrature/Monte-Carlo likelihoods at large M the
+#                  variance cancellation can go negative -- quadrature
+#                  clamps it, but prefer `high` there.
+if "JAX_DEFAULT_MATMUL_PRECISION" not in os.environ:
+    _fast = os.environ.get("GPFLOW_TPU_FAST_MATMUL", "0")
+    if _fast in ("0", "", "false", "False"):
+        _jax.config.update("jax_default_matmul_precision", "highest")
+    elif _fast == "high":
+        _jax.config.update("jax_default_matmul_precision", "high")
 
 from . import bijectors, ci_utils, config, logdensities, priors, utilities
 from .base import Module, Parameter, PriorOn, TensorType

@@ -66,6 +66,12 @@ def _default(value: _Values) -> Any:
     (reference ``__config__.py:95-104``: float64, jitter 1e-6, softplus, ...)."""
     rv = os.getenv(value.env_name)
     if rv is None:
+        if value is _Values.JITTER:
+            # The reference default 1e-6 assumes float64. In float32 a
+            # well-conditioned M~1000 RBF Gram matrix routinely has min
+            # eigenvalue below -1e-5 after rounding, so Cholesky fails and
+            # every downstream quantity is NaN; 1e-4 is the working default.
+            return 1e-6 if _default(_Values.FLOAT) == np.float64 else 1e-4
         return {
             _Values.INT: np.int32,
             _Values.FLOAT: np.float64,
@@ -73,7 +79,6 @@ def _default(value: _Values) -> Any:
             _Values.POSITIVE_MINIMUM: 0.0,
             _Values.LIKELIHOOD_POSITIVE_MINIMUM: 1e-6,
             _Values.SUMMARY_FMT: "fancy_grid",
-            _Values.JITTER: 1e-6,
         }[value]
     if value in (_Values.INT, _Values.FLOAT):
         return np.dtype(rv).type
@@ -158,12 +163,21 @@ def set_default_float(value_type: Any) -> None:
     dtype = np.dtype(value_type).type
     if not np.issubdtype(dtype, np.floating):
         raise TypeError(f"{value_type} is not a float dtype")
-    _replace(float=dtype)
+    kwargs: dict = {"float": dtype}
+    if not _jitter_explicit:
+        # keep the dtype-matched jitter default unless the user pinned one
+        kwargs["jitter"] = 1e-6 if dtype == np.float64 else 1e-4
+    _replace(**kwargs)
+
+
+_jitter_explicit = os.getenv(_Values.JITTER.env_name) is not None
 
 
 def set_default_jitter(value: float) -> None:
+    global _jitter_explicit
     if value < 0:
         raise ValueError("Jitter must be non-negative")
+    _jitter_explicit = True
     _replace(jitter=float(value))
 
 

@@ -246,7 +246,18 @@ class NaturalGradient:
         xi1, xi2 = xi_transform.meanvarsqrt_to_xi(q_mu_value, q_sqrt_value)
         xi1_new = xi1 - self.gamma * nat_dL_xi1
         xi2_new = xi2 - self.gamma * nat_dL_xi2
-        return xi_transform.xi_to_meanvarsqrt(xi1_new, xi2_new)
+        mean_new, varsqrt_new = xi_transform.xi_to_meanvarsqrt(xi1_new, xi2_new)
+        # Step rejection: a stochastic natural-gradient step can push nat2 out
+        # of the negative-definite cone (especially while another optimizer is
+        # simultaneously moving the hyperparameters), making the conversion's
+        # Cholesky — and then the entire training state — NaN. The reference
+        # crashes there; instead keep (q_mu, q_sqrt) unchanged for this step
+        # and let the next minibatch retry. Branch-free, so it stays one fused
+        # XLA program under jit/scan.
+        ok = jnp.isfinite(mean_new).all() & jnp.isfinite(varsqrt_new).all()
+        mean_new = jnp.where(ok, mean_new, q_mu_value)
+        varsqrt_new = jnp.where(ok, varsqrt_new, q_sqrt_value)
+        return mean_new, varsqrt_new
 
     def _natgrad_apply_gradients(
         self,
@@ -337,21 +348,45 @@ def _inverse_lower_triangular(M: jax.Array) -> jax.Array:
     return solve_triangular(M, I_dnn, lower=True)
 
 
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Full-precision matmul for the conversion algebra: these [M, M]
+    products feed Cholesky factorizations, where fast (bf16-input) matmul
+    rounding makes the results indefinite in f32 (cancellation in
+    eta2 - mu mu^T and S^-1 constructions). Cost is negligible next to the
+    [M, B] data terms."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _sym_jitter(A: jax.Array) -> jax.Array:
+    """Symmetrize (+ relative jitter in low precision) before Cholesky: the
+    natgrad conversions are exact in f64, but in f32 accumulated rounding can
+    push the intermediate covariances marginally indefinite. The jitter is
+    relative to the mean diagonal so it is scale-invariant, and zero in f64
+    so the gamma=1 Gaussian-likelihood exactness property is untouched."""
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    if A.dtype == jnp.float64:
+        return A
+    n = A.shape[-1]
+    scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1)
+    eps = 1e-5 * scale[..., None, None]
+    return A + eps * jnp.eye(n, dtype=A.dtype)
+
+
 @swap_dimensions
 def natural_to_meanvarsqrt(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    var_sqrt_inv = jnp.linalg.cholesky(-2 * nat2)
+    var_sqrt_inv = jnp.linalg.cholesky(_sym_jitter(-2 * nat2))
     var_sqrt = _inverse_lower_triangular(var_sqrt_inv)
-    S = jnp.matmul(jnp.swapaxes(var_sqrt, -1, -2), var_sqrt)
-    mu = jnp.matmul(S, nat1)
+    S = _mm(jnp.swapaxes(var_sqrt, -1, -2), var_sqrt)
+    mu = _mm(S, nat1)
     # need S = L L^T, not L^T L => another cholesky
-    return mu, jnp.linalg.cholesky(S)
+    return mu, jnp.linalg.cholesky(_sym_jitter(S))
 
 
 @swap_dimensions
 def meanvarsqrt_to_natural(mu: jax.Array, s_sqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
     s_sqrt_inv = _inverse_lower_triangular(s_sqrt)
-    s_inv = jnp.matmul(jnp.swapaxes(s_sqrt_inv, -1, -2), s_sqrt_inv)
-    return jnp.matmul(s_inv, mu), -0.5 * s_inv
+    s_inv = _mm(jnp.swapaxes(s_sqrt_inv, -1, -2), s_sqrt_inv)
+    return _mm(s_inv, mu), -0.5 * s_inv
 
 
 @swap_dimensions
@@ -370,11 +405,11 @@ def expectation_to_natural(eta1: jax.Array, eta2: jax.Array) -> Tuple[jax.Array,
 
 @swap_dimensions
 def expectation_to_meanvarsqrt(eta1: jax.Array, eta2: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    var = eta2 - jnp.matmul(eta1, jnp.swapaxes(eta1, -1, -2))
-    return eta1, jnp.linalg.cholesky(var)
+    var = eta2 - _mm(eta1, jnp.swapaxes(eta1, -1, -2))
+    return eta1, jnp.linalg.cholesky(_sym_jitter(var))
 
 
 @swap_dimensions
 def meanvarsqrt_to_expectation(m: jax.Array, v_sqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    v = jnp.matmul(v_sqrt, jnp.swapaxes(v_sqrt, -1, -2))
-    return m, v + jnp.matmul(m, jnp.swapaxes(m, -1, -2))
+    v = _mm(v_sqrt, jnp.swapaxes(v_sqrt, -1, -2))
+    return m, v + _mm(m, jnp.swapaxes(m, -1, -2))

@@ -41,64 +41,133 @@ class DataParallelTrainer:
         mesh=None,
         axis_name: str = DEFAULT_AXIS,
         donate: bool = True,
+        natgrad_gamma: Optional[float] = None,
     ) -> None:
+        """:param natgrad_gamma: if set and the model has full-covariance
+        (q_mu, q_sqrt) variational parameters, each step first takes a
+        natural-gradient step of this size on them (inside the same jitted
+        program), and the gradient optimizer handles only the remaining
+        parameters — the canonical natgrad+Adam recipe, sharded.
+
+        In f32, run this path with ``GPFLOW_TPU_FAST_MATMUL`` unset or
+        ``=high``: raw bf16 matmuls (``=1``) corrupt the predictive-variance
+        cancellation at M>=1024, which quadrature likelihoods turn into a
+        clamped (zero-variance) integrand. Non-finite natgrad steps are
+        rejected in-graph (see ``NaturalGradient._natgrad_values``), so a
+        too-large gamma stalls q-updates rather than NaN-ing the run."""
         import optax
 
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
         self.axis_name = axis_name
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-2)
+        self.natgrad_gamma = natgrad_gamma
 
         leaves, treedef = jax.tree_util.tree_flatten(model)
         self._treedef = treedef
-        train_ids = {id(p.unconstrained_variable) for p in model.trainable_parameters}
+        train_params = list(model.trainable_parameters)
+        natgrad_idx: Tuple[int, ...] = ()
+        if natgrad_gamma is not None:
+            q_mu = getattr(model, "q_mu", None)
+            q_sqrt = getattr(model, "q_sqrt", None)
+            if q_mu is None or q_sqrt is None or q_sqrt.value.ndim != 3:
+                raise ValueError(
+                    "natgrad_gamma requires the model to have q_mu and a "
+                    "full-covariance q_sqrt ([L, M, M])"
+                )
+            variational_ids = {id(q_mu.unconstrained_variable), id(q_sqrt.unconstrained_variable)}
+            train_params = [
+                p for p in train_params
+                if id(p.unconstrained_variable) not in variational_ids
+            ]
+            natgrad_idx = tuple(
+                i for i, l in enumerate(leaves)
+                for target in (q_mu, q_sqrt)
+                if l is target.unconstrained_variable
+            )
+            # order as (q_mu, q_sqrt)
+            natgrad_idx = (
+                next(i for i, l in enumerate(leaves) if l is q_mu.unconstrained_variable),
+                next(i for i, l in enumerate(leaves) if l is q_sqrt.unconstrained_variable),
+            )
+            self._natgrad_transforms = (q_mu.transform, q_sqrt.transform)
+        self._natgrad_idx = natgrad_idx
+
+        train_ids = {id(p.unconstrained_variable) for p in train_params}
         self._train_idx = tuple(i for i, l in enumerate(leaves) if id(l) in train_ids)
-        if not self._train_idx:
+        if not self._train_idx and not natgrad_idx:
             raise ValueError("Model has no trainable parameters")
 
         rep = replicated(self.mesh)
         self._batch_sharding = shard_batch(self.mesh, axis_name)
         self._leaves = [jax.device_put(jnp.asarray(l), rep) for l in leaves]
         self.params = tuple(self._leaves[i] for i in self._train_idx)
+        self.vparams = tuple(self._leaves[i] for i in natgrad_idx)
         self.opt_state = jax.device_put(self.optimizer.init(self.params), rep)
 
         train_idx = self._train_idx
         optimizer_ = self.optimizer
 
-        def loss_fn(params, leaves, batch):
+        if natgrad_gamma is not None:
+            from ..optimizers.natgrad import NaturalGradient
+
+            natgrad_ = NaturalGradient(gamma=natgrad_gamma)
+            mu_t, sq_t = self._natgrad_transforms
+
+        def loss_fn(params, vparams, leaves, batch):
             leaves = list(leaves)
             for i, p in zip(train_idx, params):
+                leaves[i] = p
+            for i, p in zip(natgrad_idx, vparams):
                 leaves[i] = p
             m = jax.tree_util.tree_unflatten(treedef, leaves)
             return m._training_loss(batch)
 
-        donate_argnums = (0, 1) if donate else ()
+        donate_argnums = (0, 1, 2) if donate else ()
 
         @jax.jit
-        def _eval_loss(params, leaves, batch):
-            return loss_fn(params, leaves, batch)
+        def _eval_loss(params, vparams, leaves, batch):
+            return loss_fn(params, vparams, leaves, batch)
 
         self._eval_loss = _eval_loss
 
-        def train_step(params, opt_state, leaves, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, leaves, batch)
-            updates, opt_state = optimizer_.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return params, opt_state, loss
+        def train_step(params, vparams, opt_state, leaves, batch):
+            if natgrad_idx:
+                # natural-gradient step on (q_mu, q_sqrt) at current hypers
+                vgrads = jax.grad(
+                    lambda vp: loss_fn(params, vp, leaves, batch)
+                )(vparams)
+                mean_new, varsqrt_new = natgrad_._natgrad_values(
+                    vgrads[0], vgrads[1],
+                    mu_t.forward(vparams[0]), sq_t.forward(vparams[1]),
+                    mu_t, sq_t, natgrad_.xi_transform,
+                )
+                vparams = (mu_t.inverse(mean_new), sq_t.inverse(varsqrt_new))
+            if train_idx:
+                loss, grads = jax.value_and_grad(loss_fn)(params, vparams, leaves, batch)
+                updates, opt_state = optimizer_.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            else:
+                loss = loss_fn(params, vparams, leaves, batch)
+            return params, vparams, opt_state, loss
 
         self._train_step = jax.jit(train_step, donate_argnums=donate_argnums)
 
-        def multi_step(params, opt_state, leaves, batches):
+        def multi_step(params, vparams, opt_state, leaves, batches):
             """K steps in one device dispatch via lax.scan — amortizes the
             host->device round trip (dominant on remote-attached TPUs)."""
 
             def body(carry, batch):
-                params, opt_state = carry
-                params, opt_state, loss = train_step(params, opt_state, leaves, batch)
-                return (params, opt_state), loss
+                params, vparams, opt_state = carry
+                params, vparams, opt_state, loss = train_step(
+                    params, vparams, opt_state, leaves, batch
+                )
+                return (params, vparams, opt_state), loss
 
-            (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), batches)
-            return params, opt_state, losses
+            (params, vparams, opt_state), losses = jax.lax.scan(
+                body, (params, vparams, opt_state), batches
+            )
+            return params, vparams, opt_state, losses
 
         self._multi_step = jax.jit(multi_step, donate_argnums=donate_argnums)
 
@@ -112,8 +181,8 @@ class DataParallelTrainer:
         """One optimization step; returns the (device-resident scalar) loss."""
         if not presharded:
             batch = self.shard(batch)
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, self._leaves, batch
+        self.params, self.vparams, self.opt_state, loss = self._train_step(
+            self.params, self.vparams, self.opt_state, self._leaves, batch
         )
         return loss
 
@@ -133,20 +202,22 @@ class DataParallelTrainer:
         mesh). Returns the per-step losses [K]."""
         if not presharded:
             batches = self.shard_stacked(batches)
-        self.params, self.opt_state, losses = self._multi_step(
-            self.params, self.opt_state, self._leaves, batches
+        self.params, self.vparams, self.opt_state, losses = self._multi_step(
+            self.params, self.vparams, self.opt_state, self._leaves, batches
         )
         return losses
 
     def loss(self, batch: Tuple[Any, ...], presharded: bool = False) -> jax.Array:
         if not presharded:
             batch = self.shard(batch)
-        return self._eval_loss(self.params, self._leaves, batch)
+        return self._eval_loss(self.params, self.vparams, self._leaves, batch)
 
     def finalize(self) -> None:
         """Writes the optimized parameter values back into the model."""
         for i, p in zip(self._train_idx, self.params):
             self._leaves[i] = p
+        for i, p in zip(self._natgrad_idx, self.vparams):
+            self._leaves[i] = p
         updated = jax.tree_util.tree_unflatten(self._treedef, self._leaves)
-        for target, source in zip(self.model.trainable_parameters, updated.trainable_parameters):
+        for target, source in zip(self.model.parameters, updated.parameters):
             target.assign_unconstrained(source.unconstrained_variable)

@@ -84,7 +84,10 @@ def ndiag_mc(
     N, D = Fmu.shape[0], Fmu.shape[-1]
     if epsilon is None:
         epsilon = jax.random.normal(jax.random.PRNGKey(0), (S, N, D), dtype=Fmu.dtype)
-    mc_x = Fmu[None, :, :] + jnp.sqrt(Fvar[None, :, :]) * epsilon
+    # clamp as in NDiagGHQuadrature._build_X_W: reduced-precision modes can
+    # round the variance slightly negative.
+    std = jnp.sqrt(jnp.maximum(Fvar, jnp.zeros((), Fvar.dtype)))
+    mc_x = Fmu[None, :, :] + std[None, :, :] * epsilon
     mc_Xr = mc_x.reshape(S * N, D)
     Ys_r = {name: jnp.tile(Y, (S, 1)) for name, Y in Ys.items()}
 

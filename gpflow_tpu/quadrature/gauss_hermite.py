@@ -61,6 +61,11 @@ class NDiagGHQuadrature(GaussianQuadrature):
         shape_W = (self.n_gh_total,) + (1,) * batch_ndim + (1,)
         Z = jnp.asarray(self.Z, dtype).reshape(shape_Z)
         W = jnp.asarray(self.dZ, dtype).reshape(shape_W)
-        stddev = jnp.sqrt(var)
+        # Clamp to zero: reduced-precision matmul modes (see
+        # GPFLOW_TPU_FAST_MATMUL in gpflow_tpu/__init__.py) can round the
+        # predictive-variance cancellation slightly negative; sqrt of that
+        # would poison the whole ELBO with NaN, whereas clamping degrades
+        # gracefully to evaluating the integrand at the mean.
+        stddev = jnp.sqrt(jnp.maximum(var, jnp.zeros((), var.dtype)))
         X = mean[None] + stddev[None] * Z
         return X, W

@@ -88,3 +88,37 @@ def test_batch_actually_sharded():
     sharding = shard_batch(mesh)
     xb = jax.device_put(jnp.asarray(X), sharding)
     assert len(xb.sharding.device_set) == 8
+
+
+def test_sharded_natgrad_adam_classification():
+    """natgrad_gamma: the natural-gradient step on (q_mu, q_sqrt) runs inside
+    the same jitted sharded program as the Adam step on hyperparameters."""
+    from gpflow_tpu import likelihoods as lk
+
+    rngc = np.random.RandomState(1)
+    Nc = 256
+    Xc = rngc.randn(Nc, 2)
+    p = 1 / (1 + np.exp(-(np.sin(2 * Xc[:, 0]) + Xc[:, 1])))
+    Yc = (rngc.rand(Nc) < p).astype(float)[:, None]
+    model = SVGP(
+        kernel=kernels.SquaredExponential(),
+        likelihood=lk.Bernoulli(),
+        inducing_variable=Xc[:16].copy(),
+        num_data=Nc,
+    )
+    trainer = DataParallelTrainer(
+        model, optimizer=optax.adam(0.03), natgrad_gamma=0.3
+    )
+    before = float(trainer.loss((Xc, Yc)))
+    xs = np.stack([Xc] * 10)
+    ys = np.stack([Yc] * 10)
+    losses = trainer.run_steps((xs, ys))
+    after = float(np.asarray(losses)[-1])
+    assert np.isfinite(after)
+    assert after < before - 5
+    trainer.finalize()
+    np.testing.assert_allclose(
+        float(model.training_loss((Xc, Yc))), float(trainer.loss((Xc, Yc))), rtol=1e-8
+    )
+    # q_mu must have been moved by the natgrad step
+    assert np.abs(model.q_mu.numpy()).max() > 1e-3
