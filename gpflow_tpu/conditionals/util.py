@@ -19,6 +19,7 @@ from jax.scipy.linalg import solve_triangular
 
 from ..base import MeanAndVariance
 from ..config import default_float, default_jitter
+from ..ops.linalg import chol_and_inverse, triangular_inverse
 from ..utilities.ops import leading_transpose
 
 __all__ = [
@@ -69,6 +70,14 @@ def base_conditional(
     f: [M, R], q_sqrt: [M, R] (diag) or [R, M, M] (tril).
     Returns mean [batch..., N, R] and var [batch..., R, N, N] / [batch..., N, R].
     """
+    if _use_inv_solve() and Kmn.shape[-1] > Kmm.shape[-1]:
+        # TPU fast path: fuse the factorization so the Cholesky's backward
+        # pass reuses L^-1 and becomes matmul-only (see ops/linalg.py).
+        Lm, Lm_inv = chol_and_inverse(Kmm)
+        return base_conditional_with_lm(
+            Kmn=Kmn, Lm=Lm, Knn=Knn, f=f, full_cov=full_cov, q_sqrt=q_sqrt,
+            white=white, Lm_inv=Lm_inv,
+        )
     Lm = jnp.linalg.cholesky(Kmm)
     return base_conditional_with_lm(
         Kmn=Kmn, Lm=Lm, Knn=Knn, f=f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
@@ -84,9 +93,12 @@ def base_conditional_with_lm(
     full_cov: bool = False,
     q_sqrt: Optional[jax.Array] = None,
     white: bool = False,
+    Lm_inv: Optional[jax.Array] = None,
 ) -> MeanAndVariance:
     """As base_conditional but takes the precomputed Cholesky Lm
-    (reference ``util.py:73-169``)."""
+    (reference ``util.py:73-169``). ``Lm_inv`` optionally supplies a
+    precomputed ``Lm^-1`` (e.g. from ``ops.linalg.chol_and_inverse``) for the
+    GPFLOW_TPU_INV_SOLVE fast path."""
     Kmn = jnp.asarray(Kmn)
     f = jnp.asarray(f)
     num_func = f.shape[-1]  # R
@@ -100,12 +112,16 @@ def base_conditional_with_lm(
     leading_dims = Kmn.shape[:-2]
 
     Lm_b = jnp.broadcast_to(Lm, leading_dims + Lm.shape)  # [..., M, M]
-    if _use_inv_solve() and N > M:
+    if Lm_inv is not None:
+        Lm_inv = jnp.broadcast_to(Lm_inv, leading_dims + Lm_inv.shape[-2:])
+        A = jnp.matmul(Lm_inv, Kmn)  # [..., M, N]
+    elif _use_inv_solve() and N > M:
         # TPU fast path: triangular solves with wide right-hand sides are
         # slower than matmuls on the MXU. Invert L once ([M, M] solve, 4x
         # cheaper than the [M, N] solve when N >> M) and turn the projection
-        # and its backward pass into pure matmuls.
-        Lm_inv = solve_triangular(Lm_b, jnp.eye(M, dtype=Lm.dtype), lower=True)
+        # and its backward pass into pure matmuls (triangular_inverse has a
+        # matmul-only custom VJP).
+        Lm_inv = triangular_inverse(Lm_b)
         A = jnp.matmul(Lm_inv, Kmn)  # [..., M, N]
     else:
         Lm_inv = None
