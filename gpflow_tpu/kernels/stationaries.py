@@ -66,6 +66,18 @@ class IsotropicStationary(Stationary):
     """
 
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
+        family = _PALLAS_EXACT_TYPES.get(type(self))  # exact type: a subclass
+        # overriding K_r/K_r2 must never be silently routed past its override
+        if family is not None:
+            from ..ops.pallas_distance import pallas_available, stationary_kernel_matrix
+
+            Xa = jnp.asarray(X)
+            X2a = None if X2 is None else jnp.asarray(X2)
+            if pallas_available(Xa.dtype) and Xa.ndim == 2 and (X2a is None or X2a.ndim == 2):
+                Z = Xa if X2a is None else X2a
+                return stationary_kernel_matrix(
+                    Xa, Z, self.lengthscales.value, jnp.squeeze(self.variance.value), family
+                )
         r2 = self.scaled_squared_euclid_dist(X, X2)
         return self.K_r2(r2)
 
@@ -112,25 +124,10 @@ class SquaredExponential(IsotropicStationary):
     """RBF: k(r) = sigma^2 exp(-r^2/2) (reference ``stationaries.py:195-210``).
 
     On TPU with f32/bf16 the full K matrix is computed by a fused Pallas tile
-    kernel (``gpflow_tpu.ops.rbf_kernel_matrix``): cross terms on the MXU,
-    norm corrections + exp fused in VMEM, gradients as matmuls via custom VJP.
+    kernel (``gpflow_tpu.ops.stationary_kernel_matrix``, routed via
+    ``_PALLAS_EXACT_TYPES``): cross terms on the MXU, norm corrections + exp
+    fused in VMEM, gradients as matmuls via custom VJP.
     """
-
-    def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
-        from ..ops.pallas_distance import pallas_available, rbf_kernel_matrix
-
-        X = jnp.asarray(X)
-        X2a = None if X2 is None else jnp.asarray(X2)
-        if (
-            pallas_available(X.dtype)
-            and X.ndim == 2
-            and (X2a is None or X2a.ndim == 2)
-        ):
-            Z = X if X2a is None else X2a
-            return rbf_kernel_matrix(
-                X, Z, self.lengthscales.value, jnp.squeeze(self.variance.value)
-            )
-        return super().K(X, X2)
 
     def K_r2(self, r2: jax.Array) -> jax.Array:
         return self.variance * jnp.exp(-0.5 * r2)
@@ -190,3 +187,15 @@ class Cosine(AnisotropicStationary):
     def K_d(self, d: jax.Array) -> jax.Array:
         d = jnp.sum(d, axis=-1)
         return self.variance * jnp.cos(2 * np.pi * d)
+
+
+# Isotropic kernels whose K matrix routes to the fused Pallas tile kernel on
+# TPU (f32/bf16, 2-D inputs). Keyed by EXACT type so user subclasses that
+# override K_r/K_r2 keep their own math.
+_PALLAS_EXACT_TYPES = {
+    SquaredExponential: "rbf",
+    Exponential: "exponential",
+    Matern12: "matern12",
+    Matern32: "matern32",
+    Matern52: "matern52",
+}

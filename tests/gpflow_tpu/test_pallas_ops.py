@@ -83,3 +83,93 @@ def test_squared_exponential_uses_pallas_when_forced():
         _rbf_pallas_forward(Xs, Xs, jnp.asarray(1.0, jnp.float32), interpret=True)
     )
     np.testing.assert_allclose(K_pallas, K_xla, rtol=2e-4, atol=1e-5)
+
+
+# --- stationary family generalization ---------------------------------------
+
+from gpflow_tpu.ops.pallas_distance import (
+    PALLAS_FAMILIES,
+    _stationary_bwd_from_w,
+    _stationary_pallas_forward,
+    _stationary_pallas_wgrad,
+    _tail_grad,
+    _tail_value,
+)
+
+
+def _xla_family(family, Xs, Zs, var):
+    d2 = jnp.sum((Xs[:, None, :] - Zs[None, :, :]) ** 2, -1)
+    return var * _tail_value(family, d2)
+
+
+@pytest.mark.parametrize("family", PALLAS_FAMILIES)
+def test_pallas_family_forward_matches_xla(family):
+    N, M, D = 33, 21, 4
+    Xs = jnp.asarray(rng.randn(N, D), jnp.float32)
+    Zs = jnp.asarray(rng.randn(M, D), jnp.float32)
+    var = jnp.asarray(1.7, jnp.float32)
+    K = np.asarray(_stationary_pallas_forward(family, Xs, Zs, var, interpret=True))
+    expected = np.asarray(_xla_family(family, Xs, Zs, var))
+    np.testing.assert_allclose(K, expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("family", PALLAS_FAMILIES)
+def test_pallas_family_vjp_matches_autodiff(family):
+    N, M, D = 14, 11, 3
+    Xs = jnp.asarray(rng.randn(N, D), jnp.float32)
+    Zs = jnp.asarray(rng.randn(M, D) + 3.0, jnp.float32)  # keep r away from 0
+    var = jnp.asarray(1.3, jnp.float32)
+    g = jnp.asarray(rng.randn(N, M), jnp.float32)
+
+    _, ref_vjp = jax.vjp(lambda x, z, v: _xla_family(family, x, z, v), Xs, Zs, var)
+    dX_ref, dZ_ref, dv_ref = ref_vjp(g)
+
+    K = _xla_family(family, Xs, Zs, var)
+    if family == "rbf":
+        W = -0.5 * (g * K)
+    else:
+        W = _stationary_pallas_wgrad(family, Xs, Zs, var, g, interpret=True)
+    dX, dZ, dv = _stationary_bwd_from_w(Xs, Zs, var, K, W, g)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dZ), np.asarray(dZ_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cls_name", ["Matern12", "Matern32", "Matern52", "Exponential"])
+def test_matern_kernel_routes_pallas_when_forced(cls_name):
+    """End-to-end: kernel.K through the forced-on Pallas path (interpret via
+    CPU lowering is not available for pallas_call on this backend, so compare
+    the routing decision only at value level with pallas disabled/enabled on
+    the XLA fallback: the family parity above covers the math)."""
+    from gpflow_tpu import kernels as gk
+
+    cls = getattr(gk, cls_name)
+    k = cls(lengthscales=np.array([0.7, 1.3]), variance=1.1)
+    X = rng.randn(9, 2)
+    K1 = np.asarray(k(X))  # CPU: XLA path
+    d2 = np.sum(((X[:, None, :] - X[None, :, :]) / np.array([0.7, 1.3])) ** 2, -1)
+    family = {"Matern12": "matern12", "Matern32": "matern32",
+              "Matern52": "matern52", "Exponential": "exponential"}[cls_name]
+    expected = 1.1 * np.asarray(_tail_value(family, jnp.asarray(d2)))
+    np.testing.assert_allclose(K1, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_subclass_override_not_routed_to_pallas():
+    """A user subclass overriding K_r must keep its own math even when the
+    Pallas path is force-enabled (exact-type routing)."""
+    from gpflow_tpu import kernels as gk
+
+    class MyMatern(gk.Matern32):
+        def K_r(self, r):
+            return self.variance * jnp.exp(-7.0 * r)
+
+    set_pallas_enabled(True)
+    try:
+        k = MyMatern()
+        X = jnp.asarray(rng.randn(6, 2), jnp.float32)
+        K = np.asarray(k(X))
+        d2 = np.sum((np.asarray(X)[:, None, :] - np.asarray(X)[None, :, :]) ** 2, -1)
+        r = np.sqrt(np.maximum(d2, 1e-36))
+        np.testing.assert_allclose(K, np.exp(-7.0 * r), rtol=1e-5, atol=1e-6)
+    finally:
+        set_pallas_enabled(None)
