@@ -8,6 +8,14 @@ inserts the ICI collectives (psum of per-device variational-expectation
 partial sums and of gradients) automatically.
 """
 from .mesh import make_mesh, replicated, shard_batch
+from .sharded import shard_internal_data, sharded_predict_f
 from .trainer import DataParallelTrainer
 
-__all__ = ["DataParallelTrainer", "make_mesh", "replicated", "shard_batch"]
+__all__ = [
+    "DataParallelTrainer",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "shard_internal_data",
+    "sharded_predict_f",
+]
