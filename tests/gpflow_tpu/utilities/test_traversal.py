@@ -1,0 +1,96 @@
+"""Traversal / serialization utilities (reference test strategy §4:
+tests/gpflow/utilities/test_traversal.py)."""
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpflow_tpu
+from gpflow_tpu import kernels, likelihoods
+from gpflow_tpu.models import SVGP
+from gpflow_tpu.utilities import (
+    freeze,
+    multiple_assign,
+    parameter_dict,
+    print_summary,
+    read_values,
+    select_dict_parameters_with_prior,
+    set_trainable,
+)
+
+rng = np.random.RandomState(0)
+
+
+def _model():
+    return SVGP(
+        kernel=kernels.Matern32(lengthscales=[1.0, 2.0]),
+        likelihood=likelihoods.Gaussian(0.2),
+        inducing_variable=rng.randn(5, 2),
+        num_data=10,
+    )
+
+
+def test_parameter_dict_paths_and_read_values_roundtrip():
+    m = _model()
+    pd = parameter_dict(m)
+    assert ".kernel.lengthscales" in pd
+    assert ".likelihood.variance" in pd
+    values = read_values(m)
+    # perturb then restore through multiple_assign
+    m.kernel.lengthscales.assign([3.0, 4.0])
+    multiple_assign(m, values)
+    np.testing.assert_allclose(m.kernel.lengthscales.numpy(), [1.0, 2.0])
+
+
+def test_multiple_assign_unknown_key_raises():
+    m = _model()
+    with pytest.raises(KeyError):
+        multiple_assign(m, {".kernel.nonexistent": np.ones(2)})
+
+
+def test_freeze_returns_constant_copy():
+    m = _model()
+    frozen = freeze(m)
+    # same predictions
+    X = rng.randn(4, 2)
+    np.testing.assert_allclose(
+        np.asarray(m.predict_f(X)[0]), np.asarray(frozen.predict_f(X)[0]), rtol=1e-12
+    )
+    # frozen tree exposes no trainable parameters
+    assert len(list(frozen.trainable_parameters)) == 0
+    # and is decoupled from the original
+    m.kernel.lengthscales.assign([9.0, 9.0])
+    np.testing.assert_allclose(np.asarray(frozen.kernel.lengthscales), [1.0, 2.0])
+
+
+def test_deepcopy_is_independent():
+    m = _model()
+    m2 = copy.deepcopy(m)
+    m2.likelihood.variance.assign(0.7)
+    assert abs(float(m.likelihood.variance.value) - 0.2) < 1e-12
+
+
+def test_select_dict_parameters_with_prior():
+    m = _model()
+    assert select_dict_parameters_with_prior(m) == {}
+    m.kernel.variance.prior = gpflow_tpu.priors.LogNormal(0.0, 1.0)
+    sel = select_dict_parameters_with_prior(m)
+    assert list(sel) == [".kernel.variance"]
+
+
+def test_print_summary_formats(capsys):
+    m = _model()
+    print_summary(m, fmt="simple")
+    out = capsys.readouterr().out
+    assert "kernel.lengthscales" in out
+    assert "Softplus" in out or "softplus" in out
+
+
+def test_set_trainable_toggles():
+    m = _model()
+    n_before = len(list(m.trainable_parameters))
+    set_trainable(m.kernel, False)
+    assert len(list(m.trainable_parameters)) == n_before - 2
+    set_trainable(m.kernel, True)
+    assert len(list(m.trainable_parameters)) == n_before
