@@ -10,7 +10,7 @@ identical, only the warm-start caching differs under jit).
 """
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import Any, Callable, List, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +38,16 @@ class CGLB(SGPR):
         max_cg_iters: int = 100,
         restart_cg_iters: int = 40,
         v_grad_optimization: bool = False,
+        matrix_free_chunk: Optional[int] = None,
         **kwargs: Any,
     ) -> None:
+        """:param matrix_free_chunk: if set, never materialize the [N, N]
+        kernel matrix: every K-matvec (CG iterations, the quadratic-form bound,
+        the prediction residual) is computed in row chunks of this size with
+        rematerialization, so training memory is O(N * chunk) — the TPU-native
+        route to exact-GP-bound training at N far beyond HBM."""
         super().__init__(data, *args, **kwargs)
+        self._matrix_free_chunk = matrix_free_chunk
         n, b = self.data[1].shape
         self._v = Parameter(
             np.zeros((b, n), dtype=default_float()), trainable=v_grad_optimization, name="v"
@@ -52,6 +59,35 @@ class CGLB(SGPR):
     @property
     def aux_vec(self) -> Parameter:
         return self._v
+
+    def _kmat_operator(self):
+        """(K + sigma^2 I) as a matvec: a dense array in the default mode, a
+        chunked closure in matrix-free mode (v [R, N] -> v @ (K + s2 I))."""
+        x, _ = self.data
+        sigma_sq = self.likelihood.variance.value
+        if self._matrix_free_chunk is None:
+            return add_noise_cov(self.kernel.K(x), sigma_sq)
+
+        chunk = self._matrix_free_chunk
+        n, d = x.shape
+        pad = (-n) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        xch = xp.reshape((n + pad) // chunk, chunk, d)
+        kernel = self.kernel
+
+        def mv(v: jax.Array) -> jax.Array:
+            # columns of K built chunk-by-chunk; jax.checkpoint recomputes the
+            # [N, chunk] kernel blocks in the backward pass instead of saving
+            # them (which would silently re-materialize the full [N, N])
+            @jax.checkpoint
+            def body(xc: jax.Array) -> jax.Array:
+                return v @ kernel.K(x, xc)  # [R, chunk]
+
+            parts = jax.lax.map(body, xch)  # [nc, R, chunk]
+            out = jnp.moveaxis(parts, 0, 1).reshape(v.shape[0], n + pad)[:, :n]
+            return out + sigma_sq * v
+
+        return mv
 
     def logdet_term(self, common: SGPR.CommonTensors) -> jax.Array:
         """log|K + s2 I| <= log|Q + s2 I| + n log(1 + tr(K-Q)/(s2 n))
@@ -76,7 +112,7 @@ class CGLB(SGPR):
         x, y = self.data
         err = y - self.mean_function(x)
         sigma_sq = self.likelihood.variance.value
-        K = add_noise_cov(self.kernel.K(x), sigma_sq)
+        K = self._kmat_operator()
 
         A = common.A
         LB = common.LB
@@ -97,7 +133,7 @@ class CGLB(SGPR):
         else:
             v = v_init.value
 
-        Kv = v @ K
+        Kv = v @ K if not callable(K) else K(v)
         r = err_t - Kv
         _, error_bound = preconditioner(r)
         lb = jnp.sum(v * (r + 0.5 * Kv))
@@ -121,14 +157,13 @@ class CGLB(SGPR):
 
         x, y = self.data
         err = y - self.mean_function(x)
-        kxx = self.kernel(x, x)
         ksf = self.kernel(Xnew, x)
         sigma_sq = self.likelihood.variance.value
         sigma = jnp.sqrt(sigma_sq)
         iv = self.inducing_variable
         kernel = self.kernel
 
-        kmat = add_noise_cov(kxx, sigma_sq)
+        kmat = self._kmat_operator()
 
         common = self._common_calculation()
         A, LB, L = common.A, common.LB, common.L
@@ -148,7 +183,7 @@ class CGLB(SGPR):
             )
 
         cg_mean = ksf @ jnp.transpose(v)
-        res = err - kmat @ jnp.transpose(v)
+        res = err - (jnp.transpose(kmat(v)) if callable(kmat) else kmat @ jnp.transpose(v))
 
         Kus = Kuf(iv, kernel, Xnew)
         Ares = A @ res
@@ -227,7 +262,7 @@ class NystromPreconditioner:
 
 
 def cglb_conjugate_gradient(
-    K: jax.Array,
+    K: Union[jax.Array, Callable[[jax.Array], jax.Array]],
     b: jax.Array,
     initial: jax.Array,
     preconditioner: NystromPreconditioner,
@@ -237,7 +272,9 @@ def cglb_conjugate_gradient(
 ) -> jax.Array:
     """Preconditioned CG with periodic restarts, stopping when
     0.5 r^T Q^-1 r <= cg_tolerance (reference ``cglb.py:342-422``);
-    ``lax.while_loop`` + stop_gradient on the result."""
+    ``lax.while_loop`` + stop_gradient on the result. ``K`` is either the
+    dense [N, N] matrix or a matvec callable (matrix-free mode)."""
+    mv = K if callable(K) else (lambda p: p @ K)
 
     class CGState(NamedTuple):
         i: jax.Array
@@ -250,7 +287,7 @@ def cglb_conjugate_gradient(
         return jnp.logical_and(0.5 * state.rz > cg_tolerance, state.i < max_steps)
 
     def cg_step(state: CGState) -> CGState:
-        Ap = state.p @ K
+        Ap = mv(state.p)
         denom = jnp.sum(state.p * Ap, axis=-1)
         gamma = state.rz / denom
         v = state.v + gamma * state.p
@@ -258,7 +295,7 @@ def cglb_conjugate_gradient(
         restart = state.i % restart_cg_step == restart_cg_step - 1
         r = jax.lax.cond(
             restart,
-            lambda: b - v @ K,
+            lambda: b - mv(v),
             lambda: state.r - gamma * Ap,
         )
         z, new_rz = preconditioner(r)
@@ -269,7 +306,7 @@ def cglb_conjugate_gradient(
         )
         return CGState(i, v, r, p, new_rz)
 
-    Kv = initial @ K
+    Kv = mv(initial)
     r = b - Kv
     z, rz = preconditioner(r)
     p = z
