@@ -1,5 +1,6 @@
 from ..bijectors import positive, triangular, triangular_size
 from .checkpoints import load_checkpoint, save_checkpoint
+from .profiling import annotate, profile
 from .misc import (
     is_variable,
     positive_parameter,
@@ -39,6 +40,7 @@ __all__ = [
     "Dispatcher",
     "add_likelihood_noise_cov",
     "add_noise_cov",
+    "annotate",
     "assert_params_false",
     "broadcasting_elementwise",
     "deepcopy",
@@ -57,6 +59,7 @@ __all__ = [
     "positive_parameter",
     "prepare_parameter_or_function",
     "print_summary",
+    "profile",
     "read_values",
     "save_checkpoint",
     "select_dict_parameters_with_prior",

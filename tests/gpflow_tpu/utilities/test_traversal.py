@@ -94,3 +94,16 @@ def test_set_trainable_toggles():
     assert len(list(m.trainable_parameters)) == n_before - 2
     set_trainable(m.kernel, True)
     assert len(list(m.trainable_parameters)) == n_before
+
+
+def test_profile_writes_trace(tmp_path):
+    import jax.numpy as jnp
+    from gpflow_tpu.utilities import annotate, profile
+
+    d = str(tmp_path / "trace")
+    with profile(d):
+        with annotate("work"):
+            float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
+    import os
+    files = [f for root, _, fs in os.walk(d) for f in fs]
+    assert files, "profiler produced no trace files"
