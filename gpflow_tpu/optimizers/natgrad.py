@@ -225,7 +225,27 @@ class NaturalGradient:
         sqrt_transform,
         xi_transform: XiTransform,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Pure-functional core of the backward natgrad step."""
+        """Pure-functional core of the backward natgrad step; see
+        ``_natgrad_values_with_ok`` for the step-acceptance flag."""
+        mean_new, varsqrt_new, _ = self._natgrad_values_with_ok(
+            q_mu_grad, q_sqrt_grad, q_mu_value, q_sqrt_value,
+            mu_transform, sqrt_transform, xi_transform,
+        )
+        return mean_new, varsqrt_new
+
+    def _natgrad_values_with_ok(
+        self,
+        q_mu_grad: jax.Array,
+        q_sqrt_grad: jax.Array,
+        q_mu_value: jax.Array,
+        q_sqrt_value: jax.Array,
+        mu_transform,
+        sqrt_transform,
+        xi_transform: XiTransform,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """As ``_natgrad_values`` but also returns the boolean acceptance
+        flag (False = the step left the negative-definite cone and was
+        rejected, state unchanged)."""
         dL_dmean = mu_transform.forward(q_mu_grad)
         dL_dvarsqrt = sqrt_transform.forward(q_sqrt_grad)
 
@@ -257,7 +277,7 @@ class NaturalGradient:
         ok = jnp.isfinite(mean_new).all() & jnp.isfinite(varsqrt_new).all()
         mean_new = jnp.where(ok, mean_new, q_mu_value)
         varsqrt_new = jnp.where(ok, varsqrt_new, q_sqrt_value)
-        return mean_new, varsqrt_new
+        return mean_new, varsqrt_new, ok
 
     def _natgrad_apply_gradients(
         self,
@@ -280,40 +300,10 @@ class NaturalGradient:
                 "supported (same restriction as the reference implementation)."
             )
 
-        # 1) ordinary gradients mapped to constrained space. For the identity
-        # (q_mu) and fill-triangular (q_sqrt) transforms used here, forward()
-        # of the gradient IS the constrained gradient (both are linear with
-        # unit Jacobian; reference base.py:329-332).
-        dL_dmean = q_mu.transform.forward(q_mu_grad)
-        dL_dvarsqrt = q_sqrt.transform.forward(q_sqrt_grad)
-
-        q_mu_value = q_mu.value
-        q_sqrt_value = q_sqrt.value
-
-        # 2) chain rule to dL/deta via vjp of eta -> (mean, varsqrt)
-        eta1, eta2 = meanvarsqrt_to_expectation(q_mu_value, q_sqrt_value)
-        _, vjp_fn = jax.vjp(
-            lambda e1, e2: expectation_to_meanvarsqrt(e1, e2), eta1, eta2
+        mean_new, varsqrt_new = self._natgrad_values(
+            q_mu_grad, q_sqrt_grad, q_mu.value, q_sqrt.value,
+            q_mu.transform, q_sqrt.transform, xi_transform,
         )
-        dL_deta1, dL_deta2 = vjp_fn((dL_dmean, dL_dvarsqrt))
-
-        if not isinstance(xi_transform, XiNat):
-            # (dxi/dtheta) dL/deta via jvp of theta -> xi
-            nat1, nat2 = meanvarsqrt_to_natural(q_mu_value, q_sqrt_value)
-            _, (nat_dL_xi1, nat_dL_xi2) = jax.jvp(
-                lambda n1, n2: xi_transform.naturals_to_xi(n1, n2),
-                (nat1, nat2),
-                (dL_deta1, dL_deta2),
-            )
-        else:
-            nat_dL_xi1, nat_dL_xi2 = dL_deta1, dL_deta2
-
-        xi1, xi2 = xi_transform.meanvarsqrt_to_xi(q_mu_value, q_sqrt_value)
-        xi1_new = xi1 - self.gamma * nat_dL_xi1
-        xi2_new = xi2 - self.gamma * nat_dL_xi2
-
-        mean_new, varsqrt_new = xi_transform.xi_to_meanvarsqrt(xi1_new, xi2_new)
-
         q_mu.assign(mean_new)
         q_sqrt.assign(varsqrt_new)
 

@@ -132,26 +132,30 @@ class DataParallelTrainer:
         self._eval_loss = _eval_loss
 
         def train_step(params, vparams, opt_state, leaves, batch):
+            rejected = jnp.zeros((), jnp.int32)
             if natgrad_idx:
                 # natural-gradient step on (q_mu, q_sqrt) at current hypers
                 vgrads = jax.grad(
                     lambda vp: loss_fn(params, vp, leaves, batch)
                 )(vparams)
-                mean_new, varsqrt_new = natgrad_._natgrad_values(
+                mean_new, varsqrt_new, ok = natgrad_._natgrad_values_with_ok(
                     vgrads[0], vgrads[1],
                     mu_t.forward(vparams[0]), sq_t.forward(vparams[1]),
                     mu_t, sq_t, natgrad_.xi_transform,
                 )
                 vparams = (mu_t.inverse(mean_new), sq_t.inverse(varsqrt_new))
+                rejected = (~ok).astype(jnp.int32)
             if train_idx:
                 loss, grads = jax.value_and_grad(loss_fn)(params, vparams, leaves, batch)
                 updates, opt_state = optimizer_.update(grads, opt_state, params)
                 params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             else:
                 loss = loss_fn(params, vparams, leaves, batch)
-            return params, vparams, opt_state, loss
+            return params, vparams, opt_state, loss, rejected
 
         self._train_step = jax.jit(train_step, donate_argnums=donate_argnums)
+        self._natgrad_rejections = 0
+        self._pending_rejections: list = []
 
         def multi_step(params, vparams, opt_state, leaves, batches):
             """K steps in one device dispatch via lax.scan — amortizes the
@@ -159,17 +163,29 @@ class DataParallelTrainer:
 
             def body(carry, batch):
                 params, vparams, opt_state = carry
-                params, vparams, opt_state, loss = train_step(
+                params, vparams, opt_state, loss, rejected = train_step(
                     params, vparams, opt_state, leaves, batch
                 )
-                return (params, vparams, opt_state), loss
+                return (params, vparams, opt_state), (loss, rejected)
 
-            (params, vparams, opt_state), losses = jax.lax.scan(
+            (params, vparams, opt_state), (losses, rejected) = jax.lax.scan(
                 body, (params, vparams, opt_state), batches
             )
-            return params, vparams, opt_state, losses
+            return params, vparams, opt_state, losses, jnp.sum(rejected)
 
         self._multi_step = jax.jit(multi_step, donate_argnums=donate_argnums)
+
+    @property
+    def natgrad_rejections(self) -> int:
+        """Number of natural-gradient steps rejected so far (non-finite
+        conversion — the step left the negative-definite cone — state kept;
+        see ``NaturalGradient._natgrad_values_with_ok``). A persistently
+        growing count means ``natgrad_gamma`` is too large. Reading this
+        syncs any pending device counters to host."""
+        if self._pending_rejections:
+            self._natgrad_rejections += int(sum(int(r) for r in self._pending_rejections))
+            self._pending_rejections = []
+        return self._natgrad_rejections
 
     def shard(self, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
         """Places a (X, Y) batch sharded over the data axis."""
@@ -181,9 +197,10 @@ class DataParallelTrainer:
         """One optimization step; returns the (device-resident scalar) loss."""
         if not presharded:
             batch = self.shard(batch)
-        self.params, self.vparams, self.opt_state, loss = self._train_step(
+        self.params, self.vparams, self.opt_state, loss, rejected = self._train_step(
             self.params, self.vparams, self.opt_state, self._leaves, batch
         )
+        self._pending_rejections.append(rejected)
         return loss
 
     def shard_stacked(self, batches: Tuple[Any, ...]) -> Tuple[Any, ...]:
@@ -202,9 +219,10 @@ class DataParallelTrainer:
         mesh). Returns the per-step losses [K]."""
         if not presharded:
             batches = self.shard_stacked(batches)
-        self.params, self.vparams, self.opt_state, losses = self._multi_step(
+        self.params, self.vparams, self.opt_state, losses, rejected = self._multi_step(
             self.params, self.vparams, self.opt_state, self._leaves, batches
         )
+        self._pending_rejections.append(rejected)
         return losses
 
     def loss(self, batch: Tuple[Any, ...], presharded: bool = False) -> jax.Array:

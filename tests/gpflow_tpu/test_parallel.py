@@ -186,3 +186,30 @@ def test_sharded_predict_f_matches_local():
     assert len(mean_s.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_l), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_l), rtol=1e-9)
+
+
+def test_natgrad_rejection_counter():
+    """A deliberately huge gamma makes every natgrad step leave the cone: the
+    state must stay finite and the trainer must count the rejections."""
+    from gpflow_tpu import likelihoods as lk
+
+    rngr = np.random.RandomState(2)
+    Xr = rngr.randn(64, 2)
+    Yr = (rngr.rand(64, 1) < 0.5).astype(float)
+    model = SVGP(
+        kernel=kernels.SquaredExponential(),
+        likelihood=lk.Bernoulli(),
+        inducing_variable=Xr[:8].copy(),
+        num_data=64,
+    )
+    trainer = DataParallelTrainer(model, optimizer=optax.adam(0.01), natgrad_gamma=1e6)
+    assert trainer.natgrad_rejections == 0
+    for _ in range(3):
+        loss = trainer.step((Xr, Yr))
+        assert np.isfinite(float(loss))
+    # at gamma=1e6 most steps leave the cone (a step whose direction makes
+    # nat2 even more negative-definite can still legitimately be accepted)
+    assert trainer.natgrad_rejections >= 2
+    trainer.finalize()
+    assert np.isfinite(model.q_mu.numpy()).all()
+    assert np.isfinite(model.q_sqrt.numpy()).all()
