@@ -1,14 +1,21 @@
-"""Pallas TPU kernels for hot covariance paths."""
+"""Pallas TPU kernels and custom-VJP linear algebra for hot paths."""
+from .linalg import chol_and_inverse, triangular_inverse
 from .pallas_distance import (
+    PALLAS_FAMILIES,
     pallas_available,
     rbf_kernel_matrix,
     scaled_squared_distance,
     set_pallas_enabled,
+    stationary_kernel_matrix,
 )
 
 __all__ = [
+    "PALLAS_FAMILIES",
+    "chol_and_inverse",
     "pallas_available",
     "rbf_kernel_matrix",
     "scaled_squared_distance",
     "set_pallas_enabled",
+    "stationary_kernel_matrix",
+    "triangular_inverse",
 ]
