@@ -213,3 +213,46 @@ def test_natgrad_rejection_counter():
     trainer.finalize()
     assert np.isfinite(model.q_mu.numpy()).all()
     assert np.isfinite(model.q_sqrt.numpy()).all()
+
+
+def test_sharded_natgrad_heteroskedastic_two_latents():
+    """natgrad_gamma with L=2 latent GPs (heteroskedastic likelihood):
+    exercises the batched [L, M, M] natural-parameter conversions inside the
+    sharded step."""
+    from gpflow_tpu import likelihoods as lk
+    from gpflow_tpu.kernels import SeparateIndependent, SquaredExponential
+    from gpflow_tpu.inducing_variables import (
+        SeparateIndependentInducingVariables,
+        InducingPoints,
+    )
+
+    rngh = np.random.RandomState(4)
+    Nh = 128
+    Xh = np.linspace(0, 4, Nh)[:, None]
+    scale = np.exp(0.3 * Xh - 1)
+    Yh = np.sin(2 * Xh) + scale * rngh.randn(Nh, 1)
+
+    Z = Xh[::16].copy()
+    model = SVGP(
+        kernel=SeparateIndependent([SquaredExponential(), SquaredExponential()]),
+        likelihood=lk.HeteroskedasticTFPConditional(),
+        inducing_variable=SeparateIndependentInducingVariables(
+            [InducingPoints(Z.copy()), InducingPoints(Z.copy())]
+        ),
+        num_data=Nh,
+        num_latent_gps=2,
+    )
+    assert model.q_sqrt.value.shape == (2, len(Z), len(Z))
+
+    trainer = DataParallelTrainer(
+        model, optimizer=optax.adam(0.02), natgrad_gamma=0.1
+    )
+    before = float(trainer.loss((Xh, Yh)))
+    xs = np.stack([Xh] * 20)
+    ys = np.stack([Yh] * 20)
+    losses = np.asarray(trainer.run_steps((xs, ys)))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < before - 1
+    trainer.finalize()
+    # both latents' variational parameters moved
+    assert np.abs(model.q_mu.numpy()).max() > 1e-3
