@@ -13,6 +13,7 @@ from ..base import InputData, MeanAndVariance, OutputData, Parameter, Regression
 from ..bijectors import positive
 from ..config import default_float, default_jitter
 from ..covariances import Kuf, Kuu
+from ..ops.linalg import sym_jitter
 from ..expectations import expectation
 from ..functions import MeanFunction, Zero
 from ..inducing_variables import InducingPoints
@@ -27,6 +28,36 @@ from .training_mixins import InternalDataTrainingLossMixin
 from .util import data_input_to_tensor, inducingpoint_wrapper
 
 __all__ = ["BayesianGPLVM", "GPLVM"]
+
+
+def _psi2_projection(L: jax.Array, psi2: jax.Array) -> jax.Array:
+    """L^-1 psi2 L^-T, the projected second psi statistic.
+
+    In float64 this is the reference's two triangular solves. In reduced
+    precision that construction is NOT positive semi-definite under rounding
+    (psi2 itself rounds indefinite at ~eps * lambda_max, and the solves
+    amplify by kappa(Kuu)), so the Cholesky of AAT + I NaNs. Fix: take the
+    VALUE from an eigenvalue-clipped Gram factorization (PSD by
+    construction, and matching the solve formulation to ~1e-3 relative — a
+    diagonal-jitter variant instead inflates the bound by tr(Kuu^-1)*delta),
+    while the GRADIENT flows through the smooth triangular-solve expression
+    (eigh's own VJP blows up on psi2's near-degenerate spectrum).
+    """
+    tmp = solve_triangular(L, psi2, lower=True)
+    aat = solve_triangular(L, jnp.transpose(tmp), lower=True)
+    if L.dtype == jnp.float64:
+        return aat
+
+    def psd_value(psi2_v: jax.Array, L_v: jax.Array) -> jax.Array:
+        psi2_v = 0.5 * (psi2_v + jnp.transpose(psi2_v))
+        w, V = jnp.linalg.eigh(psi2_v)
+        C0 = V * jnp.sqrt(jnp.maximum(w, 0.0))
+        C = solve_triangular(L_v, C0, lower=True)
+        return C @ jnp.transpose(C)
+
+    correction = psd_value(jax.lax.stop_gradient(psi2), jax.lax.stop_gradient(L)) \
+        - jax.lax.stop_gradient(aat)
+    return aat + correction
 
 
 class GPLVM(GPR):
@@ -135,8 +166,7 @@ class BayesianGPLVM(GPModel, InternalDataTrainingLossMixin):
         sigma2 = self.likelihood.variance.value
 
         A = solve_triangular(L, jnp.transpose(psi1), lower=True)
-        tmp = solve_triangular(L, psi2, lower=True)
-        AAT = solve_triangular(L, jnp.transpose(tmp), lower=True) / sigma2
+        AAT = _psi2_projection(L, psi2) / sigma2
         B = AAT + jnp.eye(num_inducing, dtype=default_float())
         LB = jnp.linalg.cholesky(B)
         log_det_B = 2.0 * jnp.sum(jnp.log(jnp.diag(LB)))
@@ -187,8 +217,7 @@ class BayesianGPLVM(GPModel, InternalDataTrainingLossMixin):
         L = jnp.linalg.cholesky(Kuu(self.inducing_variable, self.kernel, jitter=jitter))
 
         A = solve_triangular(L, jnp.transpose(psi1), lower=True)
-        tmp = solve_triangular(L, psi2, lower=True)
-        AAT = solve_triangular(L, jnp.transpose(tmp), lower=True) / sigma2
+        AAT = _psi2_projection(L, psi2) / sigma2
         B = AAT + jnp.eye(num_inducing, dtype=default_float())
         LB = jnp.linalg.cholesky(B)
         c = solve_triangular(LB, A @ Y_data, lower=True) / sigma2

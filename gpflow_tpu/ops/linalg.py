@@ -26,11 +26,28 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-__all__ = ["chol_and_inverse", "triangular_inverse"]
+__all__ = ["chol_and_inverse", "sym_jitter", "triangular_inverse"]
 
 
 def _T(x: jax.Array) -> jax.Array:
     return jnp.swapaxes(x, -1, -2)
+
+
+def sym_jitter(A: jax.Array) -> jax.Array:
+    """Symmetrize (+ relative diagonal jitter in low precision) before a
+    Cholesky whose input is positive (semi-)definite in exact arithmetic but
+    is assembled from solves/matmuls rather than as an explicit Gram product
+    (e.g. L^-1 psi2 L^-T, the natural-gradient conversions): f32 rounding at
+    large matrix norms makes such products marginally indefinite. The jitter
+    is relative to the mean diagonal so it is scale-invariant, and zero in
+    f64 so double-precision parity paths are untouched."""
+    A = 0.5 * (A + _T(A))
+    if A.dtype == jnp.float64:
+        return A
+    n = A.shape[-1]
+    scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1)
+    eps = 1e-5 * scale[..., None, None]
+    return A + eps * jnp.eye(n, dtype=A.dtype)
 
 
 def _lower_triangular_inverse_values(L: jax.Array) -> jax.Array:

@@ -347,19 +347,7 @@ def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def _sym_jitter(A: jax.Array) -> jax.Array:
-    """Symmetrize (+ relative jitter in low precision) before Cholesky: the
-    natgrad conversions are exact in f64, but in f32 accumulated rounding can
-    push the intermediate covariances marginally indefinite. The jitter is
-    relative to the mean diagonal so it is scale-invariant, and zero in f64
-    so the gamma=1 Gaussian-likelihood exactness property is untouched."""
-    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    if A.dtype == jnp.float64:
-        return A
-    n = A.shape[-1]
-    scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1)
-    eps = 1e-5 * scale[..., None, None]
-    return A + eps * jnp.eye(n, dtype=A.dtype)
+from ..ops.linalg import sym_jitter as _sym_jitter  # noqa: E402 - shared helper
 
 
 @swap_dimensions
