@@ -1,6 +1,7 @@
 from .scipy import Scipy
 
-__all__ = ["NaturalGradient", "SamplingHelper", "Scipy", "XiNat", "XiSqrtMeanVar", "XiTransform"]
+__all__ = ["NaturalGradient", "SamplingHelper", "Scipy", "XiNat",
+           "XiSqrtMeanVar", "XiTransform", "run_hmc"]
 
 
 def __getattr__(name: str):
@@ -11,8 +12,8 @@ def __getattr__(name: str):
 
         return {"NaturalGradient": NaturalGradient, "XiNat": XiNat,
                 "XiSqrtMeanVar": XiSqrtMeanVar, "XiTransform": XiTransform}[name]
-    if name == "SamplingHelper":
-        from .mcmc import SamplingHelper
+    if name in ("SamplingHelper", "run_hmc"):
+        from .mcmc import SamplingHelper, run_hmc
 
-        return SamplingHelper
+        return {"SamplingHelper": SamplingHelper, "run_hmc": run_hmc}[name]
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

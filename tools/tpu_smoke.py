@@ -76,3 +76,79 @@ for name, m in {
     fm, fv = jax.jit(lambda xt, m=m: m.predict_f(xt))(Xt)
     ok = bool(jnp.isfinite(fm).all() and jnp.isfinite(fv).all() and (fv > 0).all())
     print(f"{name + ' predict':>22}: fvar_min={float(jnp.min(fv)):.3e} finite={'OK' if ok else '*** FAIL ***'}")
+
+
+# --- multioutput, sampling, uncertain inputs, HMC ---
+P, L = 2, 2
+Xmo = X[:1024]; Ymo = (np.sin(Xmo[:, :2]) + 0.1 * rng.randn(1024, P)).astype(np.float32)
+from gpflow_tpu.kernels import SharedIndependent, SeparateIndependent, LinearCoregionalization
+from gpflow_tpu.inducing_variables import (
+    SharedIndependentInducingVariables, SeparateIndependentInducingVariables,
+    FallbackSharedIndependentInducingVariables, InducingPoints)
+
+
+def check_mo(name, model, batch):
+    params = list(model.trainable_parameters)
+    def f(unc):
+        old = [p._unconstrained for p in params]
+        try:
+            for p, u in zip(params, unc):
+                p._unconstrained = u
+            return model.training_loss(batch)
+        finally:
+            for p, o in zip(params, old):
+                p._unconstrained = o
+    loss, grads = jax.jit(jax.value_and_grad(f))(tuple(p._unconstrained for p in params))
+    ok = np.isfinite(float(loss)) and all(bool(jnp.isfinite(g).all()) for g in grads)
+    fm, fv = jax.jit(lambda xt: model.predict_f(xt))(Xmo[:256])
+    okp = bool(jnp.isfinite(fm).all() and jnp.isfinite(fv).all())
+    print(f"{name:>28}: loss={float(loss):12.2f} grads={'OK' if ok else 'FAIL'} predict={'OK' if okp else 'FAIL'}")
+
+check_mo("SVGP SharedIndependent",
+      SVGP(kernel=SharedIndependent(k(), output_dim=P),
+           likelihood=likelihoods.Gaussian(0.1),
+           inducing_variable=SharedIndependentInducingVariables(InducingPoints(Z.copy())),
+           num_data=1024, num_latent_gps=P), (Xmo, Ymo))
+check_mo("SVGP SeparateIndependent",
+      SVGP(kernel=SeparateIndependent([k() for _ in range(P)]),
+           likelihood=likelihoods.Gaussian(0.1),
+           inducing_variable=SeparateIndependentInducingVariables([InducingPoints(Z.copy()) for _ in range(P)]),
+           num_data=1024, num_latent_gps=P), (Xmo, Ymo))
+W = rng.randn(P, L).astype(np.float32)
+W2 = rng.randn(P, L).astype(np.float32)
+check_mo("SVGP LinearCoregionalization",
+      SVGP(kernel=LinearCoregionalization([k() for _ in range(L)], W=W),
+           likelihood=likelihoods.Gaussian(0.1),
+           inducing_variable=SeparateIndependentInducingVariables([InducingPoints(Z.copy()) for _ in range(L)]),
+           num_data=1024, num_latent_gps=L), (Xmo, Ymo))
+# NOTE: Fallback IVs pair with IndependentLatent kernels (reference parity:
+# (SharedIndependent, FallbackShared) is unregistered in the reference too)
+check_mo("SVGP FallbackShared+LinCoreg",
+      SVGP(kernel=LinearCoregionalization([k() for _ in range(L)], W=W2),
+           likelihood=likelihoods.Gaussian(0.1),
+           inducing_variable=FallbackSharedIndependentInducingVariables(InducingPoints(Z.copy())),
+           num_data=1024, num_latent_gps=L), (Xmo, Ymo))
+
+# sampling + uncertain conditional + HMC
+m = SVGP(kernel=k(), likelihood=likelihoods.Gaussian(0.1), inducing_variable=Z.copy(), num_data=1024)
+s = m.predict_f_samples(X[:64], num_samples=5)
+print("predict_f_samples finite:", bool(jnp.isfinite(s).all()), s.shape)
+
+from gpflow_tpu.conditionals import uncertain_conditional
+Xmu = X[:64]
+Xvar = jnp.broadcast_to(0.05 * jnp.eye(D, dtype=jnp.float32), (64, D, D))
+um, uv = uncertain_conditional(Xmu, Xvar, m.inducing_variable, m.kernel,
+                               m.q_mu.value, m.q_sqrt.value, mean_function=None,
+                               full_output_cov=False, white=True)
+print("uncertain_conditional finite:", bool(jnp.isfinite(um).all() and jnp.isfinite(uv).all()))
+
+from gpflow_tpu.optimizers import SamplingHelper, run_hmc
+gm = GPMC((X[:256], (rng.rand(256,1)<0.5).astype(np.float32)), kernel=k(), likelihood=likelihoods.Bernoulli())
+gm.kernel.variance.prior = gpf.priors.LogNormal(0.0, 1.0)
+gm.kernel.lengthscales.prior = gpf.priors.LogNormal(-1.0, 1.0)
+helper = SamplingHelper(gm.log_posterior_density, gm.trainable_parameters)
+samples, logps = run_hmc(helper.target_log_prob_fn, helper.current_state,
+                         num_samples=20, num_burnin_steps=10,
+                         step_size=0.01, num_leapfrog_steps=5)
+print("HMC samples finite:", all(bool(jnp.isfinite(si).all()) for si in samples),
+      "logps finite:", bool(jnp.isfinite(logps).all()))
