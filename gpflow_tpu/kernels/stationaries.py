@@ -75,8 +75,10 @@ class IsotropicStationary(Stationary):
             X2a = None if X2 is None else jnp.asarray(X2)
             if pallas_available(Xa.dtype) and Xa.ndim == 2 and (X2a is None or X2a.ndim == 2):
                 Z = Xa if X2a is None else X2a
+                alpha = jnp.squeeze(self.alpha.value) if family == "rq" else None
                 return stationary_kernel_matrix(
-                    Xa, Z, self.lengthscales.value, jnp.squeeze(self.variance.value), family
+                    Xa, Z, self.lengthscales.value, jnp.squeeze(self.variance.value),
+                    family, alpha=alpha,
                 )
         r2 = self.scaled_squared_euclid_dist(X, X2)
         return self.K_r2(r2)
@@ -194,6 +196,7 @@ class Cosine(AnisotropicStationary):
 # override K_r/K_r2 keep their own math.
 _PALLAS_EXACT_TYPES = {
     SquaredExponential: "rbf",
+    RationalQuadratic: "rq",
     Exponential: "exponential",
     Matern12: "matern12",
     Matern32: "matern32",

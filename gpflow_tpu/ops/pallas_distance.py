@@ -39,7 +39,7 @@ __all__ = [
 _TILE_N = 256
 _TILE_M = 256
 
-PALLAS_FAMILIES = ("rbf", "exponential", "matern12", "matern32", "matern52")
+PALLAS_FAMILIES = ("rbf", "exponential", "matern12", "matern32", "matern52", "rq")
 
 _state = {"enabled": None}  # None = auto
 
@@ -67,12 +67,15 @@ def pallas_available(dtype) -> bool:
     return backend == "tpu"
 
 
-def _tail_value(family: str, d2: jax.Array) -> jax.Array:
+def _tail_value(family: str, d2: jax.Array, alpha: jax.Array = None) -> jax.Array:
     """h(d2) with K = variance * h(d2); d2 is the scaled squared distance.
     The sqrt is clipped at 1e-36 exactly like the reference
-    (``stationaries.py:114``) so r-based families match the XLA path."""
+    (``stationaries.py:114``) so r-based families match the XLA path.
+    ``alpha`` is the RationalQuadratic shape parameter (unused otherwise)."""
     if family == "rbf":
         return jnp.exp(-0.5 * d2)
+    if family == "rq":
+        return jnp.exp(-alpha * jnp.log1p(0.5 * d2 / alpha))
     r = jnp.sqrt(jnp.maximum(d2, 1e-36))
     if family == "exponential":
         return jnp.exp(-0.5 * r)
@@ -87,12 +90,15 @@ def _tail_value(family: str, d2: jax.Array) -> jax.Array:
     raise ValueError(f"Unknown stationary family: {family}")
 
 
-def _tail_grad(family: str, d2: jax.Array) -> jax.Array:
+def _tail_grad(family: str, d2: jax.Array, alpha: jax.Array = None) -> jax.Array:
     """dh/d(d2), analytic per family (Matern 3/2 and 5/2 are smooth at r=0;
     the r^-1 factor for Exponential/Matern 1/2 inherits the same 1e-36 sqrt
     clip as the XLA autodiff path)."""
     if family == "rbf":
         return -0.5 * jnp.exp(-0.5 * d2)
+    if family == "rq":
+        # d/dd2 (1 + d2/(2a))^-a = -0.5 * (1 + d2/(2a))^(-a-1)
+        return -0.5 * jnp.exp(-(alpha + 1.0) * jnp.log1p(0.5 * d2 / alpha))
     r = jnp.sqrt(jnp.maximum(d2, 1e-36))
     if family == "exponential":
         return -jnp.exp(-0.5 * r) / (4.0 * r)
@@ -119,16 +125,16 @@ def _d2_tile(x_ref, z_ref, xsq_ref, zsq_ref) -> jax.Array:
     return jnp.maximum(d2, 0.0)
 
 
-def _value_block_kernel(family, x_ref, z_ref, xsq_ref, zsq_ref, var_ref, out_ref):
+def _value_block_kernel(family, x_ref, z_ref, xsq_ref, zsq_ref, var_ref, alpha_ref, out_ref):
     """One [TN, TM] tile: out = var * h(d2)."""
     d2 = _d2_tile(x_ref, z_ref, xsq_ref, zsq_ref)
-    out_ref[:] = (var_ref[0, 0] * _tail_value(family, d2)).astype(out_ref.dtype)
+    out_ref[:] = (var_ref[0, 0] * _tail_value(family, d2, alpha_ref[0, 0])).astype(out_ref.dtype)
 
 
-def _wgrad_block_kernel(family, x_ref, z_ref, xsq_ref, zsq_ref, var_ref, g_ref, out_ref):
+def _wgrad_block_kernel(family, x_ref, z_ref, xsq_ref, zsq_ref, var_ref, alpha_ref, g_ref, out_ref):
     """One [TN, TM] tile of the VJP weight: out = g * var * h'(d2)."""
     d2 = _d2_tile(x_ref, z_ref, xsq_ref, zsq_ref)
-    out_ref[:] = (g_ref[:] * (var_ref[0, 0] * _tail_grad(family, d2))).astype(out_ref.dtype)
+    out_ref[:] = (g_ref[:] * (var_ref[0, 0] * _tail_grad(family, d2, alpha_ref[0, 0]))).astype(out_ref.dtype)
 
 
 def _pad_to(x: jax.Array, n: int, axis: int) -> jax.Array:
@@ -147,7 +153,8 @@ def _tiling(N: int, M: int):
 
 
 def _stationary_pallas_forward(family: str, Xs: jax.Array, Zs: jax.Array,
-                               variance: jax.Array, interpret: bool = False) -> jax.Array:
+                               variance: jax.Array, alpha: Optional[jax.Array] = None,
+                               interpret: bool = False) -> jax.Array:
     """Xs: [N, D], Zs: [M, D] pre-scaled by 1/lengthscales; returns [N, M]."""
     from jax.experimental import pallas as pl
 
@@ -161,6 +168,7 @@ def _stationary_pallas_forward(family: str, Xs: jax.Array, Zs: jax.Array,
     xsq = jnp.sum(jnp.square(Xp), axis=-1, keepdims=True)  # [Np, 1]
     zsq = jnp.sum(jnp.square(Zp), axis=-1, keepdims=True).T  # [1, Mp]
     var = jnp.reshape(variance.astype(dtype), (1, 1))
+    a = jnp.reshape((alpha if alpha is not None else jnp.asarray(1.0)).astype(dtype), (1, 1))
 
     out = pl.pallas_call(
         functools.partial(_value_block_kernel, family),
@@ -172,10 +180,11 @@ def _stationary_pallas_forward(family: str, Xs: jax.Array, Zs: jax.Array,
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, tm), lambda i, j: (0, j)),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tn, tm), lambda i, j: (i, j)),
         interpret=interpret,
-    )(Xp, Zp, xsq, zsq, var)
+    )(Xp, Zp, xsq, zsq, var, a)
     return out[:N, :M]
 
 
@@ -196,6 +205,7 @@ def _stationary_pallas_wgrad(family: str, Xs: jax.Array, Zs: jax.Array,
     xsq = jnp.sum(jnp.square(Xp), axis=-1, keepdims=True)
     zsq = jnp.sum(jnp.square(Zp), axis=-1, keepdims=True).T
     var = jnp.reshape(variance.astype(dtype), (1, 1))
+    a = jnp.reshape(jnp.asarray(1.0, dtype), (1, 1))  # families here have no alpha
 
     out = pl.pallas_call(
         functools.partial(_wgrad_block_kernel, family),
@@ -207,11 +217,12 @@ def _stationary_pallas_wgrad(family: str, Xs: jax.Array, Zs: jax.Array,
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, tm), lambda i, j: (0, j)),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
             pl.BlockSpec((tn, tm), lambda i, j: (i, j)),
         ],
         out_specs=pl.BlockSpec((tn, tm), lambda i, j: (i, j)),
         interpret=interpret,
-    )(Xp, Zp, xsq, zsq, var, gp)
+    )(Xp, Zp, xsq, zsq, var, a, gp)
     return out[:N, :M]
 
 
@@ -255,19 +266,54 @@ def _make_stationary(family: str):
     return fn
 
 
+@jax.custom_vjp
+def _rq_scaled(Xs, Zs, variance, alpha):
+    return _stationary_pallas_forward("rq", Xs, Zs, variance, alpha)
+
+
+def _rq_fwd(Xs, Zs, variance, alpha):
+    K = _stationary_pallas_forward("rq", Xs, Zs, variance, alpha)
+    return K, (Xs, Zs, variance, alpha, K)
+
+
+def _rq_bwd(res, g):
+    # Everything is recoverable elementwise from the saved K:
+    # with u = d2/(2 alpha), K/var = (1+u)^-alpha, so
+    #   1+u   = (K/var)^(-1/alpha)
+    #   h'    = -0.5 (1+u)^(-alpha-1)  =>  W = g var h' = -0.5 g K / (1+u)
+    #   dK/dalpha = K (u/(1+u) - log1p(u))
+    Xs, Zs, variance, alpha, K = res
+    ratio = jnp.maximum(K / variance, 1e-38)
+    one_plus_u = jnp.exp(-jnp.log(ratio) / alpha)
+    u = one_plus_u - 1.0
+    W = -0.5 * (g * K) / one_plus_u
+    dXs, dZs, dvar = _stationary_bwd_from_w(Xs, Zs, variance, K, W, g)
+    dalpha = jnp.sum(g * K * (u / one_plus_u - jnp.log(one_plus_u)))
+    return dXs, dZs, dvar, jnp.reshape(dalpha, jnp.shape(alpha)).astype(alpha.dtype)
+
+
+_rq_scaled.defvjp(_rq_fwd, _rq_bwd)
+
+
 def stationary_kernel_matrix(
     X: jax.Array,
     Z: jax.Array,
     lengthscales: jax.Array,
     variance: jax.Array,
     family: str = "rbf",
+    alpha: Optional[jax.Array] = None,
 ) -> jax.Array:
     """K[i, j] = variance * h(||(X_i - Z_j) / lengthscales||^2) for the given
-    isotropic family, differentiable w.r.t. all array inputs."""
+    isotropic family, differentiable w.r.t. all array inputs. ``alpha`` is
+    the RationalQuadratic shape parameter (family="rq" only)."""
     if family not in PALLAS_FAMILIES:
         raise ValueError(f"Unknown stationary family: {family}")
     Xs = X / lengthscales
     Zs = Z / lengthscales
+    if family == "rq":
+        if alpha is None:
+            raise ValueError("family='rq' requires alpha")
+        return _rq_scaled(Xs, Zs, jnp.asarray(variance), jnp.asarray(alpha))
     return _make_stationary(family)(Xs, Zs, jnp.asarray(variance))
 
 

@@ -99,7 +99,8 @@ from gpflow_tpu.ops.pallas_distance import (
 
 def _xla_family(family, Xs, Zs, var):
     d2 = jnp.sum((Xs[:, None, :] - Zs[None, :, :]) ** 2, -1)
-    return var * _tail_value(family, d2)
+    alpha = jnp.asarray(1.0, jnp.float32) if family == "rq" else None
+    return var * _tail_value(family, d2, alpha)
 
 
 @pytest.mark.parametrize("family", PALLAS_FAMILIES)
@@ -108,13 +109,15 @@ def test_pallas_family_forward_matches_xla(family):
     Xs = jnp.asarray(rng.randn(N, D), jnp.float32)
     Zs = jnp.asarray(rng.randn(M, D), jnp.float32)
     var = jnp.asarray(1.7, jnp.float32)
-    K = np.asarray(_stationary_pallas_forward(family, Xs, Zs, var, interpret=True))
+    alpha = jnp.asarray(1.0, jnp.float32) if family == "rq" else None
+    K = np.asarray(_stationary_pallas_forward(family, Xs, Zs, var, alpha, interpret=True))
     expected = np.asarray(_xla_family(family, Xs, Zs, var))
     np.testing.assert_allclose(K, expected, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("family", PALLAS_FAMILIES)
+@pytest.mark.parametrize("family", [f for f in PALLAS_FAMILIES if f != "rq"])
 def test_pallas_family_vjp_matches_autodiff(family):
+    # rq's VJP (including d/dalpha) has its own dedicated test below
     N, M, D = 14, 11, 3
     Xs = jnp.asarray(rng.randn(N, D), jnp.float32)
     Zs = jnp.asarray(rng.randn(M, D) + 3.0, jnp.float32)  # keep r away from 0
@@ -173,3 +176,32 @@ def test_subclass_override_not_routed_to_pallas():
         np.testing.assert_allclose(K, np.exp(-7.0 * r), rtol=1e-5, atol=1e-6)
     finally:
         set_pallas_enabled(None)
+
+
+def test_pallas_rq_forward_and_vjp_match_autodiff():
+    """RationalQuadratic family: value and ALL gradients (incl. alpha, which
+    is reconstructed elementwise from the saved K) match plain autodiff."""
+    from gpflow_tpu.ops.pallas_distance import _rq_bwd
+
+    N, M, D = 17, 13, 3
+    Xs = jnp.asarray(rng.randn(N, D), jnp.float32)
+    Zs = jnp.asarray(rng.randn(M, D), jnp.float32)
+    var = jnp.asarray(1.4, jnp.float32)
+    alpha = jnp.asarray(0.7, jnp.float32)
+    g = jnp.asarray(rng.randn(N, M), jnp.float32)
+
+    def ref(Xs, Zs, var, alpha):
+        d2 = jnp.sum((Xs[:, None, :] - Zs[None, :, :]) ** 2, -1)
+        return var * (1 + 0.5 * d2 / alpha) ** (-alpha)
+
+    K_ref = ref(Xs, Zs, var, alpha)
+    K_pal = _stationary_pallas_forward("rq", Xs, Zs, var, alpha, interpret=True)
+    np.testing.assert_allclose(np.asarray(K_pal), np.asarray(K_ref), rtol=1e-5, atol=1e-6)
+
+    _, ref_vjp = jax.vjp(ref, Xs, Zs, var, alpha)
+    dX_r, dZ_r, dv_r, da_r = ref_vjp(g)
+    dX, dZ, dv, da = _rq_bwd((Xs, Zs, var, alpha, K_ref), g)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_r), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dZ), np.asarray(dZ_r), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_r), rtol=1e-3, atol=1e-4)
