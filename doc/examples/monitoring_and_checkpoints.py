@@ -79,12 +79,16 @@ def main() -> None:
         return tuple(u + du for u, du in zip(unc, upd)), opt_state, loss
 
     for i in range(STEPS):
-        unc, opt_state, loss = step(unc, opt_state)
+        new_unc, opt_state, loss = step(unc, opt_state)
+        # `loss` is evaluated at `unc`, which the model still holds - monitor
+        # (and checkpoint) BEFORE assigning the updated parameters so the
+        # recorded loss matches the checkpointed state.
+        monitor(i, loss=float(loss))
+        unc = new_unc
         for p, u in zip(params, unc):
             p.assign_unconstrained(u)
-        monitor(i, loss=float(loss))
 
-    print(f"final loss {float(loss):.2f}; best checkpointed loss {state['loss']:.2f}")
+    print(f"last monitored loss {float(loss):.2f}; best checkpointed loss {state['loss']:.2f}")
 
     # restore the best checkpoint into a FRESH model
     fresh = gpf.models.SVGP(

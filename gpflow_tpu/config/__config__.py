@@ -31,6 +31,7 @@ __all__ = [
     "default_positive_bijector",
     "default_positive_minimum",
     "default_summary_fmt",
+    "positive_bijector_type_map",
     "set_config",
     "set_default_float",
     "set_default_int",
@@ -179,6 +180,14 @@ def set_default_jitter(value: float) -> None:
         raise ValueError("Jitter must be non-negative")
     _jitter_explicit = True
     _replace(jitter=float(value))
+
+
+def positive_bijector_type_map() -> dict:
+    """Name -> bijector-class map for the positive transform (reference
+    ``config/__config__.py:120-127``; TFP classes replaced by in-house ones)."""
+    from .. import bijectors
+
+    return {"softplus": bijectors.Softplus, "exp": bijectors.Exp}
 
 
 def set_default_positive_bijector(value: str) -> None:

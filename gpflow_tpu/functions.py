@@ -154,7 +154,9 @@ class Polynomial(MeanFunction, Function):
         if w is None:
             w = [1.0] + (len(powers) - 1) * [0.0]
         w_shape = (output_dim, len(powers))
+        self.degree = int(degree)
         self.powers = jnp.asarray(powers, dtype=default_float())
+        self._int_powers = np.asarray(powers, dtype=np.int32)  # [n_terms, input_dim]
         self.w = Parameter(jnp.broadcast_to(jnp.asarray(w, default_float()), w_shape), name="w")
 
     @staticmethod
@@ -171,7 +173,15 @@ class Polynomial(MeanFunction, Function):
 
     def __call__(self, X: TensorType) -> jax.Array:
         X = jnp.asarray(X)
-        raised = jnp.power(X[..., None, :], self.powers)  # [batch..., n_terms, input_dim]
+        # XLA lowers float pow to exp(p*log(x)), which is NaN at x<=0 (both in
+        # value at 0**0 and in the x-gradient at x=0).  Integer powers are
+        # built by repeated multiplication instead - exact and NaN-free.
+        pows = [jnp.ones_like(X)]
+        for _ in range(self.degree):
+            pows.append(pows[-1] * X)
+        stacked = jnp.stack(pows, axis=-2)  # [batch..., degree+1, input_dim]
+        dims = np.arange(self._int_powers.shape[1])
+        raised = stacked[..., self._int_powers, dims]  # [batch..., n_terms, input_dim]
         prod = jnp.prod(raised, axis=-1)  # [batch..., n_terms]
         return jnp.einsum("...i,ji->...j", prod, self.w.value)
 

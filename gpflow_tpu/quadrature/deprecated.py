@@ -10,7 +10,27 @@ import numpy as np
 
 from .gauss_hermite import NDiagGHQuadrature, gh_points_and_weights
 
-__all__ = ["mvnquad", "ndiag_mc", "ndiagquad"]
+__all__ = ["hermgauss", "mvhermgauss", "mvnquad", "ndiag_mc", "ndiagquad"]
+
+
+def hermgauss(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Gauss-Hermite points/weights in the default float (reference
+    ``quadrature/deprecated.py:34-38``)."""
+    from ..config import default_float
+
+    x, w = np.polynomial.hermite.hermgauss(n)
+    return x.astype(default_float()), w.astype(default_float())
+
+
+def mvhermgauss(H: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Multivariate (full-grid) Gauss-Hermite locations [H**D, D] and weights
+    [H**D] (reference ``quadrature/deprecated.py:45-60``)."""
+    import itertools
+
+    gh_x, gh_w = hermgauss(H)
+    x = np.array(list(itertools.product(*(gh_x,) * D)))
+    w = np.prod(np.array(list(itertools.product(*(gh_w,) * D))), 1)
+    return x, w
 
 
 def ndiagquad(
