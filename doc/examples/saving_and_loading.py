@@ -1,0 +1,69 @@
+"""Saving and loading models (mirrors the reference's
+getting_started/saving_and_loading notebook,
+``doc/sphinx/notebooks/getting_started/saving_and_loading.pct.py``).
+
+Three mechanisms, matching the reference's three:
+
+1. parameter dicts: ``read_values`` / ``multiple_assign`` (manual transfer),
+2. checkpoints: ``save_checkpoint`` / ``load_checkpoint`` (orbax/npz),
+3. deployment: ``freeze`` + a jitted predict function (the saved_model
+   analogue - parameters become constants baked into a compiled callable).
+"""
+import tempfile
+
+import numpy as np
+
+import gpflow_tpu as gpf
+from gpflow_tpu.ci_utils import reduce_in_tests
+
+MAXITER = reduce_in_tests(100, 15)
+
+
+def make_model(X, Y):
+    return gpf.models.GPR((X, Y), kernel=gpf.kernels.Matern52(), noise_variance=0.05)
+
+
+def main() -> None:
+    rng = np.random.RandomState(0)
+    X = rng.rand(50, 1) * 3
+    Y = np.cos(2 * X) + 0.1 * rng.randn(50, 1)
+
+    model = make_model(X, Y)
+    gpf.optimizers.Scipy().minimize(
+        model.training_loss, model.trainable_variables, options={"maxiter": MAXITER}
+    )
+    Xnew = np.linspace(0, 3, 7)[:, None]
+    mean_ref, _ = model.predict_f(Xnew)
+
+    # 1. parameter dicts ------------------------------------------------
+    values = gpf.utilities.read_values(model)
+    print("parameter dict keys:", sorted(values)[:3], "...")
+    clone = make_model(X, Y)
+    gpf.utilities.multiple_assign(clone, values)
+    mean_clone, _ = clone.predict_f(Xnew)
+    assert np.allclose(np.asarray(mean_ref), np.asarray(mean_clone), atol=1e-10)
+    print("parameter-dict transfer: predictions identical")
+
+    # 2. checkpoints ----------------------------------------------------
+    with tempfile.TemporaryDirectory(prefix="gp-save-") as d:
+        gpf.utilities.save_checkpoint(f"{d}/ckpt", model)
+        fresh = make_model(X, Y)
+        gpf.utilities.load_checkpoint(f"{d}/ckpt", fresh)
+        mean_fresh, _ = fresh.predict_f(Xnew)
+        assert np.allclose(np.asarray(mean_ref), np.asarray(mean_fresh), atol=1e-10)
+        print("checkpoint round-trip: predictions identical")
+
+    # 3. deployment: freeze + jit --------------------------------------
+    import jax
+
+    frozen = gpf.utilities.freeze(model)
+    predict = jax.jit(lambda x: frozen.predict_f(x)[0])
+    mean_frozen = predict(Xnew)
+    assert np.allclose(np.asarray(mean_ref), np.asarray(mean_frozen), atol=1e-10)
+    # frozen models expose no trainable leaves - safe to ship
+    assert not list(frozen.trainable_variables)
+    print("frozen + jitted predict: predictions identical, no trainables")
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,10 @@ class ArcCosine(Kernel):
             X2_denominator = X2_denominator.reshape((1,) * n_batch + X2_denominator.shape)
             numerator = self._full_weighted_product(X, X2)
         cos_theta = numerator / X_denom / X2_denominator
+        # On TPU the f64 matmul/rsqrt rounding can push |cos| past 1 by more
+        # than the reference's 1e-15 squash margin - clip first (the excess is
+        # pure rounding; the squash below keeps the arccos gradient finite).
+        cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
         jitter = 1e-15
         theta = jnp.arccos(jitter + (1 - 2 * jitter) * cos_theta)
         return (

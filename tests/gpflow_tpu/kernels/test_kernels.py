@@ -107,6 +107,27 @@ def test_arccosine(order):
     np.testing.assert_allclose(np.asarray(k(X, full_cov=False)), np.diag(K_ref), rtol=1e-6)
 
 
+@pytest.mark.parametrize("order", [0, 1, 2])
+def test_arccosine_duplicate_points_finite(order):
+    # cos(theta) lands exactly on 1 for identical rows (and can exceed 1
+    # through rounding on TPU); K and its gradients must stay finite.
+    import jax
+    import jax.numpy as jnp
+
+    X = np.array([[1.0, 2.0], [1.0, 2.0], [0.5, -0.3]])
+    k = kernels.ArcCosine(order=order)
+    K = np.asarray(k(X))
+    assert np.isfinite(K).all()
+    np.testing.assert_allclose(K, K.T, atol=1e-12)
+
+    def loss(wv):
+        kk = kernels.ArcCosine(order=order, weight_variances=wv)
+        return jnp.sum(kk.K(jnp.asarray(X)))
+
+    g = jax.grad(loss)(1.0)
+    assert np.isfinite(g)
+
+
 def test_rational_quadratic_limits():
     X = _data()
     k_rq = kernels.RationalQuadratic(alpha=1e8)
