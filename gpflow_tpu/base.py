@@ -39,6 +39,7 @@ __all__ = [
     "PriorOn",
     "RegressionData",
     "TensorData",
+    "TensorLike",
     "TensorType",
 ]
 
@@ -46,6 +47,9 @@ __all__ = [
 # Type aliases (reference base.py:285-296)
 # ---------------------------------------------------------------------------
 TensorType = Union[np.ndarray, jax.Array, "Parameter"]
+# For REGISTERING tensor arguments with a Dispatcher (reference base.py:51-58):
+# a tuple of types is a union signature; plain arrays/tracers match `object`.
+TensorLike: Tuple[type, ...] = (object,)
 AnyNDArray = np.ndarray
 TensorData = Union[np.ndarray, jax.Array, "Parameter"]
 InputData = TensorType
