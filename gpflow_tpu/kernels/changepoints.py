@@ -53,8 +53,18 @@ class ChangePoints(Combination):
         steepness = jnp.reshape(self.steepness.value, (-1,))
         return jax.nn.sigmoid(steepness * (X[..., None] - locations))
 
+    @staticmethod
+    def _check_1d(X: jax.Array) -> None:
+        # reference enforces [batch..., N, 1] via its check_shapes contract
+        if X.shape[-1] != 1:
+            raise ValueError(
+                f"ChangePoints is defined for 1-dimensional inputs only; got "
+                f"input dimension {X.shape[-1]}."
+            )
+
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         X = jnp.asarray(X)
+        self._check_1d(X)
         sig_X = self._sigmoids(X)  # [batch..., N, 1, Ncp]
         if X2 is None:
             batch = X.shape[:-2]
@@ -66,6 +76,7 @@ class ChangePoints(Combination):
             X2_arg = None
         else:
             X2 = jnp.asarray(X2)
+            self._check_1d(X2)
             batch = X.shape[:-2]
             batch2 = X2.shape[:-2]
             N = X.shape[-2]
@@ -86,6 +97,7 @@ class ChangePoints(Combination):
 
     def K_diag(self, X: TensorType) -> jax.Array:
         X = jnp.asarray(X)
+        self._check_1d(X)
         batch = X.shape[:-2]
         N = X.shape[-2]
         sig_X = self._sigmoids(X).reshape(batch + (N, -1))  # [batch..., N, Ncp]

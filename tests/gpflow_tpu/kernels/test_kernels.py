@@ -247,3 +247,14 @@ def test_kernel_batched_inputs():
     for b in range(4):
         np.testing.assert_allclose(K[b], np.asarray(k(X[b])), rtol=1e-10)
     assert np.asarray(k(X, full_cov=False)).shape == (4, 7)
+
+
+def test_changepoints_rejects_multidim_input():
+    k = kernels.ChangePoints([kernels.Matern32(), kernels.Constant()], locations=[0.0], steepness=2.0)
+    X2d = np.random.RandomState(0).randn(5, 2)
+    with pytest.raises(ValueError, match="1-dimensional"):
+        k(X2d)
+    with pytest.raises(ValueError, match="1-dimensional"):
+        k(X2d, full_cov=False)
+    # 1-D stays fine
+    assert np.asarray(k(X2d[:, :1])).shape == (5, 5)
