@@ -1,7 +1,7 @@
 """Mesh construction and sharding helpers."""
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Mapping, Optional, Sequence
 
 import jax
 import numpy as np
@@ -10,20 +10,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 __all__ = ["make_mesh", "replicated", "shard_batch"]
 
 DEFAULT_AXIS = "data"
+LATENT_AXIS = "latent"
 
 
 def make_mesh(
     num_devices: Optional[int] = None,
     axis_name: str = DEFAULT_AXIS,
     devices: Optional[Sequence[jax.Device]] = None,
+    shape: Optional[Mapping[str, int]] = None,
 ) -> Mesh:
-    """1-D mesh over the available devices (batch/data axis).
+    """Device mesh for scale-out.
 
-    For SVGP-style models the only dimension worth sharding is N (data):
-    M ~ 2048 inducing state fits comfortably replicated per chip, and the
-    [M, M] Cholesky is cheaper to replicate than to distribute.
+    Default: a 1-D mesh over the batch/data axis. For SVGP-style
+    single-output models this is the only dimension worth sharding: M ~ 2048
+    inducing state fits comfortably replicated per chip, and the [M, M]
+    Cholesky is cheaper to replicate than to distribute.
+
+    ``shape`` builds an N-D mesh instead, e.g. ``{"data": 4, "latent": 2}``
+    for multioutput models where the L independent latent GPs are the second
+    shardable dimension (each device then holds L/2 of the [L, M, M]
+    Choleskys and variational state - see ``DataParallelTrainer``'s
+    ``latent_axis``). Axis order follows the mapping's order; the data axis
+    should come first so batch shards ride neighbouring ICI links.
     """
     devices = list(devices) if devices is not None else jax.devices()
+    if shape is not None:
+        names = tuple(shape)
+        sizes = tuple(int(shape[n]) for n in names)
+        total = int(np.prod(sizes))
+        if total > len(devices):
+            raise ValueError(
+                f"mesh shape {dict(shape)} needs {total} devices, "
+                f"have {len(devices)}"
+            )
+        return Mesh(np.array(devices[:total]).reshape(sizes), names)
     n = num_devices if num_devices is not None else len(devices)
     return Mesh(np.array(devices[:n]), (axis_name,))
 

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import NamedSharding, PartitionSpec
+
 from ..base import Module, Parameter
 from .mesh import DEFAULT_AXIS, make_mesh, replicated, shard_batch
 
@@ -42,6 +44,7 @@ class DataParallelTrainer:
         axis_name: str = DEFAULT_AXIS,
         donate: bool = True,
         natgrad_gamma: Optional[float] = None,
+        latent_axis: Optional[str] = None,
     ) -> None:
         """:param natgrad_gamma: if set and the model has full-covariance
         (q_mu, q_sqrt) variational parameters, each step first takes a
@@ -54,7 +57,20 @@ class DataParallelTrainer:
         cancellation at M>=1024, which quadrature likelihoods turn into a
         clamped (zero-variance) integrand. Non-finite natgrad steps are
         rejected in-graph (see ``NaturalGradient._natgrad_values``), so a
-        too-large gamma stalls q-updates rather than NaN-ing the run."""
+        too-large gamma stalls q-updates rather than NaN-ing the run.
+
+        :param latent_axis: name of a second mesh axis over which the L
+            latent GPs are model-parallel-sharded (build the mesh with
+            ``make_mesh(shape={"data": d, "latent": l})``). The variational
+            state is placed sharded on its L dimension - q_mu [M, L] on
+            columns, q_sqrt [L, M, M] (or diag [M, L]) on the batch dim -
+            and XLA's sharding propagation keeps the per-latent [L, M, M]
+            Choleskys, conditionals, and natural-gradient conversions
+            distributed, inserting ICI collectives only where outputs mix
+            (e.g. LinearCoregionalization's W-mixing and the final ELBO
+            reduction). Each device then does L/l of the M^3 work and holds
+            L/l of the [L, M, M] state: compute AND memory scale in the
+            latent direction, which a pure data mesh cannot do."""
         import optax
 
         self.model = model
@@ -100,10 +116,51 @@ class DataParallelTrainer:
 
         rep = replicated(self.mesh)
         self._batch_sharding = shard_batch(self.mesh, axis_name)
-        self._leaves = [jax.device_put(jnp.asarray(l), rep) for l in leaves]
+
+        leaf_shardings = [rep] * len(leaves)
+        if latent_axis is not None:
+            if latent_axis not in self.mesh.axis_names:
+                raise ValueError(
+                    f"latent_axis {latent_axis!r} is not an axis of the mesh "
+                    f"{self.mesh.axis_names}; build it with "
+                    f'make_mesh(shape={{"data": d, "latent": l}})'
+                )
+            q_mu = getattr(model, "q_mu", None)
+            q_sqrt = getattr(model, "q_sqrt", None)
+            if q_mu is None or q_sqrt is None:
+                raise ValueError(
+                    "latent_axis requires a model with (q_mu, q_sqrt) "
+                    "variational parameters (e.g. SVGP)"
+                )
+            n_shards = self.mesh.shape[latent_axis]
+            L = q_sqrt.value.shape[0] if q_sqrt.value.ndim == 3 else q_sqrt.value.shape[-1]
+            if L % n_shards:
+                raise ValueError(
+                    f"number of latent GPs ({L}) must be divisible by the "
+                    f"latent mesh axis size ({n_shards})"
+                )
+            # q_mu [M, L] -> columns sharded; q_sqrt [L, M, M] -> batch dim
+            # sharded (diag [M, L] -> columns, like q_mu)
+            mu_spec = PartitionSpec(None, latent_axis)
+            sq_spec = (
+                PartitionSpec(latent_axis, None, None)
+                if q_sqrt.value.ndim == 3
+                else PartitionSpec(None, latent_axis)
+            )
+            for i, l in enumerate(leaves):
+                if l is q_mu.unconstrained_variable:
+                    leaf_shardings[i] = NamedSharding(self.mesh, mu_spec)
+                elif l is q_sqrt.unconstrained_variable:
+                    leaf_shardings[i] = NamedSharding(self.mesh, sq_spec)
+
+        self._leaves = [
+            jax.device_put(jnp.asarray(l), s) for l, s in zip(leaves, leaf_shardings)
+        ]
         self.params = tuple(self._leaves[i] for i in self._train_idx)
         self.vparams = tuple(self._leaves[i] for i in natgrad_idx)
-        self.opt_state = jax.device_put(self.optimizer.init(self.params), rep)
+        # init on the already-placed params: adam's mu/nu inherit each
+        # param's sharding through zeros_like (replicated in the 1-D case)
+        self.opt_state = self.optimizer.init(self.params)
 
         train_idx = self._train_idx
         optimizer_ = self.optimizer

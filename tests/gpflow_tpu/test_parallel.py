@@ -256,3 +256,81 @@ def test_sharded_natgrad_heteroskedastic_two_latents():
     trainer.finalize()
     # both latents' variational parameters moved
     assert np.abs(model.q_mu.numpy()).max() > 1e-3
+
+
+def _multioutput_svgp(L=4, M=8):
+    from gpflow_tpu.kernels import SeparateIndependent, SquaredExponential
+    from gpflow_tpu.inducing_variables import (
+        SeparateIndependentInducingVariables,
+        InducingPoints,
+    )
+
+    ks = [SquaredExponential(lengthscales=1.0 + 0.1 * i) for i in range(L)]
+    ivs = SeparateIndependentInducingVariables(
+        [InducingPoints(X[i * M : (i + 1) * M].copy()) for i in range(L)]
+    )
+    Ym = np.concatenate([Y] * L, axis=1)
+    return (
+        SVGP(
+            kernel=SeparateIndependent(ks),
+            likelihood=likelihoods.Gaussian(0.1),
+            inducing_variable=ivs,
+            num_data=N,
+            num_latent_gps=L,
+        ),
+        Ym,
+    )
+
+
+def test_latent_axis_2d_mesh_matches_1d():
+    """data x latent 2-D mesh: losses identical to the replicated 1-D run,
+    variational state actually sharded over the latent axis."""
+    batch_of = lambda Ym: (X[:64], Ym[:64])
+
+    m1, Ym = _multioutput_svgp()
+    t1 = DataParallelTrainer(m1, optimizer=optax.adam(0.01))
+    l1 = [float(t1.step(batch_of(Ym))) for _ in range(4)]
+
+    m2, _ = _multioutput_svgp()
+    mesh = make_mesh(shape={"data": 2, "latent": 4})
+    t2 = DataParallelTrainer(
+        m2, optimizer=optax.adam(0.01), mesh=mesh, latent_axis="latent"
+    )
+    l2 = [float(t2.step(batch_of(Ym))) for _ in range(4)]
+    np.testing.assert_allclose(l1, l2, rtol=1e-8)
+
+    q_sqrt_leaf = next(p for p in t2.params if p.ndim == 3)
+    spec = q_sqrt_leaf.sharding.spec
+    assert spec and spec[0] == "latent"
+    q_mu_leaf = next(p for p in t2.params if p.ndim == 2 and p.shape == (M, 4))
+    assert tuple(q_mu_leaf.sharding.spec) in ((None, "latent"),)
+
+    t2.finalize()
+    mu, _ = m2.predict_f(X[:8])
+    assert np.isfinite(np.asarray(mu)).all()
+
+
+def test_latent_axis_with_natgrad():
+    m, Ym = _multioutput_svgp()
+    mesh = make_mesh(shape={"data": 4, "latent": 2})
+    t = DataParallelTrainer(
+        m, optimizer=optax.adam(0.02), mesh=mesh, latent_axis="latent",
+        natgrad_gamma=0.1,
+    )
+    before = float(t.loss((X, Ym)))
+    xs = np.stack([X[:64]] * 10)
+    ys = np.stack([Ym[:64]] * 10)
+    losses = np.asarray(t.run_steps((xs, ys)))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < before
+    assert t.natgrad_rejections == 0
+
+
+def test_latent_axis_validation_errors():
+    m, _ = _multioutput_svgp(L=3)
+    mesh = make_mesh(shape={"data": 4, "latent": 2})
+    with pytest.raises(ValueError, match="divisible"):
+        DataParallelTrainer(m, mesh=mesh, latent_axis="latent")
+    m1 = _svgp()
+    with pytest.raises(ValueError, match="not an axis"):
+        DataParallelTrainer(m1, latent_axis="latent")
