@@ -1,0 +1,107 @@
+"""base_conditional vs a dense NumPy oracle over the whitened/unwhitened x
+q_sqrt-form x full_cov grid — the "hard part #1" combinatorics of
+SURVEY.md §7.3 (reference math at ``conditionals/util.py:73-169``)."""
+import numpy as np
+import pytest
+
+from gpflow_tpu.conditionals.util import base_conditional, sample_mvn
+
+rng = np.random.RandomState(1)
+M, N, R = 5, 7, 2
+
+
+def _spd(n, scale=1.0):
+    A = rng.randn(n, n)
+    return scale * (A @ A.T) + n * np.eye(n)
+
+
+def _oracle(Kmn, Kmm, Knn, f, q_sqrt, white):
+    """Dense NumPy: q(g1) moments after integrating q(u).
+
+    Unwhitened: mean = Knm Kmm^-1 f;  whitened: mean = Knm Lm^-T f
+    cov = Knn - Knm Kmm^-1 Kmn + A^T S A with A the appropriate projection.
+    """
+    Lm = np.linalg.cholesky(Kmm)
+    Kmm_inv = np.linalg.inv(Kmm)
+    means = np.zeros((N, f.shape[1]))
+    covs = []
+    Lm_inv = np.linalg.inv(Lm)
+    for r in range(f.shape[1]):
+        if white:
+            # whitened: mean = Knm Lm^-T f; cov term uses A = Lm^-1 Kmn
+            mean = Kmn.T @ Lm_inv.T @ f[:, r]
+            Amat = Lm_inv @ Kmn
+        else:
+            mean = Kmn.T @ Kmm_inv @ f[:, r]
+            Amat = Kmm_inv @ Kmn
+        base_cov = Knn - Kmn.T @ Kmm_inv @ Kmn
+        if q_sqrt is None:
+            S = np.zeros((M, M))
+        elif q_sqrt.ndim == 2:
+            S = np.diag(q_sqrt[:, r] ** 2)
+        else:
+            Lq = np.tril(q_sqrt[r])
+            S = Lq @ Lq.T
+        cov = base_cov + Amat.T @ S @ Amat
+        means[:, r] = mean
+        covs.append(cov)
+    return means, np.stack(covs)
+
+
+@pytest.mark.parametrize("white", [False, True])
+@pytest.mark.parametrize("q_form", [None, "diag", "tril"])
+@pytest.mark.parametrize("full_cov", [False, True])
+def test_base_conditional_vs_oracle(white, q_form, full_cov):
+    Kmm = _spd(M)
+    X = rng.randn(M + N, 2)
+    from gpflow_tpu import kernels
+
+    k = kernels.SquaredExponential(lengthscales=1.2)
+    Kfull = np.asarray(k(X)) + 1e-10 * np.eye(M + N)
+    Kmm = Kfull[:M, :M] + 1e-6 * np.eye(M)
+    Kmn = Kfull[:M, M:]
+    Knn_full = Kfull[M:, M:]
+
+    f = rng.randn(M, R)
+    if q_form is None:
+        q_sqrt = None
+    elif q_form == "diag":
+        q_sqrt = np.abs(rng.randn(M, R)) + 0.2
+    else:
+        q_sqrt = np.stack([np.tril(rng.randn(M, M)) + np.eye(M) for _ in range(R)])
+
+    Knn = Knn_full if full_cov else np.diag(Knn_full)
+    mean, var = base_conditional(
+        Kmn, Kmm, Knn, f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
+    )
+    mean_ref, cov_ref = _oracle(Kmn, Kmm, Knn_full, f, q_sqrt, white)
+
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, rtol=1e-7, atol=1e-9)
+    if full_cov:
+        assert np.asarray(var).shape == (R, N, N)
+        np.testing.assert_allclose(np.asarray(var), cov_ref, rtol=1e-6, atol=1e-8)
+    else:
+        assert np.asarray(var).shape == (N, R)
+        diag_ref = np.stack([np.diag(c) for c in cov_ref], axis=-1)
+        np.testing.assert_allclose(np.asarray(var), diag_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_sample_mvn_moments():
+    import jax
+
+    mean = rng.randn(1, 3)
+    cov_factor = rng.randn(3, 3)
+    cov = cov_factor @ cov_factor.T + np.eye(3)
+    n = 40_000
+    key = jax.random.PRNGKey(0)
+    samples = np.asarray(
+        sample_mvn(
+            np.broadcast_to(mean, (n, 3)),
+            np.broadcast_to(cov, (n, 3, 3)),
+            full_cov=True,
+            key=key,
+        )
+    )
+    np.testing.assert_allclose(samples.mean(0), mean[0], atol=0.05)
+    emp_cov = np.cov(samples.T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.15, rtol=0.1)
