@@ -1,0 +1,91 @@
+"""Natural-gradient correctness properties (pattern from reference
+``tests/gpflow/optimizers/test_natural_gradients.py``):
+
+* gamma=1 with a Gaussian likelihood jumps (q_mu, q_sqrt) to the EXACT
+  variational optimum in ONE step - the ELBO then equals SGPR's collapsed
+  bound at the same hyperparameters (whitened and unwhitened).
+* XiNat and XiSqrtMeanVar parameterizations agree at small gamma.
+"""
+import numpy as np
+import pytest
+
+from gpflow_tpu import kernels, likelihoods
+from gpflow_tpu.models import SGPR, SVGP
+from gpflow_tpu.optimizers import NaturalGradient
+from gpflow_tpu.optimizers.natgrad import XiNat, XiSqrtMeanVar
+
+rng = np.random.RandomState(0)
+N, D, M = 60, 2, 10
+X = rng.randn(N, D)
+Y = np.sin(X[:, :1]) + 0.1 * rng.randn(N, 1)
+Z = X[:M].copy()
+
+
+def _svgp(whiten):
+    return SVGP(
+        kernel=kernels.SquaredExponential(lengthscales=0.8),
+        likelihood=likelihoods.Gaussian(0.1),
+        inducing_variable=Z.copy(),
+        whiten=whiten,
+        num_data=N,
+    )
+
+
+@pytest.mark.parametrize("whiten", [True, False])
+def test_gamma_one_gaussian_reaches_optimum_in_one_step(whiten):
+    model = _svgp(whiten)
+    sgpr = SGPR(
+        (X, Y),
+        kernel=kernels.SquaredExponential(lengthscales=0.8),
+        inducing_variable=Z.copy(),
+        noise_variance=0.1,
+    )
+    optimal = float(sgpr.elbo())  # collapsed bound = optimum over q(u)
+
+    before = float(model.elbo((X, Y)))
+    NaturalGradient(gamma=1.0).minimize(
+        lambda: model.training_loss((X, Y)), [(model.q_mu, model.q_sqrt)]
+    )
+    after = float(model.elbo((X, Y)))
+    assert after > before
+    np.testing.assert_allclose(after, optimal, rtol=1e-8)
+
+    # a second step must be a no-op (already at the optimum)
+    NaturalGradient(gamma=1.0).minimize(
+        lambda: model.training_loss((X, Y)), [(model.q_mu, model.q_sqrt)]
+    )
+    np.testing.assert_allclose(float(model.elbo((X, Y))), optimal, rtol=1e-8)
+
+
+def test_xi_transforms_agree_to_second_order():
+    """Any two valid xi parameterizations take the same step up to O(gamma^2):
+    the parameter difference must shrink ~quadratically as gamma drops 10x."""
+
+    def step_diff(gamma):
+        mus = []
+        for xi in (XiNat(), XiSqrtMeanVar()):
+            model = _svgp(True)
+            NaturalGradient(gamma=gamma, xi_transform=xi).minimize(
+                lambda: model.training_loss((X, Y)), [(model.q_mu, model.q_sqrt)]
+            )
+            mus.append(np.asarray(model.q_mu.value))
+        return np.abs(mus[0] - mus[1]).max()
+
+    d3, d4 = step_diff(1e-3), step_diff(1e-4)
+    assert d4 < 1e-3  # near-identical in absolute terms
+    assert d3 / d4 > 30  # quadratic (=100), NOT first-order (=10), in gamma
+
+
+def test_natgrad_improves_nonconjugate():
+    model = SVGP(
+        kernel=kernels.SquaredExponential(),
+        likelihood=likelihoods.Bernoulli(),
+        inducing_variable=Z.copy(),
+        num_data=N,
+    )
+    Yb = (Y > 0).astype(float)
+    before = float(model.elbo((X, Yb)))
+    ng = NaturalGradient(gamma=0.5)
+    for _ in range(5):
+        ng.minimize(lambda: model.training_loss((X, Yb)), [(model.q_mu, model.q_sqrt)])
+    assert float(model.elbo((X, Yb))) > before + 1.0
