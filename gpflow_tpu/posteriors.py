@@ -205,6 +205,15 @@ class AbstractPosterior(Module, ABC):
     ) -> MeanAndVariance:
         """Mean/cov at Xnew excluding mean_function, from cached values."""
 
+    def predict_mean(self, Xnew: TensorType) -> jax.Array:
+        """Predictive mean only, from the cache (TPU-serving extension; not in
+        the reference API). Subclasses override to skip the variance work
+        entirely — for the (alpha, Qinv) posteriors that drops the dominant
+        O(M^2 N) Qinv contraction and serves mean-only batches at the cost of
+        one [N, M] x [M, L] matmul."""
+        mean, _ = self.predict_f(Xnew)
+        return mean
+
     def update_cache(self, precompute_cache: Optional[PrecomputeCacheType] = None) -> None:
         """(Re)computes or clears the cache (reference ``posteriors.py:322-358``)."""
         if precompute_cache is None:
@@ -257,6 +266,19 @@ class GPRPosterior(AbstractPosterior):
         return base_conditional_with_lm(
             Kmn=Kmn, Lm=Lm, Knn=Knn, f=err, full_cov=full_cov, q_sqrt=None, white=False
         )
+
+    def predict_mean(self, Xnew: TensorType) -> jax.Array:
+        """mean = Knm (Kmm + sigma^2 I)^-1 err: two [N, N] VECTOR solves
+        against the cached factor instead of the [N, Nnew] matrix solves of
+        the full conditional."""
+        if self.cache is None:
+            return super().predict_mean(Xnew)
+        err, Lm = self.cache
+        tmp = solve_triangular(Lm, err, lower=True)
+        alpha = solve_triangular(Lm, tmp, lower=True, trans=1)
+        Kmn = self.kernel(self.X_data, Xnew)
+        mean = jnp.matmul(jnp.swapaxes(Kmn, -1, -2), alpha)
+        return self._add_mean_function(Xnew, mean)
 
     def _precompute(self) -> Tuple[PrecomputedValue, ...]:
         assert self.mean_function is not None
@@ -353,6 +375,18 @@ class SGPRPosterior(AbstractPosterior):
             PrecomputedValue(LB, (False, False)),
             PrecomputedValue(c, (False, False)),
         )
+
+    def predict_mean(self, Xnew: TensorType) -> jax.Array:
+        """mean = Kus^T L^-T LB^-T c: the [M, M] solves act on the [M, L]
+        vector c rather than on the [M, Nnew] cross-covariance."""
+        if self.cache is None:
+            return super().predict_mean(Xnew)
+        L, LB, c = self.cache
+        tmp = solve_triangular(LB, c, lower=True, trans=1)
+        alpha = solve_triangular(L, tmp, lower=True, trans=1)
+        Kus = Kuf(self.inducing_variable, self.kernel, Xnew)
+        mean = jnp.matmul(jnp.swapaxes(Kus, -1, -2), alpha)
+        return self._add_mean_function(Xnew, mean)
 
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
@@ -562,6 +596,20 @@ class IndependentPosterior(BasePosterior):
 
         return self._post_process_mean_and_cov(mean, cov, full_cov, full_output_cov)
 
+    def _mix_mean(self, mean: jax.Array) -> jax.Array:
+        return mean
+
+    def predict_mean(self, Xnew: TensorType) -> jax.Array:
+        """mean = Kuf^T alpha: skips the O(M^2 N) Qinv contraction."""
+        if self.cache is None:
+            return super().predict_mean(Xnew)
+        alpha, _ = self.cache
+        Kuf_val = Kuf(self.X_data, self.kernel, Xnew)  # [(R), M, N]
+        mean = jnp.matmul(jnp.swapaxes(Kuf_val, -1, -2), alpha)
+        if Kuf_val.ndim == 3:
+            mean = jnp.swapaxes(jnp.squeeze(mean, axis=-1), -1, -2)  # [N, L]
+        return self._add_mean_function(Xnew, self._mix_mean(mean))
+
 
 class IndependentPosteriorSingleOutput(IndependentPosterior):
     """reference ``posteriors.py:825-841``."""
@@ -612,6 +660,10 @@ class IndependentPosteriorMultiOutput(IndependentPosterior):
 
 class LinearCoregionalizationPosterior(IndependentPosteriorMultiOutput):
     """Conditions in g-space then mixes with W (reference ``posteriors.py:890-906``)."""
+
+    def _mix_mean(self, mean: jax.Array) -> jax.Array:
+        # g-space latent means [..., N, L] -> output means [..., N, P]
+        return jnp.matmul(mean, jnp.swapaxes(self.kernel.W.value, -1, -2))
 
     def _post_process_mean_and_cov(
         self, mean: jax.Array, cov: jax.Array, full_cov: bool, full_output_cov: bool
