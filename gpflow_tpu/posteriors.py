@@ -260,7 +260,7 @@ class GPRPosterior(AbstractPosterior):
         full_output_cov: bool = False,
     ) -> MeanAndVariance:
         assert_params_false(self._conditional_with_precompute, full_output_cov=full_output_cov)
-        err, Lm = cache
+        err, Lm = cache[0], cache[1]
         Knn = self.kernel(Xnew, full_cov=full_cov)
         Kmn = self.kernel(self.X_data, Xnew)
         return base_conditional_with_lm(
@@ -273,9 +273,7 @@ class GPRPosterior(AbstractPosterior):
         the full conditional."""
         if self.cache is None:
             return super().predict_mean(Xnew)
-        err, Lm = self.cache
-        tmp = solve_triangular(Lm, err, lower=True)
-        alpha = solve_triangular(Lm, tmp, lower=True, trans=1)
+        alpha = self.cache[2]
         Kmn = self.kernel(self.X_data, Xnew)
         mean = jnp.matmul(jnp.swapaxes(Kmn, -1, -2), alpha)
         return self._add_mean_function(Xnew, mean)
@@ -287,9 +285,15 @@ class GPRPosterior(AbstractPosterior):
         Kmm = self.kernel(X_data)
         Kmm_plus_s = add_likelihood_noise_cov(Kmm, self.likelihood, X_data)
         Lm = jnp.linalg.cholesky(Kmm_plus_s)
+        # alpha = (K + sigma^2 I)^-1 err, cached so mean-only serving is one
+        # matvec (extension over the reference's (err, Lm) cache)
+        alpha = solve_triangular(
+            Lm, solve_triangular(Lm, err, lower=True), lower=True, trans=1
+        )
         return (
             PrecomputedValue(err, (False, False)),
             PrecomputedValue(Lm, (False, False)),
+            PrecomputedValue(alpha, (False, False)),
         )
 
     def _conditional_fused(
@@ -330,7 +334,7 @@ class SGPRPosterior(AbstractPosterior):
         full_output_cov: bool = False,
     ) -> MeanAndVariance:
         assert_params_false(self._conditional_with_precompute, full_output_cov=full_output_cov)
-        L, LB, c = cache
+        L, LB, c = cache[0], cache[1], cache[2]
         Kus = Kuf(self.inducing_variable, self.kernel, Xnew)
         tmp1 = solve_triangular(L, Kus, lower=True)
         tmp2 = solve_triangular(LB, tmp1, lower=True)
@@ -369,11 +373,17 @@ class SGPRPosterior(AbstractPosterior):
         LB = jnp.linalg.cholesky(B)
         Aerr = jnp.matmul(A, err / sigma[..., None])
         c = solve_triangular(LB, Aerr, lower=True)
+        # alpha = L^-T LB^-T c for one-matvec mean-only serving (extension
+        # over the reference's (L, LB, c) cache)
+        alpha = solve_triangular(
+            L, solve_triangular(LB, c, lower=True, trans=1), lower=True, trans=1
+        )
 
         return (
             PrecomputedValue(L, (False, False)),
             PrecomputedValue(LB, (False, False)),
             PrecomputedValue(c, (False, False)),
+            PrecomputedValue(alpha, (False, False)),
         )
 
     def predict_mean(self, Xnew: TensorType) -> jax.Array:
@@ -381,9 +391,7 @@ class SGPRPosterior(AbstractPosterior):
         vector c rather than on the [M, Nnew] cross-covariance."""
         if self.cache is None:
             return super().predict_mean(Xnew)
-        L, LB, c = self.cache
-        tmp = solve_triangular(LB, c, lower=True, trans=1)
-        alpha = solve_triangular(L, tmp, lower=True, trans=1)
+        alpha = self.cache[3]
         Kus = Kuf(self.inducing_variable, self.kernel, Xnew)
         mean = jnp.matmul(jnp.swapaxes(Kus, -1, -2), alpha)
         return self._add_mean_function(Xnew, mean)
