@@ -35,6 +35,11 @@ def make_mesh(
     """
     devices = list(devices) if devices is not None else jax.devices()
     if shape is not None:
+        if num_devices is not None:
+            raise ValueError(
+                "Pass either `shape` or `num_devices`, not both (the mesh "
+                "size is the product of the `shape` sizes)."
+            )
         names = tuple(shape)
         sizes = tuple(int(shape[n]) for n in names)
         total = int(np.prod(sizes))

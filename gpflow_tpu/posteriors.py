@@ -206,12 +206,16 @@ class AbstractPosterior(Module, ABC):
         """Mean/cov at Xnew excluding mean_function, from cached values."""
 
     def predict_mean(self, Xnew: TensorType) -> jax.Array:
-        """Predictive mean only, from the cache (TPU-serving extension; not in
-        the reference API). Subclasses override to skip the variance work
+        """Predictive mean only (TPU-serving extension; not in the reference
+        API). Subclasses override the cached path to skip the variance work
         entirely — for the (alpha, Qinv) posteriors that drops the dominant
         O(M^2 N) Qinv contraction and serves mean-only batches at the cost of
-        one [N, M] x [M, L] matmul."""
-        mean, _ = self.predict_f(Xnew)
+        one [N, M] x [M, L] matmul. Without a cache this falls back to the
+        fused conditional and discards the variance."""
+        if self.cache is None:
+            mean, _ = self.fused_predict_f(Xnew)
+        else:
+            mean, _ = self.predict_f(Xnew)
         return mean
 
     def update_cache(self, precompute_cache: Optional[PrecomputeCacheType] = None) -> None:
@@ -268,9 +272,9 @@ class GPRPosterior(AbstractPosterior):
         )
 
     def predict_mean(self, Xnew: TensorType) -> jax.Array:
-        """mean = Knm (Kmm + sigma^2 I)^-1 err: two [N, N] VECTOR solves
-        against the cached factor instead of the [N, Nnew] matrix solves of
-        the full conditional."""
+        """mean = Knm alpha with alpha = (Kmm + sigma^2 I)^-1 err read from
+        the cache: predict-time work is the [N, Nnew] Kmn build plus one
+        matvec — no solves."""
         if self.cache is None:
             return super().predict_mean(Xnew)
         alpha = self.cache[2]
@@ -278,28 +282,34 @@ class GPRPosterior(AbstractPosterior):
         mean = jnp.matmul(jnp.swapaxes(Kmn, -1, -2), alpha)
         return self._add_mean_function(Xnew, mean)
 
-    def _precompute(self) -> Tuple[PrecomputedValue, ...]:
+    def _precompute_base(self) -> Tuple[PrecomputedValue, ...]:
+        """(err, Lm) — everything the full conditional needs."""
         assert self.mean_function is not None
         X_data = cast(jax.Array, self.X_data)
         err = self.Y_data - self.mean_function(X_data)
         Kmm = self.kernel(X_data)
         Kmm_plus_s = add_likelihood_noise_cov(Kmm, self.likelihood, X_data)
         Lm = jnp.linalg.cholesky(Kmm_plus_s)
-        # alpha = (K + sigma^2 I)^-1 err, cached so mean-only serving is one
-        # matvec (extension over the reference's (err, Lm) cache)
-        alpha = solve_triangular(
-            Lm, solve_triangular(Lm, err, lower=True), lower=True, trans=1
-        )
         return (
             PrecomputedValue(err, (False, False)),
             PrecomputedValue(Lm, (False, False)),
-            PrecomputedValue(alpha, (False, False)),
         )
+
+    def _precompute(self) -> Tuple[PrecomputedValue, ...]:
+        err_v, Lm_v = self._precompute_base()
+        err, Lm = err_v.value, Lm_v.value
+        # alpha = (K + sigma^2 I)^-1 err, cached so mean-only serving is one
+        # matvec (extension over the reference's (err, Lm) cache; computed
+        # only here, not on the fused/NOCACHE path)
+        alpha = solve_triangular(
+            Lm, solve_triangular(Lm, err, lower=True), lower=True, trans=1
+        )
+        return (err_v, Lm_v, PrecomputedValue(alpha, (False, False)))
 
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
-        temp_cache = tuple(c.value for c in self._precompute())
+        temp_cache = tuple(c.value for c in self._precompute_base())
         return self._conditional_with_precompute(temp_cache, Xnew, full_cov, full_output_cov)
 
 
@@ -355,7 +365,8 @@ class SGPRPosterior(AbstractPosterior):
             var = jnp.broadcast_to(var[:, None], var.shape + (self.num_latent_gps,))
         return mean, var
 
-    def _precompute(self) -> Tuple[PrecomputedValue, ...]:
+    def _precompute_base(self) -> Tuple[PrecomputedValue, ...]:
+        """(L, LB, c) — everything the full conditional needs."""
         assert self.mean_function is not None
         X_data = cast(jax.Array, self.X_data)
         num_inducing = self.inducing_variable.num_inducing
@@ -373,18 +384,23 @@ class SGPRPosterior(AbstractPosterior):
         LB = jnp.linalg.cholesky(B)
         Aerr = jnp.matmul(A, err / sigma[..., None])
         c = solve_triangular(LB, Aerr, lower=True)
-        # alpha = L^-T LB^-T c for one-matvec mean-only serving (extension
-        # over the reference's (L, LB, c) cache)
-        alpha = solve_triangular(
-            L, solve_triangular(LB, c, lower=True, trans=1), lower=True, trans=1
-        )
 
         return (
             PrecomputedValue(L, (False, False)),
             PrecomputedValue(LB, (False, False)),
             PrecomputedValue(c, (False, False)),
-            PrecomputedValue(alpha, (False, False)),
         )
+
+    def _precompute(self) -> Tuple[PrecomputedValue, ...]:
+        L_v, LB_v, c_v = self._precompute_base()
+        L, LB, c = L_v.value, LB_v.value, c_v.value
+        # alpha = L^-T LB^-T c for one-matvec mean-only serving (extension
+        # over the reference's (L, LB, c) cache; computed only here, not on
+        # the fused/NOCACHE path)
+        alpha = solve_triangular(
+            L, solve_triangular(LB, c, lower=True, trans=1), lower=True, trans=1
+        )
+        return (L_v, LB_v, c_v, PrecomputedValue(alpha, (False, False)))
 
     def predict_mean(self, Xnew: TensorType) -> jax.Array:
         """mean = Kus^T L^-T LB^-T c: the [M, M] solves act on the [M, L]
@@ -399,7 +415,7 @@ class SGPRPosterior(AbstractPosterior):
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
-        temp_cache = tuple(c.value for c in self._precompute())
+        temp_cache = tuple(c.value for c in self._precompute_base())
         return self._conditional_with_precompute(temp_cache, Xnew, full_cov, full_output_cov)
 
 

@@ -10,11 +10,6 @@ rng = np.random.RandomState(1)
 M, N, R = 5, 7, 2
 
 
-def _spd(n, scale=1.0):
-    A = rng.randn(n, n)
-    return scale * (A @ A.T) + n * np.eye(n)
-
-
 def _oracle(Kmn, Kmm, Knn, f, q_sqrt, white):
     """Dense NumPy: q(g1) moments after integrating q(u).
 
@@ -52,7 +47,6 @@ def _oracle(Kmn, Kmm, Knn, f, q_sqrt, white):
 @pytest.mark.parametrize("q_form", [None, "diag", "tril"])
 @pytest.mark.parametrize("full_cov", [False, True])
 def test_base_conditional_vs_oracle(white, q_form, full_cov):
-    Kmm = _spd(M)
     X = rng.randn(M + N, 2)
     from gpflow_tpu import kernels
 

@@ -93,3 +93,19 @@ def test_vgp_posterior_default_fallback():
     m = VGP((X, Y), kernel=kernels.SquaredExponential(), likelihood=likelihoods.Gaussian(0.1))
     m.q_mu.assign(rng.randn(N, 1))
     _check(m.posterior())
+
+
+def test_predict_mean_nocache_falls_back_to_fused():
+    from gpflow_tpu.posteriors import PrecomputeCacheType
+
+    m = SVGP(
+        kernel=kernels.SquaredExponential(),
+        likelihood=likelihoods.Gaussian(0.1),
+        inducing_variable=X[:M].copy(),
+        num_data=N,
+    )
+    m.q_mu.assign(rng.randn(M, 1))
+    post = m.posterior(PrecomputeCacheType.NOCACHE)
+    mean = post.predict_mean(Xnew)
+    mean_ref, _ = post.fused_predict_f(Xnew)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), rtol=1e-12)
