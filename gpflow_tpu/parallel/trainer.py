@@ -213,6 +213,7 @@ class DataParallelTrainer:
         self._train_step = jax.jit(train_step, donate_argnums=donate_argnums)
         self._natgrad_rejections = 0
         self._pending_rejections: list = []
+        self._sample_counter = 0
 
         def multi_step(params, vparams, opt_state, leaves, batches):
             """K steps in one device dispatch via lax.scan — amortizes the
@@ -231,6 +232,39 @@ class DataParallelTrainer:
             return params, vparams, opt_state, losses, jnp.sum(rejected)
 
         self._multi_step = jax.jit(multi_step, donate_argnums=donate_argnums)
+
+        def multi_step_sampled(params, vparams, opt_state, leaves, data, keys, batch_size):
+            """K steps with ON-DEVICE minibatch sampling from a device-resident
+            dataset: per step, uniform indices are drawn in-graph and the rows
+            gathered and sharding-constrained to the data axis. Avoids
+            shipping every batch over the host link (dominant for
+            remote-attached chips: staging K x [B, D] batches costs more than
+            the compute at production shapes)."""
+            Xall, Yall = data
+
+            def body(carry, key):
+                params, vparams, opt_state = carry
+                idx = jax.random.randint(key, (batch_size,), 0, Xall.shape[0])
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(a[idx], self._batch_sharding)
+                    for a in (Xall, Yall)
+                )
+                params, vparams, opt_state, loss, rejected = train_step(
+                    params, vparams, opt_state, leaves, batch
+                )
+                return (params, vparams, opt_state), (loss, rejected)
+
+            (params, vparams, opt_state), (losses, rejected) = jax.lax.scan(
+                body, (params, vparams, opt_state), keys
+            )
+            return params, vparams, opt_state, losses, jnp.sum(rejected)
+
+        self._multi_step_sampled = jax.jit(
+            multi_step_sampled,
+            static_argnums=(6,),
+            donate_argnums=donate_argnums,
+        )
+        self._staged_data: Optional[Tuple[jax.Array, ...]] = None
 
     @property
     def natgrad_rejections(self) -> int:
@@ -278,6 +312,38 @@ class DataParallelTrainer:
             batches = self.shard_stacked(batches)
         self.params, self.vparams, self.opt_state, losses, rejected = self._multi_step(
             self.params, self.vparams, self.opt_state, self._leaves, batches
+        )
+        self._pending_rejections.append(rejected)
+        return losses
+
+    def stage_data(self, data: Tuple[Any, ...]) -> None:
+        """Places the FULL training set on device (replicated), once, for
+        ``run_steps_sampled``. At SVGP production shapes the dataset (e.g.
+        N=1e6, D=8 f32 = 32 MB) is far smaller than the batches shipped per
+        epoch, so device-resident data + in-graph sampling is the fast path
+        on remote-attached chips."""
+        rep = replicated(self.mesh)
+        self._staged_data = tuple(
+            jax.device_put(jnp.asarray(a), rep) for a in data
+        )
+
+    def run_steps_sampled(
+        self, n_steps: int, batch_size: int, key: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Runs ``n_steps`` optimizer steps in ONE device call, sampling each
+        minibatch uniformly (with replacement) from the staged dataset
+        in-graph. Call ``stage_data`` first. Returns per-step losses."""
+        if self._staged_data is None:
+            raise ValueError("Call stage_data(data) before run_steps_sampled")
+        if key is None:
+            key = jax.random.PRNGKey(self._sample_counter)
+            self._sample_counter += 1
+        keys = jax.random.split(key, n_steps)
+        (
+            self.params, self.vparams, self.opt_state, losses, rejected
+        ) = self._multi_step_sampled(
+            self.params, self.vparams, self.opt_state, self._leaves,
+            self._staged_data, keys, batch_size,
         )
         self._pending_rejections.append(rejected)
         return losses

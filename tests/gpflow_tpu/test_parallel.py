@@ -334,3 +334,30 @@ def test_latent_axis_validation_errors():
     m1 = _svgp()
     with pytest.raises(ValueError, match="not an axis"):
         DataParallelTrainer(m1, latent_axis="latent")
+
+
+def test_run_steps_sampled_device_data():
+    """On-device batch sampling: staged dataset, in-graph uniform indices,
+    losses finite and decreasing; results deterministic given the key."""
+    model = _svgp()
+    trainer = DataParallelTrainer(model, optimizer=optax.adam(0.02))
+    trainer.stage_data((X, Y))
+    import jax as _jax
+
+    before = float(trainer.loss((X, Y)))
+    l1 = np.asarray(trainer.run_steps_sampled(20, 64, key=_jax.random.PRNGKey(7)))
+    assert l1.shape == (20,)
+    assert np.isfinite(l1).all()
+    assert float(trainer.loss((X, Y))) < before
+
+    # same key, fresh trainer -> identical loss trajectory
+    model2 = _svgp()
+    trainer2 = DataParallelTrainer(model2, optimizer=optax.adam(0.02))
+    trainer2.stage_data((X, Y))
+    l2 = np.asarray(trainer2.run_steps_sampled(20, 64, key=_jax.random.PRNGKey(7)))
+    np.testing.assert_allclose(l1, l2, rtol=1e-10)
+
+    # without staging it refuses
+    trainer3 = DataParallelTrainer(_svgp(), optimizer=optax.adam(0.02))
+    with pytest.raises(ValueError, match="stage_data"):
+        trainer3.run_steps_sampled(2, 8)
