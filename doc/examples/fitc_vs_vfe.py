@@ -50,13 +50,15 @@ def main() -> None:
     print(f"VFE with Z=X: ELBO {elbo_full:.2f} (= exact LML)")
     assert abs(elbo_full - lml) < 0.02 * abs(lml) + 0.5
 
-    # ...FITC with Z=X does NOT equal exact GPR (it is a different model)
+    # ...and FITC with Z=X is ALSO exact (Qff = Kff so the diagonal
+    # correction vanishes); the differences below only appear at M < N
     fitc_full = gpf.models.GPRFITC((X, Y), kernel=kern(), inducing_variable=X.copy())
     fitc_full.kernel.variance.assign(exact.kernel.variance.value)
     fitc_full.kernel.lengthscales.assign(exact.kernel.lengthscales.value)
     fitc_full.likelihood.variance.assign(exact.likelihood.variance.value)
     fitc_ml = float(fitc_full.maximum_log_likelihood_objective())
-    print(f"FITC with Z=X: objective {fitc_ml:.2f}")
+    print(f"FITC with Z=X: objective {fitc_ml:.2f} (= exact LML)")
+    assert abs(fitc_ml - lml) < 0.02 * abs(lml) + 0.5
 
     # sparse M=15: train both jointly (hyperparameters + Z)
     M = 15
