@@ -82,6 +82,14 @@ def main() -> None:
     parser.add_argument("suite")
     parser.add_argument("dest")
     parser.add_argument("--shard", default=None, help="i/n split of the task grid")
+    parser.add_argument(
+        "--plot",
+        nargs="*",
+        default=None,
+        metavar="PLOTTER",
+        help="render result plots (default plotters if no names given; "
+        "see benchmark.plotters.PLOTTERS)",
+    )
     args = parser.parse_args()
 
     from .benchmarks import get_suite
@@ -126,6 +134,13 @@ def main() -> None:
     with open(os.path.join(args.dest, "metadata.json"), "w") as f:
         json.dump(metadata, f, indent=2)
     print(f"[benchmark] wrote {out}")
+
+    if args.plot is not None:
+        from .plotters import plot_results
+
+        names = args.plot or ["metrics", "timelines"]
+        for path in plot_results(rows, args.dest, names):
+            print(f"[benchmark] wrote {path}")
 
 
 if __name__ == "__main__":

@@ -29,3 +29,24 @@ def test_benchmark_sharding():
     shards = [shard_tasks(tasks, i, 3) for i in range(3)]
     assert sum(len(s) for s in shards) == len(tasks)
     assert not (set(shards[0]) & set(shards[1]))
+
+
+def test_benchmark_plotters(tmp_path):
+    from benchmark.plotters import PLOTTERS, plot_results
+
+    assert set(PLOTTERS.names()) == {"metrics", "timelines"}
+    rows = [
+        {
+            "dataset": ds, "model": m, "repetition": rep,
+            "training_time": 1.0 + rep, "rmse": 0.1 * (rep + 1), "nlpd": -0.5,
+        }
+        for ds in ("tiny_linear", "tiny_sine")
+        for m in ("gpr", "svgp")
+        for rep in (0, 1)
+    ]
+    paths = plot_results(rows, str(tmp_path), ["metrics", "timelines"])
+    assert os.path.join(str(tmp_path), "metrics.png") in paths
+    assert all(os.path.getsize(p) > 0 for p in paths)
+    # timelines: one file per metric present in the rows
+    names = {os.path.basename(p) for p in paths}
+    assert {"timeline_training_time.png", "timeline_nlpd.png", "timeline_rmse.png"} <= names
