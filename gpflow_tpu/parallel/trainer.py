@@ -158,9 +158,12 @@ class DataParallelTrainer:
         ]
         self.params = tuple(self._leaves[i] for i in self._train_idx)
         self.vparams = tuple(self._leaves[i] for i in natgrad_idx)
-        # init on the already-placed params: adam's mu/nu inherit each
-        # param's sharding through zeros_like (replicated in the 1-D case)
-        self.opt_state = self.optimizer.init(self.params)
+        # init on the already-placed params, under jit: adam's mu/nu inherit
+        # each param's sharding through zeros_like (replicated in the 1-D
+        # case, latent-sharded when latent_axis is set), and the whole init
+        # is ONE device dispatch — eager init issues one RPC per state leaf,
+        # which is minutes of setup on a remote-attached chip
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
 
         train_idx = self._train_idx
         optimizer_ = self.optimizer
