@@ -1,3 +1,4 @@
+from . import bijectors
 from ..bijectors import positive, triangular, triangular_size
 from .checkpoints import load_checkpoint, save_checkpoint
 from .profiling import annotate, profile
@@ -31,6 +32,7 @@ from .traversal import (
     parameter_dict,
     print_summary,
     read_values,
+    reset_cache_bijectors,
     select_dict_parameters_with_prior,
     tabulate_module_summary,
     traverse_module,
@@ -42,6 +44,7 @@ __all__ = [
     "add_noise_cov",
     "annotate",
     "assert_params_false",
+    "bijectors",
     "broadcasting_elementwise",
     "deepcopy",
     "difference_matrix",
@@ -61,6 +64,7 @@ __all__ = [
     "print_summary",
     "profile",
     "read_values",
+    "reset_cache_bijectors",
     "save_checkpoint",
     "select_dict_parameters_with_prior",
     "set_trainable",

@@ -26,6 +26,7 @@ __all__ = [
     "parameter_dict",
     "print_summary",
     "read_values",
+    "reset_cache_bijectors",
     "select_dict_parameters_with_prior",
     "tabulate_module_summary",
     "traverse_module",
@@ -102,11 +103,19 @@ def select_dict_parameters_with_prior(m: Module) -> Dict[Path, Parameter]:
     return {k: p for k, p in parameter_dict(m).items() if p.prior is not None}
 
 
+def reset_cache_bijectors(input_module: M) -> M:
+    """Drop-in for reference ``traversal.py:197-248``: there the TFP
+    bijectors cache forward/inverse tensors and must be cleared before a
+    deepcopy. Our bijectors are stateless frozen dataclasses — there is no
+    cache — so this returns the module unchanged."""
+    return input_module
+
+
 def deepcopy(m: M, memo: Optional[Dict[int, Any]] = None) -> M:
     """Deep copy of a module tree (reference ``traversal.py:254-264``; the
     bijector-cache workaround is unnecessary here — our bijectors are
-    stateless frozen dataclasses)."""
-    return _copy.deepcopy(m, memo)
+    stateless frozen dataclasses, see ``reset_cache_bijectors``)."""
+    return _copy.deepcopy(reset_cache_bijectors(m), memo)
 
 
 def freeze(m: M) -> M:
