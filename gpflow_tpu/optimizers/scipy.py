@@ -184,4 +184,41 @@ class Scipy:
 
         return _eval
 
+    @staticmethod
+    def pack_tensors(tensors: Sequence[Any]) -> np.ndarray:
+        """Concatenation of flattened arrays (reference ``scipy.py:292-296``).
+        Accepts Parameters (their unconstrained value is used), jax arrays,
+        or numpy arrays."""
+        flats = [
+            np.asarray(
+                t.unconstrained_variable if isinstance(t, Parameter) else t
+            ).reshape(-1)
+            for t in tensors
+        ]
+        if not flats:
+            return np.zeros((0,), dtype=np.float64)
+        return np.concatenate(flats)
 
+    @staticmethod
+    def unpack_tensors(to_tensors: Sequence[Any], from_vector: Any) -> List[np.ndarray]:
+        """Splits a flat vector back into arrays shaped like ``to_tensors``
+        (reference ``scipy.py:298-312``)."""
+        from_vector = np.asarray(from_vector)
+        out = []
+        i = 0
+        for t in to_tensors:
+            a = np.asarray(t.unconstrained_variable if isinstance(t, Parameter) else t)
+            size = int(np.prod(a.shape)) if a.shape else 1
+            out.append(from_vector[i : i + size].reshape(a.shape).astype(a.dtype))
+            i += size
+        return out
+
+    @staticmethod
+    def assign_tensors(to_tensors: Sequence[Parameter], values: Sequence[Any]) -> None:
+        """Assigns each value to the matching Parameter's *unconstrained*
+        variable (reference ``scipy.py:314-319`` assigns tf.Variables, which
+        hold the unconstrained state there too)."""
+        if len(to_tensors) != len(values):
+            raise ValueError("to_tensors and values should have same length")
+        for target, value in zip(to_tensors, values):
+            target.assign_unconstrained(jnp.asarray(value, dtype=target.dtype))
