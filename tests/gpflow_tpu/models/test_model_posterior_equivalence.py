@@ -19,18 +19,19 @@ XT = rng.randn(6, D)
 
 
 def _models():
+    svgp = SVGP(
+        kernel=kernels.SquaredExponential(),
+        likelihood=likelihoods.Gaussian(0.1),
+        inducing_variable=Z.copy(),
+    )
+    svgp.q_mu.assign(rng.randn(M, 1))  # nonzero variational state
+    vgp = VGP((X, Y), kernel=kernels.SquaredExponential(), likelihood=likelihoods.Gaussian(0.1))
+    vgp.q_mu.assign(rng.randn(N, 1))
     return [
         ("GPR", GPR((X, Y), kernel=kernels.SquaredExponential())),
         ("SGPR", SGPR((X, Y), kernel=kernels.SquaredExponential(), inducing_variable=Z.copy())),
-        (
-            "SVGP",
-            SVGP(
-                kernel=kernels.SquaredExponential(),
-                likelihood=likelihoods.Gaussian(0.1),
-                inducing_variable=Z.copy(),
-            ),
-        ),
-        ("VGP", VGP((X, Y), kernel=kernels.SquaredExponential(), likelihood=likelihoods.Gaussian(0.1))),
+        ("SVGP", svgp),
+        ("VGP", vgp),
     ]
 
 
