@@ -13,19 +13,21 @@ from gpflow_tpu.utilities.bijectors import positive, triangular, triangular_size
 rng = np.random.RandomState(13)
 
 SCALAR_BIJECTORS = [
-    bj.Identity(),
-    bj.Exp(),
-    bj.Softplus(),
-    bj.Shift(1.5),
-    bj.Sigmoid(),
-    bj.Chain([bj.Shift(0.5), bj.Softplus()]),
-    positive(),
-    positive(lower=1e-3),
-    positive(base="exp"),
+    ("Identity", bj.Identity()),
+    ("Exp", bj.Exp()),
+    ("Softplus", bj.Softplus()),
+    ("Shift", bj.Shift(1.5)),
+    ("Sigmoid", bj.Sigmoid()),
+    ("Chain", bj.Chain([bj.Shift(0.5), bj.Softplus()])),
+    ("positive", positive()),
+    ("positive_lower", positive(lower=1e-3)),
+    ("positive_exp", positive(base="exp")),
 ]
+IDS = [n for n, _ in SCALAR_BIJECTORS]
+BIJ = [b for _, b in SCALAR_BIJECTORS]
 
 
-@pytest.mark.parametrize("b", SCALAR_BIJECTORS, ids=lambda b: type(b).__name__ + str(id(b) % 97))
+@pytest.mark.parametrize("b", BIJ, ids=IDS)
 def test_roundtrip(b):
     x = rng.randn(7) * 1.5
     y = np.asarray(b.forward(jnp.asarray(x)))
@@ -33,7 +35,7 @@ def test_roundtrip(b):
     np.testing.assert_allclose(x_back, x, atol=1e-7)
 
 
-@pytest.mark.parametrize("b", SCALAR_BIJECTORS, ids=lambda b: type(b).__name__ + str(id(b) % 97))
+@pytest.mark.parametrize("b", BIJ, ids=IDS)
 def test_forward_log_det_jacobian_vs_autodiff(b):
     xs = rng.randn(5) * 1.2
     for x in xs:
