@@ -87,6 +87,7 @@ def metrics_plotter(rows: Sequence[Dict[str, Any]], dest: str) -> List[str]:
         ax = axes[i // ncols][i % ncols]
         _style_axis(ax)
         metric = next(m for m in METRICS if m.name == metric_name)
+        labelled = set()  # label each dataset on its first DRAWN bar
         for j, ds in enumerate(datasets):
             for k, model in enumerate(models):
                 vals = [
@@ -101,8 +102,9 @@ def metrics_plotter(rows: Sequence[Dict[str, Any]], dest: str) -> List[str]:
                 x = k + (j - (len(datasets) - 1) / 2) * width
                 ax.bar(
                     x, float(np.mean(vals)), width * 0.9, color=colors[ds],
-                    zorder=2, label=ds if k == 0 else None,
+                    zorder=2, label=None if ds in labelled else ds,
                 )
+                labelled.add(ds)
                 ax.plot(
                     [x] * len(vals), vals, "o", color="0.25", markersize=3,
                     zorder=3,

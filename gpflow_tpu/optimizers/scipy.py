@@ -187,31 +187,57 @@ class Scipy:
     @staticmethod
     def pack_tensors(tensors: Sequence[Any]) -> np.ndarray:
         """Concatenation of flattened arrays (reference ``scipy.py:292-296``).
-        Accepts Parameters (their unconstrained value is used), jax arrays,
-        or numpy arrays."""
-        flats = [
-            np.asarray(
-                t.unconstrained_variable if isinstance(t, Parameter) else t
-            ).reshape(-1)
-            for t in tensors
-        ]
+        Accepts Parameters (their unconstrained value is used) or plain
+        arrays. Uses the SAME vector layout as ``minimize``'s flat vector
+        (``result.x`` / ``initial_parameters``): Parameters with a
+        TriangularMask transform contribute only their lower-triangle
+        entries, so ``unpack_tensors(variables, result.x)`` round-trips."""
+        flats = []
+        for t in tensors:
+            a, tri = Scipy._unconstrained_and_tril(t)
+            if tri:
+                rows, cols = _tril_indices(a.shape)
+                flats.append(a[..., rows, cols].reshape(-1))
+            else:
+                flats.append(a.reshape(-1))
         if not flats:
             return np.zeros((0,), dtype=np.float64)
         return np.concatenate(flats)
 
     @staticmethod
     def unpack_tensors(to_tensors: Sequence[Any], from_vector: Any) -> List[np.ndarray]:
-        """Splits a flat vector back into arrays shaped like ``to_tensors``
-        (reference ``scipy.py:298-312``)."""
+        """Splits a flat vector (in ``pack_tensors``/``minimize`` layout)
+        back into arrays shaped like ``to_tensors`` (reference
+        ``scipy.py:298-312``); tril-packed segments are scattered back into
+        full matrices with a zero upper triangle."""
         from_vector = np.asarray(from_vector)
         out = []
         i = 0
         for t in to_tensors:
-            a = np.asarray(t.unconstrained_variable if isinstance(t, Parameter) else t)
-            size = int(np.prod(a.shape)) if a.shape else 1
-            out.append(from_vector[i : i + size].reshape(a.shape).astype(a.dtype))
+            a, tri = Scipy._unconstrained_and_tril(t)
+            if tri:
+                n = a.shape[-1]
+                rows, cols = _tril_indices(a.shape)
+                batch = a.shape[:-2]
+                size = int(np.prod(batch)) * len(rows) if batch else len(rows)
+                chunk = from_vector[i : i + size]
+                full = np.zeros(a.shape, dtype=a.dtype)
+                full[..., rows, cols] = chunk.reshape(batch + (len(rows),))
+                out.append(full)
+            else:
+                size = int(np.prod(a.shape)) if a.shape else 1
+                out.append(from_vector[i : i + size].reshape(a.shape).astype(a.dtype))
             i += size
         return out
+
+    @staticmethod
+    def _unconstrained_and_tril(t: Any) -> Tuple[np.ndarray, bool]:
+        if isinstance(t, Parameter):
+            return (
+                np.asarray(t.unconstrained_variable),
+                isinstance(t.transform, TriangularMask),
+            )
+        return np.asarray(t), False
 
     @staticmethod
     def assign_tensors(to_tensors: Sequence[Parameter], values: Sequence[Any]) -> None:

@@ -158,12 +158,28 @@ class DataParallelTrainer:
         ]
         self.params = tuple(self._leaves[i] for i in self._train_idx)
         self.vparams = tuple(self._leaves[i] for i in natgrad_idx)
-        # init on the already-placed params, under jit: adam's mu/nu inherit
-        # each param's sharding through zeros_like (replicated in the 1-D
-        # case, latent-sharded when latent_axis is set), and the whole init
-        # is ONE device dispatch — eager init issues one RPC per state leaf,
-        # which is minutes of setup on a remote-attached chip
+        # init under jit: ONE device dispatch — eager init issues one RPC per
+        # state leaf, which is minutes of setup on a remote-attached chip.
+        # Under jit zeros_like lowers to a data-independent broadcast, so
+        # GSPMD does NOT propagate the params' shardings into the state; in
+        # the 1-D (all-replicated) case the compiler default is replicated
+        # anyway, but latent-sharded params need their optimizer state
+        # explicitly re-placed or each device would hold FULL mu/nu copies,
+        # defeating the memory-scales-in-L guarantee.
         self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        param_shardings = [leaf_shardings[i] for i in self._train_idx]
+        if any(s is not rep for s in param_shardings):
+            # map state leaves to param shardings by (shape, dtype); skip
+            # ambiguous signatures (same shape+dtype under different
+            # shardings) — those keep the compiler default
+            sig = {}
+            for p, s in zip(self.params, param_shardings):
+                key = (tuple(p.shape), jnp.result_type(p))
+                sig[key] = None if key in sig and sig[key] is not s else s
+            def _place(leaf):
+                s = sig.get((tuple(jnp.shape(leaf)), jnp.result_type(leaf)))
+                return jax.device_put(leaf, s) if s is not None else leaf
+            self.opt_state = jax.tree_util.tree_map(_place, self.opt_state)
 
         train_idx = self._train_idx
         optimizer_ = self.optimizer

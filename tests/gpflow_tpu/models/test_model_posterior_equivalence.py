@@ -18,29 +18,38 @@ Z = rng.randn(M, D)
 XT = rng.randn(6, D)
 
 
-def _models():
-    svgp = SVGP(
-        kernel=kernels.SquaredExponential(),
-        likelihood=likelihoods.Gaussian(0.1),
-        inducing_variable=Z.copy(),
-    )
-    svgp.q_mu.assign(rng.randn(M, 1))  # nonzero variational state
-    vgp = VGP((X, Y), kernel=kernels.SquaredExponential(), likelihood=likelihoods.Gaussian(0.1))
-    vgp.q_mu.assign(rng.randn(N, 1))
-    return [
-        ("GPR", GPR((X, Y), kernel=kernels.SquaredExponential())),
-        ("SGPR", SGPR((X, Y), kernel=kernels.SquaredExponential(), inducing_variable=Z.copy())),
-        ("SVGP", svgp),
-        ("VGP", vgp),
-    ]
+_QMU_SVGP = rng.randn(M, 1)
+_QMU_VGP = rng.randn(N, 1)
 
 
-MODELS = _models()
+def _make_model(name):
+    """Fresh model per call — tests must not share mutable model state."""
+    if name == "GPR":
+        return GPR((X, Y), kernel=kernels.SquaredExponential())
+    if name == "SGPR":
+        return SGPR((X, Y), kernel=kernels.SquaredExponential(), inducing_variable=Z.copy())
+    if name == "SVGP":
+        m = SVGP(
+            kernel=kernels.SquaredExponential(),
+            likelihood=likelihoods.Gaussian(0.1),
+            inducing_variable=Z.copy(),
+        )
+        m.q_mu.assign(_QMU_SVGP)  # nonzero variational state
+        return m
+    if name == "VGP":
+        m = VGP((X, Y), kernel=kernels.SquaredExponential(), likelihood=likelihoods.Gaussian(0.1))
+        m.q_mu.assign(_QMU_VGP)
+        return m
+    raise ValueError(name)
 
 
-@pytest.mark.parametrize("name,model", MODELS, ids=[n for n, _ in MODELS])
+MODEL_NAMES = ["GPR", "SGPR", "SVGP", "VGP"]
+
+
+@pytest.mark.parametrize("name", MODEL_NAMES)
 @pytest.mark.parametrize("full_cov", [False, True])
-def test_posterior_matches_model_predict(name, model, full_cov):
+def test_posterior_matches_model_predict(name, full_cov):
+    model = _make_model(name)
     post = model.posterior()
     mu_m, var_m = model.predict_f(XT, full_cov=full_cov)
     mu_p, var_p = post.predict_f(XT, full_cov=full_cov)
@@ -48,8 +57,9 @@ def test_posterior_matches_model_predict(name, model, full_cov):
     np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_m), atol=1e-8)
 
 
-@pytest.mark.parametrize("name,model", MODELS, ids=[n for n, _ in MODELS])
-def test_posterior_stale_then_refreshed(name, model):
+@pytest.mark.parametrize("name", MODEL_NAMES)
+def test_posterior_stale_then_refreshed(name):
+    model = _make_model(name)
     post = model.posterior()
     mu_before, _ = (np.asarray(a) for a in post.predict_f(XT))
 
@@ -63,7 +73,6 @@ def test_posterior_stale_then_refreshed(name, model):
     post.update_cache(PrecomputeCacheType.TENSOR)
     mu_fresh, _ = (np.asarray(a) for a in post.predict_f(XT))
     np.testing.assert_allclose(mu_fresh, mu_new, atol=1e-8)
-    model.kernel.lengthscales.assign(1.0)
 
 
 def test_gpr_posterior_nocache_raises():

@@ -361,3 +361,22 @@ def test_run_steps_sampled_device_data():
     trainer3 = DataParallelTrainer(_svgp(), optimizer=optax.adam(0.02))
     with pytest.raises(ValueError, match="stage_data"):
         trainer3.run_steps_sampled(2, 8)
+
+
+def test_latent_axis_opt_state_sharded():
+    """Adam's mu/nu for the latent-sharded q_mu/q_sqrt must themselves be
+    latent-sharded — jitted optimizer.init lowers zeros_like to a
+    data-independent broadcast, so the trainer re-places the state
+    explicitly (each device must hold L/l of the [L, M, M] state, not a
+    full replicated copy)."""
+    m, _ = _multioutput_svgp()
+    mesh = make_mesh(shape={"data": 2, "latent": 4})
+    tr = DataParallelTrainer(
+        m, optimizer=optax.adam(0.01), mesh=mesh, latent_axis="latent"
+    )
+    q_sqrt_shape = next(p.shape for p in tr.params if p.ndim == 3)
+    state_leaves = jax.tree_util.tree_leaves(tr.opt_state)
+    sharded = [l for l in state_leaves if getattr(l, "ndim", 0) == 3 and l.shape == q_sqrt_shape]
+    assert sharded, "expected adam mu/nu leaves matching q_sqrt's shape"
+    for leaf in sharded:
+        assert leaf.sharding.spec and leaf.sharding.spec[0] == "latent", leaf.sharding

@@ -34,3 +34,31 @@ def test_assign_length_mismatch_raises():
     k = gpf.kernels.SquaredExponential()
     with pytest.raises(ValueError, match="same length"):
         Scipy.assign_tensors(list(k.trainable_parameters), [np.zeros(1)] * 5)
+
+
+def test_pack_layout_matches_minimize_vector():
+    """pack_tensors must use the same layout as minimize's flat vector,
+    including tril-packing of TriangularMask (full-cov q_sqrt) parameters."""
+    import gpflow_tpu as gpf
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(8, 1)
+    Y = rng.randn(8, 1)
+    m = gpf.models.VGP(
+        (X, Y), kernel=gpf.kernels.SquaredExponential(),
+        likelihood=gpf.likelihoods.Gaussian(0.1),
+    )
+    params = list(m.trainable_variables)
+    opt = Scipy()
+    vec = opt.initial_parameters(params)
+    packed = Scipy.pack_tensors(params)
+    np.testing.assert_allclose(packed, vec, rtol=1e-10)
+
+    parts = Scipy.unpack_tensors(params, vec)
+    for p, a in zip(params, parts):
+        np.testing.assert_allclose(
+            a, np.asarray(p.unconstrained_variable) * (np.tril(np.ones(a.shape[-2:])) if a.ndim >= 2 and a.shape[-1] == a.shape[-2] and "q_sqrt" in (p.name or "") else 1.0),
+            atol=1e-10,
+        )
+    Scipy.assign_tensors(params, parts)
+    np.testing.assert_allclose(Scipy.pack_tensors(params), vec, rtol=1e-10)

@@ -94,3 +94,5 @@ print(f"cached predict_f: {t_pred*1e3:.3f} ms/{B} = {B/t_pred/1e6:.1f}M pts/s")
 
 ok = rmse < 0.2 and np.isfinite(losses).all()
 print("FLAGSHIP RUN:", "OK" if ok else "FAIL")
+import sys
+sys.exit(0 if ok else 1)
