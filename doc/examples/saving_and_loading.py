@@ -64,6 +64,18 @@ def main() -> None:
     assert not list(frozen.trainable_variables)
     print("frozen + jitted predict: predictions identical, no trainables")
 
+    # 4. deployment artifact: StableHLO serving export ------------------
+    # (the tf.saved_model analog: parameters baked in as constants, batch
+    # dim symbolic, lowered for cpu AND tpu; loading needs only jax)
+    with tempfile.TemporaryDirectory() as d:
+        gpf.utilities.export_serving(model, d, input_dim=X.shape[1])
+        served = gpf.utilities.load_serving(d)
+        mean_served, _ = served.predict_f(Xnew)
+        assert np.allclose(np.asarray(mean_ref), np.asarray(mean_served), atol=1e-9)
+        # symbolic batch: any N at call time
+        assert np.asarray(served.predict_y(Xnew[:3])[0]).shape == (3, 1)
+        print("StableHLO serving artifact: predictions identical, any batch size")
+
 
 if __name__ == "__main__":
     main()

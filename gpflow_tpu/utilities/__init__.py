@@ -1,6 +1,7 @@
 from . import bijectors
 from ..bijectors import positive, triangular, triangular_size
 from .checkpoints import load_checkpoint, save_checkpoint
+from .serving import ServedModel, export_serving, load_serving
 from .profiling import annotate, profile
 from .misc import (
     is_variable,
@@ -40,6 +41,7 @@ from .traversal import (
 
 __all__ = [
     "Dispatcher",
+    "ServedModel",
     "add_likelihood_noise_cov",
     "add_noise_cov",
     "annotate",
@@ -49,12 +51,14 @@ __all__ = [
     "deepcopy",
     "difference_matrix",
     "evaluate_parameter_or_function",
+    "export_serving",
     "eye",
     "freeze",
     "is_variable",
     "leading_transpose",
     "leaf_components",
     "load_checkpoint",
+    "load_serving",
     "multiple_assign",
     "parameter_dict",
     "pca_reduce",

@@ -1,0 +1,138 @@
+"""Deployable serving exports via StableHLO (``jax.export``).
+
+The reference's deployment story is ``tf.saved_model``: attach
+``tf.function``-compiled predict methods to the module, freeze parameters
+to constants, and save a self-contained artifact that serves without the
+model-building Python code (reference
+``doc/sphinx/notebooks/getting_started/saving_and_loading.pct.py:193-212``).
+
+The TPU-native equivalent serializes the jitted predict functions to
+StableHLO: parameters are baked in as constants, the batch dimension is
+symbolic (any N at call time), and the artifact is lowered for both CPU
+and TPU so one export serves everywhere. Loading needs only jax — no
+gpflow_tpu model code.
+
+    export_serving(model, "/path/artifact", input_dim=8)
+    served = load_serving("/path/artifact")
+    mean, var = served.predict_f(Xnew)
+
+For parameter-preserving (re-trainable) persistence use
+``save_checkpoint``/``load_checkpoint`` (orbax) or ``parameter_dict`` +
+``multiple_assign`` instead.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+__all__ = ["ServedModel", "export_serving", "load_serving"]
+
+_METADATA_FILE = "serving.json"
+
+
+def _build_method(model: Any, name: str) -> Callable[[Any], Tuple[jax.Array, jax.Array]]:
+    if name in ("predict_f", "predict_y"):
+        # serve through the cached posterior where the model offers one:
+        # (alpha, Qinv) are precomputed so the call is matmul-only
+        if name == "predict_f" and hasattr(model, "posterior"):
+            posterior = model.posterior()
+            return lambda X: posterior.predict_f(X)
+        fn = getattr(model, name)
+        return lambda X: fn(X)
+    if name == "predict_mean":
+        if hasattr(model, "posterior"):
+            posterior = model.posterior()
+            if hasattr(posterior, "predict_mean"):
+                return lambda X: posterior.predict_mean(X)
+        return lambda X: model.predict_f(X)[0]
+    raise ValueError(f"Unknown serving method {name!r}")
+
+
+def export_serving(
+    model: Any,
+    path: str,
+    input_dim: int,
+    dtype: Optional[Any] = None,
+    methods: Sequence[str] = ("predict_f", "predict_y"),
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    batch_symbol: str = "batch",
+) -> Dict[str, str]:
+    """Exports jitted predict methods to a self-contained StableHLO artifact.
+
+    :param model: a trained model (GPR/SGPR/SVGP/VGP/... — anything with the
+        requested predict methods). Parameters are baked in as constants.
+    :param input_dim: D of the [N, D] prediction inputs; N stays symbolic.
+    :param dtype: input dtype (defaults to ``default_float()``).
+    :param methods: which endpoints to export; ``predict_f`` routes through
+        the cached posterior when the model has one (matmul-only serving).
+    :param platforms: lowering targets embedded in the artifact.
+    :returns: mapping method name -> written file path.
+    """
+    from ..config import default_float
+
+    dtype = jnp.dtype(dtype if dtype is not None else default_float())
+    os.makedirs(path, exist_ok=True)
+    shape = jax_export.symbolic_shape(f"{batch_symbol}, {input_dim}")
+    arg = jax.ShapeDtypeStruct(shape, dtype)
+
+    written: Dict[str, str] = {}
+    for name in methods:
+        fn = _build_method(model, name)
+        exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
+        fname = os.path.join(path, f"{name}.stablehlo")
+        with open(fname, "wb") as f:
+            f.write(exp.serialize())
+        written[name] = fname
+
+    with open(os.path.join(path, _METADATA_FILE), "w") as f:
+        json.dump(
+            {
+                "methods": list(methods),
+                "input_dim": int(input_dim),
+                "dtype": str(dtype),
+                "platforms": list(platforms),
+                "model_class": type(model).__name__,
+            },
+            f,
+            indent=2,
+        )
+    return written
+
+
+class ServedModel:
+    """Deserialized serving artifact: one callable per exported method.
+    Self-contained — parameters live inside the StableHLO as constants."""
+
+    def __init__(self, path: str) -> None:
+        with open(os.path.join(path, _METADATA_FILE)) as f:
+            self.metadata = json.load(f)
+        self._methods: Dict[str, Any] = {}
+        for name in self.metadata["methods"]:
+            with open(os.path.join(path, f"{name}.stablehlo"), "rb") as f:
+                exported = jax_export.deserialize(f.read())
+            self._methods[name] = exported
+            setattr(self, name, self._make_caller(exported))
+
+    def _make_caller(self, exported: Any) -> Callable[[Any], Any]:
+        dtype = jnp.dtype(self.metadata["dtype"])
+
+        def call(X: Any) -> Any:
+            return exported.call(jnp.asarray(X, dtype=dtype))
+
+        return call
+
+    @property
+    def methods(self) -> Sequence[str]:
+        return list(self._methods)
+
+
+def load_serving(path: str) -> ServedModel:
+    """Loads an ``export_serving`` artifact; needs only jax, not the model
+    code that produced it."""
+    return ServedModel(path)
