@@ -1,6 +1,7 @@
 from . import bijectors
 from ..bijectors import positive, triangular, triangular_size
 from .checkpoints import load_checkpoint, save_checkpoint
+from .bucketing import bucket_size_for, bucketize, pad_to_bucket
 from .serving import ServedModel, export_serving, load_serving
 from .profiling import annotate, profile
 from .misc import (
@@ -48,6 +49,8 @@ __all__ = [
     "assert_params_false",
     "bijectors",
     "broadcasting_elementwise",
+    "bucket_size_for",
+    "bucketize",
     "deepcopy",
     "difference_matrix",
     "evaluate_parameter_or_function",
@@ -60,6 +63,7 @@ __all__ = [
     "load_checkpoint",
     "load_serving",
     "multiple_assign",
+    "pad_to_bucket",
     "parameter_dict",
     "pca_reduce",
     "positive",

@@ -1,0 +1,69 @@
+"""Bucketed batching for variable-size inputs under jit.
+
+JAX/XLA programs are static-shape: every distinct batch size N triggers a
+fresh trace+compile (the reference's TF graphs supported unknown-N
+natively, reference ``models/vgp.py:81-101`` / SURVEY.md A.5.1 — this
+module is the documented TPU-native replacement). ``bucketize`` wraps any
+``fn(X, ...) -> array/tuple-of-arrays`` whose FIRST axis is the batch:
+inputs are zero-padded up to the next bucket size, so the wrapped function
+compiles once per BUCKET instead of once per distinct N, and outputs are
+sliced back to the true length.
+
+    predict = bucketize(jax.jit(lambda x: posterior.predict_f(x)))
+    predict(X_with_any_N)   # compiles at most len(buckets) times
+
+Default buckets are powers of two — a serving batch stream of arbitrary
+sizes costs at most log2(N_max) compilations.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["bucket_size_for", "bucketize", "pad_to_bucket"]
+
+
+def bucket_size_for(n: int, buckets: Optional[Sequence[int]] = None) -> int:
+    """Smallest bucket >= n. Default: next power of two (min 1)."""
+    if n < 0:
+        raise ValueError(f"batch size must be non-negative, got {n}")
+    if buckets is None:
+        return 1 if n <= 1 else 1 << (n - 1).bit_length()
+    for b in sorted(buckets):
+        if b >= n:
+            return int(b)
+    raise ValueError(f"no bucket >= {n} in {sorted(buckets)}")
+
+
+def pad_to_bucket(
+    X: Any, buckets: Optional[Sequence[int]] = None
+) -> tuple[jax.Array, int]:
+    """Zero-pads the first axis up to its bucket size; returns (padded, n)."""
+    X = jnp.asarray(X)
+    n = X.shape[0]
+    b = bucket_size_for(n, buckets)
+    if b == n:
+        return X, n
+    pad = [(0, b - n)] + [(0, 0)] * (X.ndim - 1)
+    return jnp.pad(X, pad), n
+
+
+def bucketize(
+    fn: Callable[..., Any], buckets: Optional[Sequence[int]] = None
+) -> Callable[..., Any]:
+    """Wraps ``fn`` so its first argument is padded to a bucket size and
+    every output array is sliced back to the true batch length. Outputs
+    whose first axis is not the batch (e.g. full_cov [P, N, N]) are NOT
+    supported — slice those yourself.
+    """
+
+    def wrapper(X: Any, *args: Any, **kwargs: Any) -> Any:
+        Xp, n = pad_to_bucket(X, buckets)
+        out = fn(Xp, *args, **kwargs)
+        slice_ = lambda a: a[:n] if hasattr(a, "shape") and a.ndim >= 1 else a
+        return jax.tree_util.tree_map(slice_, out)
+
+    return wrapper

@@ -1,0 +1,58 @@
+"""Bucketed batching (the documented dynamic-shape replacement, SURVEY A.5.1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpflow_tpu as gpf
+from gpflow_tpu.utilities.bucketing import bucket_size_for, bucketize, pad_to_bucket
+
+rng = np.random.RandomState(43)
+
+
+def test_bucket_size_for_powers_of_two():
+    assert [bucket_size_for(n) for n in (0, 1, 2, 3, 5, 8, 9)] == [1, 1, 2, 4, 8, 8, 16]
+
+
+def test_bucket_size_for_explicit_buckets():
+    assert bucket_size_for(5, [4, 16, 64]) == 16
+    with pytest.raises(ValueError, match="no bucket"):
+        bucket_size_for(100, [4, 16, 64])
+
+
+def test_pad_to_bucket_shapes():
+    X = rng.randn(5, 3)
+    Xp, n = pad_to_bucket(X)
+    assert Xp.shape == (8, 3) and n == 5
+    np.testing.assert_allclose(np.asarray(Xp[:5]), X)
+    np.testing.assert_allclose(np.asarray(Xp[5:]), 0.0)
+
+
+def test_bucketize_compiles_once_per_bucket():
+    traces = []
+
+    @jax.jit
+    def fn(x):
+        traces.append(x.shape[0])  # appended once per TRACE, not per call
+        return x.sum(-1), x * 2
+
+    wrapped = bucketize(fn)
+    for n in (3, 5, 7, 8, 2, 6):
+        s, d = wrapped(rng.randn(n, 2))
+        assert s.shape == (n,) and d.shape == (n, 2)
+    # sizes 5,7,8,6 -> bucket 8; 3 -> 4; 2 -> 2: exactly three traces
+    assert sorted(traces) == [2, 4, 8]
+
+
+def test_bucketize_correct_values_on_gp_prediction():
+    X = rng.randn(20, 2)
+    Y = np.sin(X[:, :1])
+    m = gpf.models.GPR((X, Y), kernel=gpf.kernels.SquaredExponential())
+    post = m.posterior()
+    predict = bucketize(jax.jit(lambda x: post.predict_f(x)))
+    for n in (1, 3, 11):
+        Xt = rng.randn(n, 2)
+        mu_b, var_b = predict(Xt)
+        mu, var = m.predict_f(Xt)
+        np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var_b), np.asarray(var), atol=1e-9)
