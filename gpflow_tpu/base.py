@@ -70,14 +70,29 @@ class PriorOn(enum.Enum):
 # ---------------------------------------------------------------------------
 
 
-def _to_array(value: Any, dtype: Any) -> jax.Array:
+def _to_array(value: Any, dtype: Any) -> np.ndarray:
+    """Host-side array conversion. Parameter construction/assignment stays
+    in NumPy: on remote-attached chips each eager device op costs an RPC
+    (and possibly a remote compile), so building a model must not touch the
+    device — leaves transfer batched at the first jit dispatch instead.
+    Tracers pass through untouched (assign inside a trace)."""
     if isinstance(value, Parameter):
         value = value.value
+    if isinstance(value, jax.core.Tracer):
+        return value if dtype is None else jnp.asarray(value, dtype=dtype)
+    value = np.asarray(value)
     if dtype is None:
-        probe = jnp.asarray(value)
-        dtype = probe.dtype if jnp.issubdtype(probe.dtype, jnp.floating) else default_float()
+        dtype = value.dtype if np.issubdtype(value.dtype, np.floating) else default_float()
     # explicit dtype => strongly-typed array (weak types would churn jit caches)
-    return jnp.asarray(value, dtype=dtype)
+    return np.asarray(value, dtype=dtype)
+
+
+def _apply(transform: Any, value: Any, direction: str) -> Any:
+    """Applies a bijector host-side (NumPy) for concrete host values, and
+    via the traced jnp path for tracers/device arrays."""
+    if isinstance(value, np.ndarray):
+        return getattr(transform, direction + "_np")(value)
+    return getattr(transform, direction)(value)
 
 
 class Parameter:
@@ -115,7 +130,7 @@ class Parameter:
             self._unconstrained = _to_array(unconstrained_value, dtype)
         else:
             constrained = _to_array(value, dtype)
-            unconstrained = self._transform.inverse(constrained)
+            unconstrained = _apply(self._transform, constrained, "inverse")
             # validate the *unconstrained* value (reference base.py:314-326):
             # catches both NaN/Inf input and out-of-domain values (e.g. a
             # variance below the transform's lower bound)
@@ -153,7 +168,7 @@ class Parameter:
 
     @property
     def value(self) -> jax.Array:
-        return self._transform.forward(self._unconstrained)
+        return _apply(self._transform, self._unconstrained, "forward")
 
     def numpy(self) -> np.ndarray:
         return np.asarray(self.value)
@@ -179,14 +194,14 @@ class Parameter:
         constrained = _to_array(value, self.dtype)
         if constrained.shape != self._unconstrained.shape:
             # transforms like FillTriangular change shape; compare via inverse
-            unconstrained = self._transform.inverse(constrained)
+            unconstrained = _apply(self._transform, constrained, "inverse")
             if unconstrained.shape != self._unconstrained.shape:
                 raise ValueError(
                     f"Parameter {self.name!r}: cannot assign value of shape "
                     f"{constrained.shape} to parameter of shape {self.shape}"
                 )
         else:
-            unconstrained = self._transform.inverse(constrained)
+            unconstrained = _apply(self._transform, constrained, "inverse")
         _validate_finite(unconstrained, self.name)
         self._unconstrained = unconstrained
 
@@ -287,11 +302,11 @@ class Parameter:
     __hash__ = object.__hash__
 
 
-def _validate_finite(value: jax.Array, name: str) -> None:
+def _validate_finite(value: Any, name: str) -> None:
     """NaN/Inf guard on (non-traced) assignment (reference ``base.py:314-326``)."""
     if isinstance(value, jax.core.Tracer):
         return
-    if not bool(jnp.all(jnp.isfinite(value))):
+    if not bool(np.all(np.isfinite(np.asarray(value)))):
         raise ValueError(f"Parameter {name!r}: assigned value contains NaN or Inf")
 
 

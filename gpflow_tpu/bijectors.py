@@ -50,6 +50,17 @@ class Bijector:
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    # Host (NumPy) evaluation, used at Parameter construction/assign/display
+    # time so model building never touches the device — on remote-attached
+    # chips every eager op costs an RPC (and possibly a remote compile).
+    # Defaults fall back to the jnp implementation (device roundtrip);
+    # the in-house bijectors all override with pure-numpy math.
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(self.forward(x))
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        return np.asarray(self.inverse(y))
+
     @property
     def name(self) -> str:
         return type(self).__name__.lower()
@@ -63,6 +74,12 @@ class Identity(Bijector):
     def inverse(self, y: jax.Array) -> jax.Array:
         return y
 
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x)
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        return np.asarray(y)
+
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return jnp.zeros_like(x)
 
@@ -74,6 +91,12 @@ class Exp(Bijector):
 
     def inverse(self, y: jax.Array) -> jax.Array:
         return jnp.log(y)
+
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        return np.exp(x)
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        return np.log(y)
 
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return x
@@ -96,6 +119,13 @@ class Softplus(Bijector):
     def inverse(self, y: jax.Array) -> jax.Array:
         return _softplus_inv(y)
 
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        return np.logaddexp(x, 0.0)
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return y + np.log(-np.expm1(-y))
+
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         # d/dx softplus(x) = sigmoid(x); log sigmoid(x) = -softplus(-x)
         return -_softplus(-x)
@@ -110,6 +140,12 @@ class Shift(Bijector):
 
     def inverse(self, y: jax.Array) -> jax.Array:
         return y - self.shift
+
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x + self.shift)
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        return np.asarray(y - self.shift)
 
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return jnp.zeros_like(x)
@@ -128,6 +164,15 @@ class Sigmoid(Bijector):
     def inverse(self, y: jax.Array) -> jax.Array:
         z = (y - self.low) / (self.high - self.low)
         return jnp.log(z) - jnp.log1p(-z)
+
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            sig = np.where(x >= 0, 1.0 / (1.0 + np.exp(-x)), np.exp(x) / (1.0 + np.exp(x)))
+        return np.asarray(self.low + (self.high - self.low) * sig)
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        z = (y - self.low) / (self.high - self.low)
+        return np.asarray(np.log(z) - np.log1p(-z))
 
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return (
@@ -157,6 +202,16 @@ class Chain(Bijector):
             ldj = ldj + b.forward_log_det_jacobian(x)
             x = b.forward(x)
         return ldj
+
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        for b in reversed(self.bijectors):
+            x = b.forward_np(x)
+        return x
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        for b in self.bijectors:
+            y = b.inverse_np(y)
+        return y
 
 
 def triangular_size(n: int) -> int:
@@ -219,6 +274,15 @@ class FillTriangular(Bijector):
     def inverse(self, y: jax.Array) -> jax.Array:
         return _fill_triangular_inverse(y)
 
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        n = _tri_n(x.shape[-1])
+        xc = np.concatenate([x[..., n:], x[..., ::-1]], axis=-1)
+        return np.tril(xc.reshape(x.shape[:-1] + (n, n)))
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        return np.asarray(_fill_triangular_inverse(np.asarray(y)))
+
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return jnp.zeros(x.shape[:-1], dtype=x.dtype)
 
@@ -241,6 +305,12 @@ class TriangularMask(Bijector):
 
     def inverse(self, y: jax.Array) -> jax.Array:
         return jnp.tril(y)
+
+    def forward_np(self, x: np.ndarray) -> np.ndarray:
+        return np.tril(x)
+
+    def inverse_np(self, y: np.ndarray) -> np.ndarray:
+        return np.tril(y)
 
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return jnp.zeros(x.shape[:-2], dtype=x.dtype)

@@ -62,6 +62,7 @@ def export_serving(
     methods: Sequence[str] = ("predict_f", "predict_y"),
     platforms: Sequence[str] = ("cpu", "tpu"),
     batch_symbol: str = "batch",
+    batch_size: Optional[int] = None,
 ) -> Dict[str, str]:
     """Exports jitted predict methods to a self-contained StableHLO artifact.
 
@@ -72,23 +73,39 @@ def export_serving(
     :param methods: which endpoints to export; ``predict_f`` routes through
         the cached posterior when the model has one (matmul-only serving).
     :param platforms: lowering targets embedded in the artifact.
+    :param batch_size: export with a FIXED batch size instead of a symbolic
+        one. Use when a compute path cannot trace shape-polymorphically;
+        pair the loaded artifact with ``bucketize`` to serve arbitrary N.
     :returns: mapping method name -> written file path.
     """
     from ..config import default_float
+    from ..ops import pallas_distance as _pd
+    from ..ops import set_pallas_enabled
 
     dtype = jnp.dtype(dtype if dtype is not None else default_float())
     os.makedirs(path, exist_ok=True)
-    shape = jax_export.symbolic_shape(f"{batch_symbol}, {input_dim}")
+    if batch_size is None:
+        shape: Any = jax_export.symbolic_shape(f"{batch_symbol}, {input_dim}")
+    else:
+        shape = (int(batch_size), input_dim)
     arg = jax.ShapeDtypeStruct(shape, dtype)
 
+    # the exported program must be portable and shape-polymorphic: force the
+    # plain XLA compute path (the Pallas covariance kernel lowers only for
+    # TPU and its MXU tile padding cannot trace with a symbolic batch)
+    prev_pallas = _pd._state["enabled"]
+    set_pallas_enabled(False)
     written: Dict[str, str] = {}
-    for name in methods:
-        fn = _build_method(model, name)
-        exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
-        fname = os.path.join(path, f"{name}.stablehlo")
-        with open(fname, "wb") as f:
-            f.write(exp.serialize())
-        written[name] = fname
+    try:
+        for name in methods:
+            fn = _build_method(model, name)
+            exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
+            fname = os.path.join(path, f"{name}.stablehlo")
+            with open(fname, "wb") as f:
+                f.write(exp.serialize())
+            written[name] = fname
+    finally:
+        set_pallas_enabled(prev_pallas)
 
     with open(os.path.join(path, _METADATA_FILE), "w") as f:
         json.dump(
@@ -97,6 +114,7 @@ def export_serving(
                 "input_dim": int(input_dim),
                 "dtype": str(dtype),
                 "platforms": list(platforms),
+                "batch_size": batch_size,
                 "model_class": type(model).__name__,
             },
             f,

@@ -76,3 +76,29 @@ def test_metadata(tmp_path):
 def test_unknown_method_raises(tmp_path):
     with pytest.raises(ValueError, match="Unknown serving method"):
         export_serving(_gpr(), str(tmp_path), input_dim=D, methods=("predict_nope",))
+
+
+def test_static_batch_size_export(tmp_path):
+    export_serving(_gpr(), str(tmp_path), input_dim=D, methods=("predict_f",), batch_size=4)
+    served = load_serving(str(tmp_path))
+    assert served.metadata["batch_size"] == 4
+    mu, _ = served.predict_f(rng.randn(4, D))
+    assert np.asarray(mu).shape == (4, 1)
+    # pair with bucketize for arbitrary N
+    from gpflow_tpu.utilities import bucketize
+
+    predict = bucketize(served.predict_f, buckets=[4])
+    mu3, _ = predict(rng.randn(3, D))
+    assert np.asarray(mu3).shape == (3, 1)
+
+
+def test_export_restores_pallas_setting(tmp_path):
+    from gpflow_tpu.ops import pallas_distance as pd
+    from gpflow_tpu.ops import set_pallas_enabled
+
+    set_pallas_enabled(True)
+    try:
+        export_serving(_gpr(), str(tmp_path), input_dim=D, methods=("predict_f",))
+        assert pd._state["enabled"] is True
+    finally:
+        set_pallas_enabled(None)
