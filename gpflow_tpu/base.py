@@ -82,16 +82,22 @@ def _to_array(value: Any, dtype: Any) -> np.ndarray:
         return value if dtype is None else jnp.asarray(value, dtype=dtype)
     value = np.asarray(value)
     if dtype is None:
-        dtype = value.dtype if np.issubdtype(value.dtype, np.floating) else default_float()
-    # explicit dtype => strongly-typed array (weak types would churn jit caches)
-    return np.asarray(value, dtype=dtype)
+        # jnp.issubdtype also recognizes ml_dtypes floats (bfloat16, ...)
+        dtype = value.dtype if jnp.issubdtype(value.dtype, jnp.floating) else default_float()
+    # explicit dtype => strongly-typed array; np.array COPIES, so the
+    # Parameter never aliases caller-owned storage (external in-place
+    # mutation must not bypass assign()'s validation)
+    return np.array(value, dtype=dtype)
 
 
 def _apply(transform: Any, value: Any, direction: str) -> Any:
     """Applies a bijector host-side (NumPy) for concrete host values, and
-    via the traced jnp path for tracers/device arrays."""
+    via the traced jnp path for tracers/device arrays. The host result is
+    never the input object itself (Identity would alias the Parameter's
+    storage, letting callers mutate it in place)."""
     if isinstance(value, np.ndarray):
-        return getattr(transform, direction + "_np")(value)
+        out = getattr(transform, direction + "_np")(value)
+        return out.copy() if out is value else out
     return getattr(transform, direction)(value)
 
 
@@ -192,16 +198,14 @@ class Parameter:
         ``validate_unconstrained_value`` (``base.py:314-326``).
         """
         constrained = _to_array(value, self.dtype)
-        if constrained.shape != self._unconstrained.shape:
-            # transforms like FillTriangular change shape; compare via inverse
-            unconstrained = _apply(self._transform, constrained, "inverse")
-            if unconstrained.shape != self._unconstrained.shape:
-                raise ValueError(
-                    f"Parameter {self.name!r}: cannot assign value of shape "
-                    f"{constrained.shape} to parameter of shape {self.shape}"
-                )
-        else:
-            unconstrained = _apply(self._transform, constrained, "inverse")
+        # shapes are compared in unconstrained space (transforms like
+        # FillTriangular change the shape)
+        unconstrained = _apply(self._transform, constrained, "inverse")
+        if unconstrained.shape != self._unconstrained.shape:
+            raise ValueError(
+                f"Parameter {self.name!r}: cannot assign value of shape "
+                f"{constrained.shape} to parameter of shape {self.shape}"
+            )
         _validate_finite(unconstrained, self.name)
         self._unconstrained = unconstrained
 

@@ -96,7 +96,8 @@ class Exp(Bijector):
         return np.exp(x)
 
     def inverse_np(self, y: np.ndarray) -> np.ndarray:
-        return np.log(y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.log(y)
 
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return x
@@ -166,13 +167,17 @@ class Sigmoid(Bijector):
         return jnp.log(z) - jnp.log1p(-z)
 
     def forward_np(self, x: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            sig = np.where(x >= 0, 1.0 / (1.0 + np.exp(-x)), np.exp(x) / (1.0 + np.exp(x)))
+        # stable for all x: both where-branches stay finite (a naive
+        # exp(-x)/exp(x) split overflows and warns under np.where's
+        # evaluate-both semantics)
+        e = np.exp(-np.abs(x))
+        sig = np.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
         return np.asarray(self.low + (self.high - self.low) * sig)
 
     def inverse_np(self, y: np.ndarray) -> np.ndarray:
         z = (y - self.low) / (self.high - self.low)
-        return np.asarray(np.log(z) - np.log1p(-z))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.asarray(np.log(z) - np.log1p(-z))
 
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return (

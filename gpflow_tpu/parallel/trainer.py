@@ -82,6 +82,11 @@ class DataParallelTrainer:
             latent direction, which a pure data mesh cannot do."""
         import optax
 
+        if natgrad_fused and natgrad_gamma is None:
+            raise ValueError(
+                "natgrad_fused=True requires natgrad_gamma (there is no "
+                "natural-gradient step to fuse without it)"
+            )
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
         self.axis_name = axis_name

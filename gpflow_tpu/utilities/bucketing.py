@@ -55,15 +55,23 @@ def bucketize(
     fn: Callable[..., Any], buckets: Optional[Sequence[int]] = None
 ) -> Callable[..., Any]:
     """Wraps ``fn`` so its first argument is padded to a bucket size and
-    every output array is sliced back to the true batch length. Outputs
-    whose first axis is not the batch (e.g. full_cov [P, N, N]) are NOT
-    supported — slice those yourself.
+    every output whose LEADING axis has the padded length is sliced back to
+    the true batch length. Outputs with a different leading axis (e.g.
+    full_cov [P, N, N]) are returned untouched — their batch axis is not
+    first, so slice/unpad those yourself. (Caveat: an output whose leading
+    axis coincidentally equals the bucket size is indistinguishable from a
+    batch output and will be sliced.)
     """
 
     def wrapper(X: Any, *args: Any, **kwargs: Any) -> Any:
         Xp, n = pad_to_bucket(X, buckets)
+        b = Xp.shape[0]
         out = fn(Xp, *args, **kwargs)
-        slice_ = lambda a: a[:n] if hasattr(a, "shape") and a.ndim >= 1 else a
+        slice_ = (
+            lambda a: a[:n]
+            if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == b
+            else a
+        )
         return jax.tree_util.tree_map(slice_, out)
 
     return wrapper
