@@ -80,10 +80,18 @@ def _to_array(value: Any, dtype: Any) -> np.ndarray:
         value = value.value
     if isinstance(value, jax.core.Tracer):
         return value if dtype is None else jnp.asarray(value, dtype=dtype)
+    # Python scalars/lists are weakly typed: np.asarray would promote them to
+    # float64 regardless of the configured default_float (x64-off configs
+    # included), so only arrays that already CARRY an explicit float dtype
+    # keep it; everything else takes default_float().
+    has_explicit_dtype = isinstance(value, (np.ndarray, np.generic, jax.Array))
     value = np.asarray(value)
     if dtype is None:
         # jnp.issubdtype also recognizes ml_dtypes floats (bfloat16, ...)
-        dtype = value.dtype if jnp.issubdtype(value.dtype, jnp.floating) else default_float()
+        if has_explicit_dtype and jnp.issubdtype(value.dtype, jnp.floating):
+            dtype = value.dtype
+        else:
+            dtype = default_float()
     # explicit dtype => strongly-typed array; np.array COPIES, so the
     # Parameter never aliases caller-owned storage (external in-place
     # mutation must not bypass assign()'s validation)
@@ -95,8 +103,11 @@ def _apply(transform: Any, value: Any, direction: str) -> Any:
     via the traced jnp path for tracers/device arrays. The host result is
     never the input object itself (Identity would alias the Parameter's
     storage, letting callers mutate it in place)."""
-    if isinstance(value, np.ndarray):
-        out = getattr(transform, direction + "_np")(value)
+    if isinstance(value, (np.ndarray, np.generic)):
+        # np.asarray on both sides: bijectors may hand back 0-d np scalars
+        # (np.generic), which would otherwise kick scalar parameters off the
+        # host path and onto the per-op eager device path
+        out = np.asarray(getattr(transform, direction + "_np")(np.asarray(value)))
         return out.copy() if out is value else out
     return getattr(transform, direction)(value)
 

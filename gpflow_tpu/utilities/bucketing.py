@@ -55,23 +55,29 @@ def bucketize(
     fn: Callable[..., Any], buckets: Optional[Sequence[int]] = None
 ) -> Callable[..., Any]:
     """Wraps ``fn`` so its first argument is padded to a bucket size and
-    every output whose LEADING axis has the padded length is sliced back to
-    the true batch length. Outputs with a different leading axis (e.g.
-    full_cov [P, N, N]) are returned untouched — their batch axis is not
-    first, so slice/unpad those yourself. (Caveat: an output whose leading
-    axis coincidentally equals the bucket size is indistinguishable from a
-    batch output and will be sliced.)
+    EVERY output axis whose length equals the padded size is sliced back to
+    the true batch length — covering [b, P] means, [b] vectors, and
+    full-covariance outputs like [b, b] or [P, b, b]. Outputs with no axis
+    of the padded length are returned untouched. (Caveat: an axis that
+    coincidentally equals the bucket size is indistinguishable from a
+    padded batch axis and will be sliced.)
     """
 
     def wrapper(X: Any, *args: Any, **kwargs: Any) -> Any:
         Xp, n = pad_to_bucket(X, buckets)
         b = Xp.shape[0]
         out = fn(Xp, *args, **kwargs)
-        slice_ = (
-            lambda a: a[:n]
-            if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == b
-            else a
-        )
+        if b == n:  # no padding happened; nothing to unpad
+            return out
+
+        def slice_(a: Any) -> Any:
+            if not (hasattr(a, "shape") and getattr(a, "ndim", 0) >= 1):
+                return a
+            if not any(d == b for d in a.shape):
+                return a
+            idx = tuple(slice(0, n) if d == b else slice(None) for d in a.shape)
+            return a[idx]
+
         return jax.tree_util.tree_map(slice_, out)
 
     return wrapper

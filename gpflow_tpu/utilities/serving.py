@@ -40,9 +40,19 @@ def _build_method(model: Any, name: str) -> Callable[[Any], Tuple[jax.Array, jax
     if name in ("predict_f", "predict_y"):
         # serve through the cached posterior where the model offers one:
         # (alpha, Qinv) are precomputed so the call is matmul-only
-        if name == "predict_f" and hasattr(model, "posterior"):
+        if hasattr(model, "posterior"):
             posterior = model.posterior()
-            return lambda X: posterior.predict_f(X)
+            if name == "predict_f":
+                return lambda X: posterior.predict_f(X)
+            likelihood = getattr(model, "likelihood", None)
+            if likelihood is not None and hasattr(likelihood, "predict_mean_and_var"):
+                # predict_y from the same cache: cached predict_f pushed
+                # through the likelihood — no per-call Kuu Cholesky
+                def predict_y(X: Any) -> Tuple[jax.Array, jax.Array]:
+                    fmean, fvar = posterior.predict_f(X)
+                    return likelihood.predict_mean_and_var(X, fmean, fvar)
+
+                return predict_y
         fn = getattr(model, name)
         return lambda X: fn(X)
     if name == "predict_mean":

@@ -33,6 +33,33 @@ def test_parameter_default_dtype_is_default_float():
     assert p_int_input.dtype == np.dtype(gpflow_tpu.default_float())
 
 
+def test_parameter_scalar_respects_float32_config():
+    # weakly-typed Python scalars/lists must take default_float(), not the
+    # np-promoted float64 (ADVICE r1: wrong host precision under f32 config)
+    from gpflow_tpu import config
+
+    config.set_default_float(np.float32)
+    try:
+        assert Parameter(0.5).dtype == np.dtype(np.float32)
+        assert Parameter([0.5, 1.5]).dtype == np.dtype(np.float32)
+        # arrays carrying an explicit float dtype keep it
+        assert Parameter(np.float64(0.5)).dtype == np.dtype(np.float64)
+        assert Parameter(np.ones(2, np.float64)).dtype == np.dtype(np.float64)
+    finally:
+        config.set_default_float(np.float64)
+
+
+def test_parameter_scalar_stays_on_host_path():
+    # 0-d bijector results are np scalars; they must stay on the host
+    # (NumPy) path, not fall back to eager device ops (ADVICE r1)
+    p = Parameter(0.5, transform=Softplus())
+    assert isinstance(p.value, (np.ndarray, np.generic))
+    assert isinstance(p.numpy(), (np.ndarray, np.generic))
+    p.assign(0.25)
+    assert isinstance(p.value, (np.ndarray, np.generic))
+    np.testing.assert_allclose(p.numpy(), 0.25, rtol=1e-12)
+
+
 def test_parameter_arithmetic_acts_like_array():
     p = Parameter([1.0, 2.0])
     np.testing.assert_allclose(p + 1.0, [2.0, 3.0])

@@ -56,3 +56,32 @@ def test_bucketize_correct_values_on_gp_prediction():
         mu, var = m.predict_f(Xt)
         np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), atol=1e-9)
         np.testing.assert_allclose(np.asarray(var_b), np.asarray(var), atol=1e-9)
+
+
+def test_bucketize_slices_every_padded_axis():
+    # full_cov outputs are [b, b] (or [P, b, b]): every axis of the padded
+    # length must be sliced, not just the leading one (ADVICE r1: half-sliced
+    # [n, b] covariance)
+    def fn(x):
+        k = x @ x.T  # [b, b]
+        return x.sum(-1), k, jnp.broadcast_to(k, (2, *k.shape))
+
+    X = rng.randn(5, 2)
+    s, k, kp = bucketize(fn)(X)
+    assert s.shape == (5,)
+    assert k.shape == (5, 5)
+    assert kp.shape == (2, 5, 5)
+    np.testing.assert_allclose(np.asarray(k), X @ X.T, atol=1e-12)
+
+
+def test_bucketize_full_cov_gp_prediction():
+    X = rng.randn(16, 2)
+    Y = np.sin(X[:, :1])
+    m = gpf.models.GPR((X, Y), kernel=gpf.kernels.Matern32())
+    predict = bucketize(jax.jit(lambda x: m.predict_f(x, full_cov=True)))
+    Xt = rng.randn(5, 2)
+    mu_b, cov_b = predict(Xt)
+    mu, cov = m.predict_f(Xt, full_cov=True)
+    assert cov_b.shape == np.asarray(cov).shape
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov), atol=1e-9)
