@@ -12,6 +12,19 @@ from gpflow_tpu.models import GPR, GPRFITC, SGPR, SVGP, VGP
 from gpflow_tpu.optimizers import NaturalGradient
 
 rng = np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _tight_jitter():
+    """The default 1e-6 jitter puts a ~N*jitter/sigma^2 floor under every
+    Z=X equivalence; with 1e-10 the identities hold to f64 round-off and the
+    tolerances below are correspondingly tight (VERDICT r1 weak #3)."""
+    from gpflow_tpu.config import default_jitter, set_default_jitter
+
+    old = default_jitter()
+    set_default_jitter(1e-10)
+    yield
+    set_default_jitter(old)
 N, D = 25, 2
 X = rng.rand(N, D)
 Y = np.sin(3 * X[:, :1]) + 0.3 * np.cos(2 * X[:, 1:]) + 0.05 * rng.randn(N, 1)
@@ -30,12 +43,12 @@ def test_sgpr_with_all_points_equals_gpr():
     sgpr = SGPR((X, Y), kernel=_kernel(), inducing_variable=X.copy(), noise_variance=NOISE)
     lml = float(gpr.log_marginal_likelihood())
     elbo = float(sgpr.elbo())
-    # with Z = X the Titsias bound is tight (up to jitter)
-    np.testing.assert_allclose(elbo, lml, rtol=2e-4)  # gap ~ N*jitter/sigma^2
+    # with Z = X the Titsias bound is tight (up to jitter, here 1e-10)
+    np.testing.assert_allclose(elbo, lml, rtol=1e-7)
     m1, v1 = gpr.predict_f(Xtest)
     m2, v2 = sgpr.predict_f(Xtest)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-7)
 
 
 def test_sgpr_upper_bound_above_lml():
@@ -56,12 +69,12 @@ def test_gprfitc_with_all_points_close_to_gpr():
     np.testing.assert_allclose(
         float(fitc.fitc_log_marginal_likelihood()),
         float(gpr.log_marginal_likelihood()),
-        rtol=2e-4,
+        rtol=1e-7,
     )
     m1, v1 = gpr.predict_f(Xtest)
     m2, v2 = fitc.predict_f(Xtest)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-7)
 
 
 @pytest.mark.parametrize("whiten", [True, False])
@@ -83,12 +96,12 @@ def test_svgp_natgrad_step_reaches_gpr(whiten):
 
     elbo = float(svgp.elbo((X, Y)))
     lml = float(gpr.log_marginal_likelihood())
-    np.testing.assert_allclose(elbo, lml, rtol=2e-4)  # gap ~ N*jitter/sigma^2
+    np.testing.assert_allclose(elbo, lml, rtol=1e-7)
 
     m1, v1 = gpr.predict_f(Xtest)
     m2, v2 = svgp.predict_f(Xtest)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
 
 
 def test_vgp_natgrad_step_reaches_gpr():
@@ -97,12 +110,12 @@ def test_vgp_natgrad_step_reaches_gpr():
     natgrad = NaturalGradient(gamma=1.0)
     natgrad.minimize(vgp.training_loss, [(vgp.q_mu, vgp.q_sqrt)])
     np.testing.assert_allclose(
-        float(vgp.elbo()), float(gpr.log_marginal_likelihood()), rtol=1e-3
+        float(vgp.elbo()), float(gpr.log_marginal_likelihood()), rtol=1e-7
     )
     m1, v1 = gpr.predict_f(Xtest)
     m2, v2 = vgp.predict_f(Xtest)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
 
 
 def test_sgpr_compute_qu_equals_optimal_svgp():
@@ -120,8 +133,8 @@ def test_sgpr_compute_qu_equals_optimal_svgp():
     )
     m1, v1 = sgpr.predict_f(Xtest)
     m2, v2 = svgp.predict_f(Xtest)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-8)
 
 
 def test_svgp_minibatch_elbo_unbiased():
@@ -162,8 +175,11 @@ def test_update_vgp_data_preserves_posterior():
     # re-fit onto the same data: posterior should be preserved
     update_vgp_data(vgp, (X, Y))
     m_after, v_after = vgp.predict_f(Xtest)
-    np.testing.assert_allclose(np.asarray(m_before), np.asarray(m_after), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_after), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_before), np.asarray(m_after), atol=1e-8)
+    # the refit re-parameterization runs chol(Lnn^-1 f_cov Lnn^-T) on a
+    # near-singular matrix (post-natgrad posterior cov is tiny): ~1e-6
+    # absolute error on the variance is intrinsic to that round trip
+    np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_after), atol=1e-5)
     # growing the dataset keeps shapes consistent
     X2 = np.concatenate([X, rng.rand(5, D)])
     Y2 = np.concatenate([Y, np.sin(3 * X2[-5:, :1]) + 0.3 * np.cos(2 * X2[-5:, 1:])])
