@@ -21,6 +21,7 @@ from ..base import MeanAndVariance
 from ..config import default_float, default_jitter
 from ..ops.linalg import chol_and_inverse, triangular_inverse
 from ..utilities.ops import leading_transpose
+from ..utilities.shapes import check_shapes
 
 __all__ = [
     "base_conditional",
@@ -53,6 +54,16 @@ def _default_key() -> jax.Array:
     return jax.random.PRNGKey(_seed_counter[0])
 
 
+@check_shapes(
+    "Kmn: [M, batch..., N]",
+    "Kmm: [M, M]",
+    "Knn: [batch..., N, N] if full_cov",
+    "Knn: [batch..., N] if not full_cov",
+    "f: [M, R]",
+    "return[0]: [batch..., N, R]",
+    "return[1]: [batch..., R, N, N] if full_cov",
+    "return[1]: [batch..., N, R] if not full_cov",
+)
 def base_conditional(
     Kmn: jax.Array,
     Kmm: jax.Array,
@@ -84,6 +95,16 @@ def base_conditional(
     )
 
 
+@check_shapes(
+    "Kmn: [M, batch..., N]",
+    "Lm: [M, M]",
+    "Knn: [batch..., N, N] if full_cov",
+    "Knn: [batch..., N] if not full_cov",
+    "f: [M, R]",
+    "return[0]: [batch..., N, R]",
+    "return[1]: [batch..., R, N, N] if full_cov",
+    "return[1]: [batch..., N, R] if not full_cov",
+)
 def base_conditional_with_lm(
     Kmn: jax.Array,
     Lm: jax.Array,
@@ -173,6 +194,13 @@ def base_conditional_with_lm(
     return fmean, fvar
 
 
+@check_shapes(
+    "mean: [batch..., N, D]",
+    "cov: [batch..., N, D, D] if full_cov",
+    "cov: [batch..., N, D] if not full_cov",
+    "return: [batch..., S, N, D] if num_samples",
+    "return: [batch..., N, D] if not num_samples",
+)
 def sample_mvn(
     mean: jax.Array,
     cov: jax.Array,
@@ -208,6 +236,10 @@ def sample_mvn(
     return samples
 
 
+@check_shapes(
+    "fvar: [batch..., P, N, N] if full_cov",
+    "fvar: [batch..., N, P] if not full_cov",
+)
 def expand_independent_outputs(
     fvar: jax.Array, full_cov: bool, full_output_cov: bool
 ) -> jax.Array:
@@ -226,6 +258,12 @@ def expand_independent_outputs(
     return fvar
 
 
+@check_shapes(
+    "Kmn: [M, L, N, P]",
+    "Kmm: [L, M, M]",
+    "f: [M, L]",
+    "return[0]: [N, P]",
+)
 def independent_interdomain_conditional(
     Kmn: jax.Array,
     Kmm: jax.Array,
@@ -290,6 +328,12 @@ def independent_interdomain_conditional(
     return fmean, fvar
 
 
+@check_shapes(
+    "Kmn: [M, N, P]",
+    "Kmm: [M, M]",
+    "f: [M, 1]",
+    "return[0]: [N, P]",
+)
 def fully_correlated_conditional(
     Kmn: jax.Array,
     Kmm: jax.Array,
@@ -310,6 +354,12 @@ def fully_correlated_conditional(
     return jnp.squeeze(mean, axis=0), jnp.squeeze(var, axis=0)
 
 
+@check_shapes(
+    "Kmn: [M, N, P]",
+    "Kmm: [M, M]",
+    "f: [M, R]",
+    "return[0]: [R, N, P]",
+)
 def fully_correlated_conditional_repeat(
     Kmn: jax.Array,
     Kmm: jax.Array,
@@ -393,6 +443,13 @@ def rollaxis_right(A: jax.Array, num_rolls: int) -> jax.Array:
     return jnp.transpose(A, perm)
 
 
+@check_shapes(
+    "W: [P, L]",
+    "g_mean: [batch..., N, L]",
+    "g_var: [L, batch..., N, N] if full_cov",
+    "g_var: [batch..., N, L] if not full_cov",
+    "return[0]: [batch..., N, P]",
+)
 def mix_latent_gp(
     W: jax.Array,
     g_mean: jax.Array,
@@ -426,6 +483,16 @@ def mix_latent_gp(
     return f_mean, f_var
 
 
+@check_shapes(
+    "Kmns: [P, M, N]",
+    "Kmms: [P, M, M]",
+    "Knns: [P, N, N] if full_cov",
+    "Knns: [P, N] if not full_cov",
+    "f: [M, P]",
+    "return[0]: [N, P]",
+    "return[1]: [P, N, N] if full_cov",
+    "return[1]: [N, P] if not full_cov",
+)
 def separate_independent_conditional_implementation(
     Kmns: jax.Array,
     Kmms: jax.Array,

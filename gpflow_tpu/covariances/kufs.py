@@ -8,12 +8,14 @@ import numpy as np
 from ..base import TensorType
 from ..inducing_variables import InducingPatches, InducingPoints, Multiscale
 from ..kernels import Convolutional, Kernel, SquaredExponential
+from ..utilities.shapes import check_shapes
 from .dispatch import Kuf
 
 __all__ = ["Kuf_conv_patch", "Kuf_kernel_inducingpoints", "Kuf_sqexp_multiscale"]
 
 
 @Kuf.register(InducingPoints, Kernel, object)
+@check_shapes("Xnew: [batch..., N, D]", "return: [M, batch..., N]")
 def Kuf_kernel_inducingpoints(
     inducing_variable: InducingPoints, kernel: Kernel, Xnew: TensorType
 ) -> jax.Array:
@@ -22,6 +24,7 @@ def Kuf_kernel_inducingpoints(
 
 
 @Kuf.register(Multiscale, SquaredExponential, object)
+@check_shapes("Xnew: [N, D]", "return: [M, N]")
 def Kuf_sqexp_multiscale(
     inducing_variable: Multiscale, kernel: SquaredExponential, Xnew: TensorType
 ) -> jax.Array:
@@ -36,6 +39,7 @@ def Kuf_sqexp_multiscale(
 
 
 @Kuf.register(InducingPatches, Convolutional, object)
+@check_shapes("return: [M, N]")
 def Kuf_conv_patch(
     inducing_variable: InducingPatches, kernel: Convolutional, Xnew: TensorType
 ) -> jax.Array:

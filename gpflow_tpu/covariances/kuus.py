@@ -7,12 +7,14 @@ import jax.numpy as jnp
 from ..config import default_float
 from ..inducing_variables import InducingPatches, InducingPoints, Multiscale
 from ..kernels import Convolutional, Kernel, SquaredExponential
+from ..utilities.shapes import check_shapes
 from .dispatch import Kuu
 
 __all__ = ["Kuu_conv_patch", "Kuu_kernel_inducingpoints", "Kuu_sqexp_multiscale"]
 
 
 @Kuu.register(InducingPoints, Kernel)
+@check_shapes("return: [M, M]")
 def Kuu_kernel_inducingpoints(
     inducing_variable: InducingPoints, kernel: Kernel, *, jitter: float = 0.0
 ) -> jax.Array:
@@ -23,6 +25,7 @@ def Kuu_kernel_inducingpoints(
 
 
 @Kuu.register(Multiscale, SquaredExponential)
+@check_shapes("return: [M, M]")
 def Kuu_sqexp_multiscale(
     inducing_variable: Multiscale, kernel: SquaredExponential, *, jitter: float = 0.0
 ) -> jax.Array:
@@ -39,6 +42,7 @@ def Kuu_sqexp_multiscale(
 
 
 @Kuu.register(InducingPatches, Convolutional)
+@check_shapes("return: [M, M]")
 def Kuu_conv_patch(
     inducing_variable: InducingPatches, kernel: Convolutional, *, jitter: float = 0.0
 ) -> jax.Array:

@@ -13,6 +13,7 @@ from .covariances import Kuu
 from .inducing_variables import InducingVariables
 from .kernels import Kernel
 from .utilities import Dispatcher
+from .utilities.shapes import check_shapes
 
 __all__ = ["gauss_kl", "prior_kl"]
 
@@ -35,6 +36,10 @@ def _prior_kl_default(
     return gauss_kl(q_mu, q_sqrt, K)
 
 
+@check_shapes(
+    "q_mu: [M, L]",
+    "return: []",
+)
 def gauss_kl(
     q_mu: TensorType,
     q_sqrt: TensorType,

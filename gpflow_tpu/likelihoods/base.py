@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..base import MeanAndVariance, Module, TensorType
 from ..quadrature import GaussianQuadrature, NDiagGHQuadrature, ndiag_mc
+from ..utilities.shapes import check_shapes
 
 __all__ = [
     "DEFAULT_NUM_GAUSS_HERMITE_POINTS",
@@ -46,6 +47,11 @@ class Likelihood(Module, abc.ABC):
         self.latent_dim = latent_dim
         self.observation_dim = observation_dim
 
+    @check_shapes(
+        "F: [batch..., Q]",
+        "Y: [batch_y..., R]",
+        "return: [batch...]",
+    )
     def log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         """log p(Y | X, F) -> [batch...]."""
         return self._log_prob(X, F, Y)
@@ -54,6 +60,10 @@ class Likelihood(Module, abc.ABC):
     def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         raise NotImplementedError
 
+    @check_shapes(
+        "F: [batch..., Q]",
+        "return: [batch..., R]",
+    )
     def conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         """E[Y | X, F] -> [batch..., observation_dim]."""
         return self._conditional_mean(X, F)
@@ -61,6 +71,10 @@ class Likelihood(Module, abc.ABC):
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         raise NotImplementedError
 
+    @check_shapes(
+        "F: [batch..., Q]",
+        "return: [batch..., R]",
+    )
     def conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         """var[Y | X, F] -> [batch..., observation_dim]."""
         return self._conditional_variance(X, F)
@@ -68,6 +82,12 @@ class Likelihood(Module, abc.ABC):
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         raise NotImplementedError
 
+    @check_shapes(
+        "Fmu: [batch..., Q]",
+        "Fvar: [batch..., Q]",
+        "return[0]: [batch..., R]",
+        "return[1]: [batch..., R]",
+    )
     def predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType
     ) -> MeanAndVariance:
@@ -80,6 +100,12 @@ class Likelihood(Module, abc.ABC):
     ) -> MeanAndVariance:
         raise NotImplementedError
 
+    @check_shapes(
+        "Fmu: [batch..., Q]",
+        "Fvar: [batch..., Q]",
+        "Y: [batch_y..., R]",
+        "return: [batch...]",
+    )
     def predict_log_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -92,6 +118,12 @@ class Likelihood(Module, abc.ABC):
     ) -> jax.Array:
         raise NotImplementedError
 
+    @check_shapes(
+        "Fmu: [batch..., Q]",
+        "Fvar: [batch..., Q]",
+        "Y: [batch_y..., R]",
+        "return: [batch...]",
+    )
     def variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:

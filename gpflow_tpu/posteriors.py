@@ -49,6 +49,7 @@ from .inducing_variables import (
 from .kernels import Kernel
 from .likelihoods import Gaussian
 from .utilities import Dispatcher, add_likelihood_noise_cov, assert_params_false
+from .utilities.shapes import check_shapes
 
 __all__ = [
     "AbstractPosterior",
@@ -166,6 +167,10 @@ class AbstractPosterior(Module, ABC):
     def _precompute(self) -> Tuple[PrecomputedValue, ...]:
         """Computes the cache later consumed by _conditional_with_precompute."""
 
+    @check_shapes(
+        "Xnew: [batch..., N, D]",
+        "return[0]: [batch..., N, P]",
+    )
     def fused_predict_f(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -181,6 +186,10 @@ class AbstractPosterior(Module, ABC):
     ) -> MeanAndVariance:
         """Mean/cov at Xnew excluding mean_function; no cache used."""
 
+    @check_shapes(
+        "Xnew: [batch..., N, D]",
+        "return[0]: [batch..., N, P]",
+    )
     def predict_f(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

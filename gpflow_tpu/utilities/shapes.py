@@ -19,6 +19,10 @@ Spec syntax (subset of the reference package's):
 * ``name...`` matches zero or more leading dims (at most one per spec)
 * integer literals match exactly; ``.`` matches any single dim
 * ``None``-valued arguments are skipped
+* a spec may be guarded on a boolean argument, as in the reference package:
+  ``"Knn: [batch..., N, N] if full_cov"`` / ``"Knn: [batch..., N] if not
+  full_cov"`` — the spec only applies when the named argument is truthy
+  (resp. falsy) at call time
 """
 from __future__ import annotations
 
@@ -53,14 +57,25 @@ def get_enable_check_shapes() -> bool:
     return _state["enabled"]
 
 
-def _parse_spec(spec: str) -> Tuple[str, List[str]]:
+def _parse_spec(spec: str) -> Tuple[str, List[str], Optional[Tuple[str, bool]]]:
     name, _, dims = spec.partition(":")
     dims = dims.strip()
+    cond: Optional[Tuple[str, bool]] = None
+    if "]" in dims and not dims.endswith("]"):
+        dims, _, guard = dims.rpartition("]")
+        dims += "]"
+        guard = guard.strip()
+        if guard.startswith("if not "):
+            cond = (guard[len("if not ") :].strip(), False)
+        elif guard.startswith("if "):
+            cond = (guard[len("if ") :].strip(), True)
+        else:
+            raise ValueError(f"Bad shape-spec guard {guard!r} in {spec!r}")
     if not (dims.startswith("[") and dims.endswith("]")):
         raise ValueError(f"Bad shape spec {spec!r}")
     inner = dims[1:-1].strip()
     tokens = [t.strip() for t in inner.split(",")] if inner else []
-    return name.strip(), tokens
+    return name.strip(), tokens, cond
 
 
 def _match(
@@ -151,8 +166,8 @@ def check_shape(value: Any, spec: str, where: str = "value") -> Any:
 def check_shapes(*specs: str) -> Callable[[F], F]:
     """Decorator enforcing the shape contracts in ``specs`` (see module doc)."""
     parsed = [_parse_spec(s) for s in specs]
-    arg_specs = [(n, t) for n, t in parsed if not n.startswith("return")]
-    ret_specs = [(n, t) for n, t in parsed if n.startswith("return")]
+    arg_specs = [(n, t, c) for n, t, c in parsed if not n.startswith("return")]
+    ret_specs = [(n, t, c) for n, t, c in parsed if n.startswith("return")]
 
     def decorator(fn: F) -> F:
         sig = inspect.signature(fn)
@@ -165,9 +180,17 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
                 bound = sig.bind_partial(*args, **kwargs)
             except TypeError:
                 return fn(*args, **kwargs)
+            bound.apply_defaults()
+
+            def active(cond: Optional[Tuple[str, bool]]) -> bool:
+                if cond is None:
+                    return True
+                arg, expected = cond
+                return bool(bound.arguments.get(arg)) == expected
+
             bindings: Dict[str, Any] = {}
-            for name, tokens in arg_specs:
-                if name not in bound.arguments:
+            for name, tokens, cond in arg_specs:
+                if name not in bound.arguments or not active(cond):
                     continue
                 value = bound.arguments[name]
                 if value is None:
@@ -176,7 +199,9 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
                 if shape is not None:
                     _match(tokens, shape, bindings, f"{fn.__qualname__} argument {name!r}")
             result = fn(*args, **kwargs)
-            for name, tokens in ret_specs:
+            for name, tokens, cond in ret_specs:
+                if not active(cond):
+                    continue
                 value = result
                 if name.startswith("return["):
                     idx = int(name[len("return[") : -1])

@@ -22,6 +22,13 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
+from gpflow_tpu.utilities.shapes import set_enable_check_shapes
+
+# Runtime shape contracts are ON for the whole suite (the reference enables
+# check_shapes the same way, ref tests/conftest.py:41-57). Under jit the
+# checks run once at trace time, so the suite-wide cost is negligible.
+set_enable_check_shapes(True)
+
 
 @pytest.fixture
 def rng() -> np.random.RandomState:

@@ -100,3 +100,29 @@ def test_check_shape_inline():
     assert check_shape(x, "[N, D]") is x
     with pytest.raises(ShapeError):
         check_shape(x, "[N, N, N]")
+
+
+def test_guarded_specs_select_on_flag():
+    from gpflow_tpu.utilities.shapes import ShapeError, check_shapes, set_enable_check_shapes
+
+    @check_shapes(
+        "K: [N, N] if full_cov",
+        "K: [N] if not full_cov",
+        "return: [N]",
+    )
+    def diag_or_full(K, full_cov=False):
+        return np.diag(K) if full_cov else K
+
+    set_enable_check_shapes(True)
+    try:
+        diag_or_full(np.eye(3), full_cov=True)
+        diag_or_full(np.ones(3), full_cov=False)
+        with pytest.raises(ShapeError):
+            diag_or_full(np.ones(3), full_cov=True)
+        with pytest.raises(ShapeError):
+            diag_or_full(np.eye(3), full_cov=False)
+        # guard must also see DEFAULT argument values
+        with pytest.raises(ShapeError):
+            diag_or_full(np.eye(3))
+    finally:
+        set_enable_check_shapes(False)
