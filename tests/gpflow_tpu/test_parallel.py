@@ -416,3 +416,39 @@ def test_natgrad_fused_converges_like_sequential():
     # both converge to essentially the same objective
     assert fus[-1] < fus[0] - 5
     assert abs(fus[-1] - seq[-1]) < 0.15 * abs(seq[0] - seq[-1])
+
+
+def test_dp_step_hlo_has_collectives_and_sharded_batch():
+    """Guard against silent replication (VERDICT r1 #8): the compiled dp train
+    step must (a) receive B/n-per-device batch shards and (b) contain
+    cross-device all-reduce collectives in its optimized HLO. A sharding
+    regression to full replication passes numeric checks but fails here."""
+    model = _svgp()
+    trainer = DataParallelTrainer(model, optimizer=optax.adam(1e-2))
+    batch = trainer.shard((X, Y))
+
+    for arr in batch:
+        shard_shapes = {s.data.shape for s in arr.addressable_shards}
+        assert shard_shapes == {(N // 8,) + arr.shape[1:]}, (
+            f"batch axis not sharded 8-way: {shard_shapes}"
+        )
+
+    compiled = trainer._train_step.lower(
+        trainer.params, trainer.vparams, trainer.opt_state, trainer._leaves, batch
+    ).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "dp step compiled without cross-device collectives"
+
+
+def test_latent_axis_2d_hlo_has_collectives():
+    """Same guard for the 2-D (data x latent) mesh path."""
+    mesh = make_mesh(shape={"data": 4, "latent": 2})
+    mo, Ym = _multioutput_svgp(L=2, M=8)
+    trainer = DataParallelTrainer(
+        mo, optimizer=optax.adam(1e-2), mesh=mesh, latent_axis="latent"
+    )
+    batch = trainer.shard((X[:32], Ym[:32]))
+    compiled = trainer._train_step.lower(
+        trainer.params, trainer.vparams, trainer.opt_state, trainer._leaves, batch
+    ).compile()
+    assert "all-reduce" in compiled.as_text()
