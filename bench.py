@@ -1,18 +1,31 @@
-"""Headline benchmark: SVGP ELBO optimization steps/sec at N=1e6, M=2048
-(BASELINE.json north star).
+"""Headline benchmark suite (BASELINE.json metrics, VERDICT r1 #4/#5).
 
-Runs the full data-parallel SVGP training step (Adam on all parameters —
-hyperparameters, inducing locations, and variational q_mu/q_sqrt) on minibatches
-of B=8192 drawn from a synthetic N=1e6 dataset, M=2048 inducing points, D=8.
+Metrics (all on the attached TPU chip, float32):
+  1. svgp_steps_per_sec  — SVGP ELBO optimization steps/sec at N=1e6, M=2048,
+     B=8192, D=8 (the north-star config), full Adam on all parameters.
+  2. mfu                 — measured model-FLOP utilization of the SVGP step:
+     documented per-step FLOP count (see _svgp_step_flops) x steps/sec
+     divided by the chip's bf16 peak.
+  3. gpr_nlml_ms_n8k / n16k — exact-GP NLML wall-clock (jitted evaluation,
+     N^2 kernel + N^3 Cholesky, reference gpr.py:91-107) per evaluation.
+  4. serving_points_per_sec — cached-posterior predict_f throughput at
+     M=2048, B=8192 (matmul-only alpha/Qinv serving path).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-``vs_baseline`` divides by an *estimated* 10 steps/sec for GPflow-on-A100 at
-this configuration — GPflow publishes no benchmark numbers (BASELINE.md), so
-this estimate is documented, not measured.
+``vs_baseline`` is the measured steps/sec divided by an A100 ROOFLINE upper
+bound for the reference at ITS defaults — not an estimate of a measured
+GPflow number (GPflow publishes none, BASELINE.md). GPflow's default dtype
+is float64 (ref config/__config__.py:98); an A100 executes the same
+per-step FLOPs at a 19.5 TFLOP/s f64 tensor-core peak, so
+  baseline_steps/s <= 19.5e12 / FLOPS_PER_STEP
+at PERFECT efficiency and zero framework overhead. Dividing by a
+perfect-efficiency bound makes vs_baseline a defensible LOWER bound on the
+true speedup. (If a user reconfigures GPflow to float32, TF32 peak raises
+the bound 8x — see PERFORMANCE.md "Baseline roofline" for that number.)
 
-Precision: runs in float32 — the TPU-native choice (the MXU has no f64
-hardware; f64 parity is validated separately in the test suite on CPU).
+Precision: float32 — the TPU-native choice (no f64 MXU hardware); f64
+parity is validated separately in the test suite on CPU.
 """
 import json
 import os
@@ -23,8 +36,7 @@ os.environ.setdefault("GPFLOW_TPU_DISABLE_X64", "1")
 os.environ.setdefault("GPFLOW_FLOAT", "float32")
 # Mixed precision: the Pallas covariance kernel pins full f32 precision on the
 # cancellation-critical pairwise distances; the remaining wide solves/matmuls
-# run at the MXU's fast (bf16-input) mode. Validated NaN-free over long runs;
-# remove this to force full-precision matmuls everywhere.
+# run at the MXU's fast (bf16-input) mode. Validated NaN-free over long runs.
 os.environ.setdefault("GPFLOW_TPU_FAST_MATMUL", "1")
 # Replace the wide [M, B] triangular solves in the conditional with one
 # [M, M] inversion + MXU matmuls (GPFLOW_TPU_INV_SOLVE): 1.6x at this config.
@@ -34,29 +46,51 @@ os.environ.setdefault("GPFLOW_TPU_INV_SOLVE", "1")
 
 import numpy as np
 
+N, M, D, B = 1_000_000, 2048, 8, 8192
 
-def main() -> None:
+A100_F64_PEAK = 19.5e12  # A100 FP64 tensor-core peak (dense), FLOP/s
+TPU_V5E_BF16_PEAK = 197e12  # v5e MXU bf16 peak, FLOP/s
+
+
+def _svgp_step_flops(M: int, B: int, D: int) -> float:
+    """Documented per-step FLOP count for the SVGP training step.
+
+    Matmul/factorization terms only (elementwise terms are <1% here);
+    backward of a matmul C=AB costs two same-size matmuls.
+    """
+    mm = 2.0 * M * M * B  # one [M,M]x[M,B] matmul
+    fwd = (
+        2 * mm            # A = Lm^-1 Kuf, LTA = q_sqrt^T A
+        + M**3 / 3        # cholesky(Kuu)
+        + M**3 / 3        # triangular inverse of L
+        + 3 * M * B * D   # pairwise distances for Kuf
+        + 2 * M * M * D   # Kuu distances
+        + 4 * M * B       # fmean, diag reductions
+    )
+    bwd = (
+        4 * mm            # backward of the two wide matmuls
+        + 4 * 2 * M**3    # chol_and_inverse custom VJP: 4 [M,M] matmuls
+        + 2 * 3 * M * B * D
+    )
+    return fwd + bwd
+
+
+FLOPS_PER_STEP = _svgp_step_flops(M, B, D)  # ~5.1e11
+
+
+def bench_svgp(results: dict) -> None:
     import jax
     import optax
 
-    import gpflow_tpu
     from gpflow_tpu import kernels, likelihoods
-    from gpflow_tpu.config import set_default_float, set_default_jitter
     from gpflow_tpu.models import SVGP
     from gpflow_tpu.parallel import DataParallelTrainer, make_mesh
 
-    set_default_float(np.float32)
-    set_default_jitter(1e-4)  # f32-appropriate jitter (1e-6 is the f64 default)
-
-    N = 1_000_000
-    M = 2048
-    D = 8
-    B = 8192
-    warmup_steps = 3
+    warmup_dispatches = 2
     timed_steps = 50
+    reps = 4
 
     rng = np.random.RandomState(0)
-    # synthetic regression task; data generated in chunks to bound host memory
     X = rng.rand(N, D).astype(np.float32) * 4.0
     w = rng.randn(D, 1).astype(np.float32)
     Y = np.sin(X @ w) + 0.1 * rng.randn(N, 1).astype(np.float32)
@@ -72,19 +106,17 @@ def main() -> None:
     mesh = make_mesh()
     trainer = DataParallelTrainer(model, optimizer=optax.adam(1e-2), mesh=mesh)
 
-    def batch(i: int):
-        lo = (i * B) % (N - B)
-        return X[lo : lo + B], Y[lo : lo + B]
-
     def stacked(lo: int, k: int):
-        xs = np.stack([X[(i * B) % (N - B) : (i * B) % (N - B) + B] for i in range(lo, lo + k)])
-        ys = np.stack([Y[(i * B) % (N - B) : (i * B) % (N - B) + B] for i in range(lo, lo + k)])
+        xs = np.stack(
+            [X[(i * B) % (N - B) : (i * B) % (N - B) + B] for i in range(lo, lo + k)]
+        )
+        ys = np.stack(
+            [Y[(i * B) % (N - B) : (i * B) % (N - B) + B] for i in range(lo, lo + k)]
+        )
         return xs, ys
 
     # pre-stage the timed batches on device (models a prefetched input
-    # pipeline, the standard assumption for steps/sec training benchmarks;
-    # the tunnel's per-RPC transfer latency otherwise dominates)
-    reps = 4
+    # pipeline; the tunnel's per-RPC transfer latency otherwise dominates)
     staged = [
         trainer.shard_stacked(stacked((r + 1) * timed_steps, timed_steps))
         for r in range(reps + 1)
@@ -92,13 +124,10 @@ def main() -> None:
     for s in staged:
         s[0].block_until_ready()
 
-    # warmup / compile with TWO presharded staged dispatches — the exact
-    # call signature the timed region uses. Two, not one: the first call
-    # compiles, but its donated outputs (params/opt_state) can come back
-    # with different XLA layouts than the initial inputs, so the SECOND
-    # call triggers one more compile; from the third call on the
-    # executable is stable (measured: 17.7s / 15.0s / 0.27s / 0.27s ...)
-    for _ in range(2):
+    # Warm up with TWO presharded dispatches: the first compiles; its donated
+    # outputs can come back with different XLA layouts than the initial
+    # inputs, so the SECOND dispatch compiles once more (PERFORMANCE.md).
+    for _ in range(warmup_dispatches):
         losses = trainer.run_steps(staged[reps], presharded=True)
         float(np.asarray(losses)[-1])
 
@@ -110,12 +139,72 @@ def main() -> None:
     assert np.isfinite(final_loss), f"training diverged: loss={final_loss}"
 
     steps_per_sec = reps * timed_steps / elapsed
-    estimated_gpflow_a100_steps_per_sec = 10.0
+    results["svgp_steps_per_sec"] = round(steps_per_sec, 3)
+    results["mfu"] = round(steps_per_sec * FLOPS_PER_STEP / TPU_V5E_BF16_PEAK, 4)
+    results["flops_per_step"] = FLOPS_PER_STEP
+
+    # 4. serving throughput from the same trained model: cached posterior
+    # (alpha, Qinv precomputed -> matmul-only predict)
+    trainer.finalize()  # write optimized params back into the model
+    posterior = model.posterior()
+    predict = jax.jit(lambda Xb: posterior.predict_f(Xb))
+    Xb = jax.device_put(X[:B])
+    mu, var = predict(Xb)
+    mu.block_until_ready()
+    n_calls = 50
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        mu, var = predict(Xb)
+    mu.block_until_ready()
+    dt = time.perf_counter() - t0
+    results["serving_points_per_sec"] = round(n_calls * B / dt, 0)
+
+
+def bench_gpr_nlml(results: dict) -> None:
+    """Exact-GP NLML wall-clock per jitted evaluation (ref gpr.py:91-107)."""
+    import jax
+
+    from gpflow_tpu import kernels
+    from gpflow_tpu.models import GPR
+
+    rng = np.random.RandomState(1)
+    for n in (8192, 16384):
+        X = rng.rand(n, D).astype(np.float32)
+        Y = np.sin(X[:, :1] * 3).astype(np.float32) + 0.1 * rng.randn(n, 1).astype(
+            np.float32
+        )
+        model = GPR(
+            (X, Y),
+            kernel=kernels.SquaredExponential(lengthscales=np.ones(D, np.float32)),
+            noise_variance=0.1,
+        )
+        loss = model.training_loss_closure(compile=True)
+        v = loss()  # compile
+        assert np.isfinite(float(v)), f"GPR NLML non-finite at N={n}"
+        n_calls = 5
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            v = loss()
+        float(v)  # host sync
+        dt = time.perf_counter() - t0
+        results[f"gpr_nlml_ms_n{n // 1024}k"] = round(1000 * dt / n_calls, 2)
+
+
+def main() -> None:
+    results: dict = {}
+    bench_svgp(results)
+    bench_gpr_nlml(results)
+
+    steps_per_sec = results["svgp_steps_per_sec"]
+    # perfect-efficiency A100 bound on the reference at its f64 default
+    baseline_bound_steps_per_sec = A100_F64_PEAK / FLOPS_PER_STEP
     result = {
         "metric": "svgp_elbo_steps_per_sec_N1e6_M2048_B8192_f32",
-        "value": round(steps_per_sec, 3),
+        "value": steps_per_sec,
         "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / estimated_gpflow_a100_steps_per_sec, 3),
+        # >= this: divides by a zero-overhead roofline, not a measured run
+        "vs_baseline": round(steps_per_sec / baseline_bound_steps_per_sec, 3),
+        "extra": results,
     }
     print(json.dumps(result))
 
