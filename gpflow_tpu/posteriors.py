@@ -573,6 +573,11 @@ class BasePosterior(AbstractPosterior):
                     Linv_cov_u_LinvT = jnp.matmul(q_sqrt, jnp.swapaxes(q_sqrt, -1, -2))
             B = I - Linv_cov_u_LinvT
 
+        if B.ndim == 2 and L.ndim == 3:
+            # q_sqrt=None (DeltaDist) with batched [R, M, M] Kuu: a 2-D rhs
+            # against a 3-D triangular factor would be read as a stack of
+            # VECTORS (batch mismatch) — make the broadcast explicit
+            B = jnp.broadcast_to(B, L.shape[:-2] + B.shape)
         L_b = jnp.broadcast_to(L, B.shape[:-2] + L.shape[-2:]) if B.ndim == 3 and L.ndim == 2 else L
         LinvT_B = solve_triangular(L_b, B, lower=True, trans=1)
         B_Linv = jnp.swapaxes(LinvT_B, -1, -2)

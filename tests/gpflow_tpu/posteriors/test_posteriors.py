@@ -75,8 +75,17 @@ def _check_fused_vs_cache(posterior, full_covs=(False, True), focs=(False,)):
 
 @pytest.mark.parametrize("q_sqrt_form", ["diag", "full", "none"])
 @pytest.mark.parametrize("whiten", [True, False])
-def test_independent_single_output(q_sqrt_form, whiten):
-    kernel = kernels.SquaredExponential()
+@pytest.mark.parametrize(
+    "make_kernel",
+    [
+        kernels.SquaredExponential,
+        kernels.Matern52,
+        lambda: kernels.RationalQuadratic(alpha=1.5),
+    ],
+    ids=["rbf", "matern52", "rq"],
+)
+def test_independent_single_output(q_sqrt_form, whiten, make_kernel):
+    kernel = make_kernel()
     iv = InducingPoints(Z.copy())
     q_mu, q_sqrt = _q(M, 1, q_sqrt_form)
     posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
@@ -84,7 +93,7 @@ def test_independent_single_output(q_sqrt_form, whiten):
     _check_fused_vs_cache(posterior)
 
 
-@pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
+@pytest.mark.parametrize("q_sqrt_form", ["diag", "full", "none"])
 @pytest.mark.parametrize("whiten", [True, False])
 @pytest.mark.parametrize(
     "kernel_type,iv_type",
@@ -112,9 +121,10 @@ def test_independent_multi_output(q_sqrt_form, whiten, kernel_type, iv_type):
     posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
     assert isinstance(posterior, IndependentPosteriorMultiOutput)
     _check_fused_vs_cache(posterior)
+    _check_fused_vs_cache(posterior, full_covs=(False,), focs=(True,))
 
 
-@pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
+@pytest.mark.parametrize("q_sqrt_form", ["diag", "full", "none"])
 @pytest.mark.parametrize("whiten", [True, False])
 @pytest.mark.parametrize("iv_type", ["shared", "separate"])
 def test_linear_coregionalization(q_sqrt_form, whiten, iv_type):
@@ -131,6 +141,7 @@ def test_linear_coregionalization(q_sqrt_form, whiten, iv_type):
     posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
     assert isinstance(posterior, LinearCoregionalizationPosterior)
     _check_fused_vs_cache(posterior)
+    _check_fused_vs_cache(posterior, full_covs=(False,), focs=(True,))
 
 
 @pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
@@ -175,13 +186,17 @@ def test_fallback_independent_latent_fused_multilatent(whiten):
 
 
 @pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize("q_sqrt_form", ["full", "none"])
 @pytest.mark.parametrize("fc,foc", [(False, False), (True, True), (True, False), (False, True)])
-def test_fully_correlated(whiten, fc, foc):
+def test_fully_correlated(whiten, q_sqrt_form, fc, foc):
     kernel = kernels.SharedIndependent(kernels.SquaredExponential(), output_dim=P)
     iv = InducingPoints(Z.copy())
     q_mu = rng.randn(M * P, 1)
-    a = rng.randn(1, M * P, M * P) * 0.2
-    q_sqrt = np.tril(a + 2 * np.eye(M * P))
+    if q_sqrt_form == "none":
+        q_sqrt = None
+    else:
+        a = rng.randn(1, M * P, M * P) * 0.2
+        q_sqrt = np.tril(a + 2 * np.eye(M * P))
     posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
     assert isinstance(posterior, FullyCorrelatedPosterior)
     _register(type(posterior))
