@@ -3,6 +3,12 @@
 with a seeded rng, warm-up predict, train with Scipy L-BFGS recording
 iterations/time, predict (nlpd/mae/rmse), build posterior and time cached
 prediction; append one row per repetition to <dest>/results.csv).
+
+Isolation (reference A.3): each (task, repetition) runs in a FRESH
+subprocess with a timeout (default 3600 s, ``--task-timeout``) so one
+hanging or crashing task cannot poison the suite — its row records
+``status: timeout|error`` and the run continues. ``--isolation inprocess``
+restores the fast shared-process mode for debugging.
 """
 from __future__ import annotations
 
@@ -10,14 +16,22 @@ import argparse
 import csv
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 from typing import Any, Dict
 
 import numpy as np
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _collect_metrics(task, rep: int) -> Dict[str, Any]:
+    # test hook: lets the suite's timeout handling be exercised without a
+    # real hang (see tests/integration/test_benchmark.py)
+    if os.environ.get("_BENCH_TEST_HANG") == f"{task.dataset}/{task.model}":
+        time.sleep(10_000)
     import gpflow_tpu
     from gpflow_tpu.optimizers import Scipy
 
@@ -77,11 +91,125 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
     return row
 
 
+def _run_child(suite_name: str, task_index: int, rep: int, out_path: str) -> None:
+    """Entry point of the per-task subprocess: runs ONE (task, rep) and
+    writes its metrics row as JSON."""
+    # a sitecustomize may force JAX_PLATFORMS at interpreter start; honor the
+    # PARENT's resolved platform instead (runtime config beats the env var as
+    # long as no backend has initialized yet)
+    plat = os.environ.get("GPFLOW_TPU_CHILD_JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+    from .benchmarks import get_suite
+
+    task = get_suite(suite_name).get_tasks()[task_index]
+    row = _collect_metrics(task, rep)
+    with open(out_path, "w") as f:
+        json.dump(row, f)
+
+
+def _run_task_isolated(
+    suite_name: str, task, task_index: int, rep: int, timeout: float
+) -> Dict[str, Any]:
+    """Runs one (task, rep) in a fresh subprocess; never raises — hangs and
+    crashes become status rows (reference A.3: fresh process + 1 h cap)."""
+    base = {
+        "suite_task": f"{task.dataset}/{task.model}",
+        "dataset": task.dataset,
+        "model": task.model,
+        "repetition": rep,
+    }
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tmp:
+        out_path = tmp.name
+    cmd = [
+        sys.executable, "-m", "benchmark.run",
+        "--_child", suite_name, str(task_index), str(rep), out_path,
+    ]
+    env = dict(os.environ)
+    import jax
+
+    plat = getattr(jax.config, "jax_platforms", None)
+    if plat:
+        env["GPFLOW_TPU_CHILD_JAX_PLATFORMS"] = plat
+    try:
+        proc = subprocess.run(
+            cmd, timeout=timeout, capture_output=True, text=True, cwd=_REPO_ROOT,
+            env=env,
+        )
+        if proc.returncode != 0:
+            tail = (proc.stderr or "")[-2000:]
+            return {**base, "status": "error", "error": tail}
+        with open(out_path) as f:
+            row = json.load(f)
+        row["status"] = "ok"
+        return row
+    except subprocess.TimeoutExpired:
+        return {**base, "status": "timeout", "error": f"exceeded {timeout}s"}
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def _gather_metadata(suite_name: str, num_tasks: int) -> Dict[str, Any]:
+    import platform
+
+    metadata: Dict[str, Any] = {
+        "suite": suite_name,
+        "num_tasks": num_tasks,
+        "argv": sys.argv,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "hostname": platform.node(),
+        "platform": platform.platform(),
+        "processor": platform.processor(),
+        "cpu_count": os.cpu_count(),
+        "python": sys.version,
+    }
+    try:
+        metadata["git_rev"] = (
+            subprocess.check_output(["git", "rev-parse", "HEAD"], cwd=_REPO_ROOT)
+            .decode()
+            .strip()
+        )
+    except Exception:
+        pass
+    import jax
+
+    metadata["jax_version"] = jax.__version__
+    metadata["devices"] = [str(d) for d in jax.devices()]
+    metadata["device_kind"] = jax.devices()[0].device_kind
+    return metadata
+
+
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--_child":
+        _run_child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+        return
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("suite")
     parser.add_argument("dest")
     parser.add_argument("--shard", default=None, help="i/n split of the task grid")
+    parser.add_argument(
+        "--isolation",
+        choices=["subprocess", "inprocess"],
+        default="subprocess",
+        help="subprocess (default): fresh process + timeout per task; "
+        "inprocess: fast shared-process mode",
+    )
+    parser.add_argument(
+        "--task-timeout",
+        type=float,
+        default=3600.0,
+        help="per-(task, rep) wall-clock cap in seconds (subprocess mode)",
+    )
     parser.add_argument(
         "--plot",
         nargs="*",
@@ -96,7 +224,8 @@ def main() -> None:
     from .sharding import shard_tasks
 
     suite = get_suite(args.suite)
-    tasks = suite.get_tasks()
+    all_tasks = suite.get_tasks()
+    tasks = all_tasks
     if args.shard:
         i, n = (int(x) for x in args.shard.split("/"))
         tasks = shard_tasks(tasks, i, n)
@@ -104,9 +233,22 @@ def main() -> None:
     os.makedirs(args.dest, exist_ok=True)
     rows = []
     for task in tasks:
+        task_index = all_tasks.index(task)
         for rep in range(task.repetitions):
             print(f"[benchmark] {task.dataset}/{task.model} rep {rep}", flush=True)
-            rows.append(_collect_metrics(task, rep))
+            if args.isolation == "subprocess":
+                row = _run_task_isolated(
+                    args.suite, task, task_index, rep, args.task_timeout
+                )
+                if row.get("status") != "ok":
+                    print(
+                        f"[benchmark]   -> {row['status']}: "
+                        f"{row.get('error', '')[:200]}",
+                        flush=True,
+                    )
+            else:
+                row = {**_collect_metrics(task, rep), "status": "ok"}
+            rows.append(row)
 
     out = os.path.join(args.dest, "results.csv")
     with open(out, "w", newline="") as f:
@@ -115,24 +257,8 @@ def main() -> None:
         writer.writeheader()
         writer.writerows(rows)
 
-    metadata = {
-        "suite": args.suite,
-        "num_tasks": len(tasks),
-        "argv": sys.argv,
-    }
-    try:
-        import subprocess
-
-        metadata["git_rev"] = (
-            subprocess.check_output(["git", "rev-parse", "HEAD"]).decode().strip()
-        )
-    except Exception:
-        pass
-    import jax
-
-    metadata["devices"] = [str(d) for d in jax.devices()]
     with open(os.path.join(args.dest, "metadata.json"), "w") as f:
-        json.dump(metadata, f, indent=2)
+        json.dump(_gather_metadata(args.suite, len(tasks)), f, indent=2)
     print(f"[benchmark] wrote {out}")
 
     if args.plot is not None:

@@ -8,7 +8,9 @@ import sys
 def test_benchmark_integration_suite(tmp_path, monkeypatch):
     from benchmark.run import main
 
-    monkeypatch.setattr(sys, "argv", ["run", "integration_test", str(tmp_path)])
+    monkeypatch.setattr(
+        sys, "argv", ["run", "integration_test", str(tmp_path), "--isolation", "inprocess"]
+    )
     main()
     with open(tmp_path / "results.csv") as f:
         rows = list(csv.DictReader(f))
@@ -50,3 +52,43 @@ def test_benchmark_plotters(tmp_path):
     # timelines: one file per metric present in the rows
     names = {os.path.basename(p) for p in paths}
     assert {"timeline_training_time.png", "timeline_nlpd.png", "timeline_rmse.png"} <= names
+
+
+
+def test_benchmark_subprocess_isolation_and_timeout(tmp_path, monkeypatch):
+    """A deliberately hanging task must time out WITHOUT killing the suite
+    (reference A.3: fresh subprocess + cap per task; VERDICT r1 #7)."""
+    import json
+
+    from benchmark.benchmarks import get_suite
+    from benchmark.run import main
+    from benchmark.sharding import shard_tasks
+
+    tasks = shard_tasks(get_suite("integration_test").get_tasks(), 0, 2)
+    assert len(tasks) >= 2
+    hang = f"{tasks[0].dataset}/{tasks[0].model}"
+    monkeypatch.setenv("_BENCH_TEST_HANG", hang)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run", "integration_test", str(tmp_path), "--shard", "0/2",
+         "--task-timeout", "45"],
+    )
+    main()
+    with open(tmp_path / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    by_status = {}
+    for row in rows:
+        by_status.setdefault(row["status"], []).append(row["suite_task"])
+    assert set(by_status.get("timeout", [])) == {hang}
+    assert len(by_status.get("ok", [])) >= 1
+    for row in rows:
+        if row["status"] == "ok":
+            assert float(row["training_time"]) > 0
+
+    # hardware metadata rows (reference benchmark/metadata.py)
+    with open(tmp_path / "metadata.json") as f:
+        metadata = json.load(f)
+    for key in ("hostname", "platform", "cpu_count", "jax_version", "devices",
+                "device_kind", "git_rev", "timestamp"):
+        assert key in metadata, key
