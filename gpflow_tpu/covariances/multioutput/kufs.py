@@ -21,6 +21,7 @@ from ...kernels import (
     SeparateIndependent,
     SharedIndependent,
 )
+from ...utilities.shapes import check_shapes
 from ..dispatch import Kuf
 
 __all__ = [
@@ -37,6 +38,7 @@ __all__ = [
 
 
 @Kuf.register(InducingPoints, MultioutputKernel, object)
+@check_shapes("Xnew: [N, D]", "return: [M, P, N, P]")
 def Kuf_generic(
     inducing_variable: InducingPoints, kernel: MultioutputKernel, Xnew: TensorType
 ) -> jax.Array:
@@ -45,6 +47,7 @@ def Kuf_generic(
 
 
 @Kuf.register(SharedIndependentInducingVariables, SharedIndependent, object)
+@check_shapes("Xnew: [N, D]", "return: [M, N]")
 def Kuf_shared_shared(
     inducing_variable: SharedIndependentInducingVariables,
     kernel: SharedIndependent,
@@ -55,6 +58,7 @@ def Kuf_shared_shared(
 
 
 @Kuf.register(SeparateIndependentInducingVariables, SharedIndependent, object)
+@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
 def Kuf_separate_shared(
     inducing_variable: SeparateIndependentInducingVariables,
     kernel: SharedIndependent,
@@ -67,6 +71,7 @@ def Kuf_separate_shared(
 
 
 @Kuf.register(SharedIndependentInducingVariables, SeparateIndependent, object)
+@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
 def Kuf_shared_separate(
     inducing_variable: SharedIndependentInducingVariables,
     kernel: SeparateIndependent,
@@ -79,6 +84,7 @@ def Kuf_shared_separate(
 
 
 @Kuf.register(SeparateIndependentInducingVariables, SeparateIndependent, object)
+@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
 def Kuf_separate_separate(
     inducing_variable: SeparateIndependentInducingVariables,
     kernel: SeparateIndependent,
@@ -112,6 +118,7 @@ def _fallback_Kuf(
 
 
 @Kuf.register(FallbackSeparateIndependentInducingVariables, LinearCoregionalization, object)
+@check_shapes("Xnew: [N, D]", "return: [M, L, N, P]")
 def Kuf_fallback_separate_linear_coregionalization(
     inducing_variable: FallbackSeparateIndependentInducingVariables,
     kernel: LinearCoregionalization,
@@ -122,6 +129,7 @@ def Kuf_fallback_separate_linear_coregionalization(
 
 
 @Kuf.register(FallbackSharedIndependentInducingVariables, LinearCoregionalization, object)
+@check_shapes("Xnew: [N, D]", "return: [M, L, N, P]")
 def Kuf_fallback_shared_linear_coregionalization(
     inducing_variable: FallbackSharedIndependentInducingVariables,
     kernel: LinearCoregionalization,
@@ -132,6 +140,7 @@ def Kuf_fallback_shared_linear_coregionalization(
 
 
 @Kuf.register(SharedIndependentInducingVariables, LinearCoregionalization, object)
+@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
 def Kuf_shared_linear_coregionalization(
     inducing_variable: SharedIndependentInducingVariables,
     kernel: LinearCoregionalization,
@@ -144,6 +153,7 @@ def Kuf_shared_linear_coregionalization(
 
 
 @Kuf.register(SeparateIndependentInducingVariables, LinearCoregionalization, object)
+@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
 def Kuf_separate_linear_coregionalization(
     inducing_variable: SeparateIndependentInducingVariables,
     kernel: LinearCoregionalization,

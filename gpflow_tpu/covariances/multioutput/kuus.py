@@ -19,6 +19,7 @@ from ...kernels import (
     SeparateIndependent,
     SharedIndependent,
 )
+from ...utilities.shapes import check_shapes
 from ..dispatch import Kuu
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
 
 
 @Kuu.register(InducingPoints, MultioutputKernel)
+@check_shapes("return: [M, P, M, P]")
 def Kuu_generic(
     inducing_variable: InducingPoints, kernel: MultioutputKernel, *, jitter: float = 0.0
 ) -> jax.Array:
@@ -42,6 +44,7 @@ def Kuu_generic(
 
 
 @Kuu.register(FallbackSharedIndependentInducingVariables, SharedIndependent)
+@check_shapes("return: [M, M]")
 def Kuu_shared_shared(
     inducing_variable: FallbackSharedIndependentInducingVariables,
     kernel: SharedIndependent,
@@ -53,6 +56,7 @@ def Kuu_shared_shared(
     return Kmm + jitter * jnp.eye(inducing_variable.num_inducing, dtype=Kmm.dtype)
 
 
+@check_shapes("return: [L, M, M]")
 def _kuu_fallback_shared(
     inducing_variable: FallbackSharedIndependentInducingVariables,
     kernel: Union[SeparateIndependent, IndependentLatent],
@@ -73,6 +77,7 @@ Kuu.add((FallbackSharedIndependentInducingVariables, IndependentLatent), _kuu_fa
 
 
 @Kuu.register(FallbackSeparateIndependentInducingVariables, SharedIndependent)
+@check_shapes("return: [L, M, M]")
 def Kuu_fallback_separate_shared(
     inducing_variable: FallbackSeparateIndependentInducingVariables,
     kernel: SharedIndependent,
@@ -87,6 +92,7 @@ def Kuu_fallback_separate_shared(
     return Kmm + jittermat
 
 
+@check_shapes("return: [L, M, M]")
 def _kuu_fallback_separate(
     inducing_variable: FallbackSeparateIndependentInducingVariables,
     kernel: Union[SeparateIndependent, LinearCoregionalization],
