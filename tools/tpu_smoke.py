@@ -9,6 +9,7 @@ numerics guards (dtype-aware jitter, precision pinning, PSD projections)
 hold on real hardware — CPU tests cannot catch TPU-specific rounding.
 """
 import os
+import sys
 os.environ.setdefault("GPFLOW_TPU_DISABLE_X64", "1")
 os.environ.setdefault("GPFLOW_FLOAT", "float32")
 import numpy as np, jax, jax.numpy as jnp
@@ -28,6 +29,9 @@ k = lambda: kernels.SquaredExponential(lengthscales=np.ones(D, np.float32))
 Ns = 512  # smaller N for O(N^2)/O(N^3) models
 Xs, Ys, Ybs = X[:Ns], Y[:Ns], Yb[:Ns]
 
+_FAILURES = []
+
+
 def check(name, model, batch=None):
     try:
         loss_fn = (lambda: model.training_loss(batch)) if batch is not None else model.training_loss
@@ -45,8 +49,11 @@ def check(name, model, batch=None):
         loss, grads = jax.jit(jax.value_and_grad(f))(unc)
         ok = np.isfinite(float(loss)) and all(bool(jnp.isfinite(g).all()) for g in grads)
         print(f"{name:>22}: loss={float(loss):14.2f} finite={'OK' if ok else '*** FAIL ***'}")
+        if not ok:
+            _FAILURES.append(name)
     except Exception as e:
         print(f"{name:>22}: EXCEPTION {type(e).__name__}: {e}")
+        _FAILURES.append(name)
 
 check("GPR", GPR((Xs, Ys), kernel=k()))
 check("SGPR", SGPR((X, Y), kernel=k(), inducing_variable=Z.copy()))
@@ -76,6 +83,8 @@ for name, m in {
     fm, fv = jax.jit(lambda xt, m=m: m.predict_f(xt))(Xt)
     ok = bool(jnp.isfinite(fm).all() and jnp.isfinite(fv).all() and (fv > 0).all())
     print(f"{name + ' predict':>22}: fvar_min={float(jnp.min(fv)):.3e} finite={'OK' if ok else '*** FAIL ***'}")
+    if not ok:
+        _FAILURES.append(name + " predict")
 
 
 # --- multioutput, sampling, uncertain inputs, HMC ---
@@ -103,6 +112,8 @@ def check_mo(name, model, batch):
     fm, fv = jax.jit(lambda xt: model.predict_f(xt))(Xmo[:256])
     okp = bool(jnp.isfinite(fm).all() and jnp.isfinite(fv).all())
     print(f"{name:>28}: loss={float(loss):12.2f} grads={'OK' if ok else 'FAIL'} predict={'OK' if okp else 'FAIL'}")
+    if not (ok and okp):
+        _FAILURES.append(name)
 
 check_mo("SVGP SharedIndependent",
       SVGP(kernel=SharedIndependent(k(), output_dim=P),
@@ -132,7 +143,10 @@ check_mo("SVGP FallbackShared+LinCoreg",
 # sampling + uncertain conditional + HMC
 m = SVGP(kernel=k(), likelihood=likelihoods.Gaussian(0.1), inducing_variable=Z.copy(), num_data=1024)
 s = m.predict_f_samples(X[:64], num_samples=5)
-print("predict_f_samples finite:", bool(jnp.isfinite(s).all()), s.shape)
+_samples_ok = bool(jnp.isfinite(s).all())
+print("predict_f_samples finite:", _samples_ok, s.shape)
+if not _samples_ok:
+    _FAILURES.append("predict_f_samples")
 
 from gpflow_tpu.conditionals import uncertain_conditional
 Xmu = X[:64]
@@ -140,7 +154,10 @@ Xvar = jnp.broadcast_to(0.05 * jnp.eye(D, dtype=jnp.float32), (64, D, D))
 um, uv = uncertain_conditional(Xmu, Xvar, m.inducing_variable, m.kernel,
                                m.q_mu.value, m.q_sqrt.value, mean_function=None,
                                full_output_cov=False, white=True)
-print("uncertain_conditional finite:", bool(jnp.isfinite(um).all() and jnp.isfinite(uv).all()))
+_uc_ok = bool(jnp.isfinite(um).all() and jnp.isfinite(uv).all())
+print("uncertain_conditional finite:", _uc_ok)
+if not _uc_ok:
+    _FAILURES.append("uncertain_conditional")
 
 from gpflow_tpu.optimizers import SamplingHelper, run_hmc
 gm = GPMC((X[:256], (rng.rand(256,1)<0.5).astype(np.float32)), kernel=k(), likelihood=likelihoods.Bernoulli())
@@ -150,5 +167,14 @@ helper = SamplingHelper(gm.log_posterior_density, gm.trainable_parameters)
 samples, logps = run_hmc(helper.target_log_prob_fn, helper.current_state,
                          num_samples=20, num_burnin_steps=10,
                          step_size=0.01, num_leapfrog_steps=5)
-print("HMC samples finite:", all(bool(jnp.isfinite(si).all()) for si in samples),
-      "logps finite:", bool(jnp.isfinite(logps).all()))
+_hmc_ok = all(bool(jnp.isfinite(si).all()) for si in samples) and bool(
+    jnp.isfinite(logps).all()
+)
+print("HMC samples finite:", _hmc_ok)
+if not _hmc_ok:
+    _FAILURES.append("hmc")
+
+if _FAILURES:
+    print("SMOKE FAILURES:", _FAILURES)
+    sys.exit(1)
+print("TPU SMOKE: ALL OK")
