@@ -33,7 +33,12 @@ def inducingpoint_wrapper(
 
 def data_input_to_tensor(structure: Any) -> Any:
     """Converts data structures to jnp arrays with default float dtype for
-    floats (reference ``util.py:91-107``)."""
+    floats (reference ``util.py:91-107``). Parameters pass through unchanged
+    — the reference likewise preserves tensor-likes (``tf.is_tensor`` is
+    true for a TransformedVariable), which is what lets GPLVM store its
+    TRAINABLE latent X inside ``model.data``."""
+    if isinstance(structure, Parameter):
+        return structure
     if isinstance(structure, tuple):
         return tuple(data_input_to_tensor(x) for x in structure)
     if isinstance(structure, list):
