@@ -148,8 +148,8 @@ def _shape_of(value: Any) -> Optional[Tuple[int, ...]]:
         return None
     try:
         return tuple(int(s) for s in shape)
-    except TypeError:  # pragma: no cover - abstract/dynamic dims
-        return None
+    except Exception:  # abstract/symbolic dims (incl. shape-polymorphic
+        return None  # export dims, which raise InconclusiveDimensionOperation)
 
 
 def check_shape(value: Any, spec: str, where: str = "value") -> Any:
