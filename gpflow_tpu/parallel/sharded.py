@@ -49,7 +49,16 @@ def shard_internal_data(model: Module, mesh=None, axis_name: str = DEFAULT_AXIS)
         )
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
     sharding = shard_batch(mesh, axis_name)
-    model.data = tuple(jax.device_put(jnp.asarray(a), sharding) for a in data)
+    from ..base import Parameter
+
+    def place(a: Any) -> Any:
+        if isinstance(a, Parameter):
+            # trainable data (GPLVM's latent X): leave the Parameter intact —
+            # sharding a trainable leaf would detach it from the optimizer
+            return a
+        return jax.device_put(jnp.asarray(a), sharding)
+
+    model.data = tuple(place(a) for a in data)
     return model
 
 

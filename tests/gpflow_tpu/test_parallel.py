@@ -452,3 +452,48 @@ def test_latent_axis_2d_hlo_has_collectives():
         trainer.params, trainer.vparams, trainer.opt_state, trainer._leaves, batch
     ).compile()
     assert "all-reduce" in compiled.as_text()
+
+
+def test_shard_internal_data_gpr_and_vgp_match_unsharded():
+    """Exact-GP path (SURVEY 7.1): GPR and VGP with K(X, X) rows built
+    sharded must reproduce the unsharded objective exactly and compile with
+    an ICI collective."""
+    from gpflow_tpu.models import GPR, VGP
+    from gpflow_tpu.parallel import shard_internal_data
+
+    Xs, Ys = X[:64], Y[:64]
+
+    gpr_ref = GPR((Xs, Ys), kernel=kernels.SquaredExponential(), noise_variance=0.1)
+    gpr_sh = GPR((Xs, Ys), kernel=kernels.SquaredExponential(), noise_variance=0.1)
+    shard_internal_data(gpr_sh)
+    assert len(gpr_sh.data[0].sharding.device_set) == 8
+    np.testing.assert_allclose(
+        float(gpr_sh.training_loss()), float(gpr_ref.training_loss()), rtol=1e-10
+    )
+    hlo = jax.jit(lambda m: m._training_loss()).lower(gpr_sh).compile().as_text()
+    assert "all-reduce" in hlo or "all-gather" in hlo
+
+    vgp_ref = VGP((Xs, Ys), kernel=kernels.SquaredExponential(),
+                  likelihood=likelihoods.Gaussian(0.1))
+    vgp_sh = VGP((Xs, Ys), kernel=kernels.SquaredExponential(),
+                 likelihood=likelihoods.Gaussian(0.1))
+    shard_internal_data(vgp_sh)
+    np.testing.assert_allclose(
+        float(vgp_sh.training_loss()), float(vgp_ref.training_loss()), rtol=1e-10
+    )
+
+
+def test_shard_internal_data_preserves_gplvm_parameter():
+    """GPLVM stores its TRAINABLE latent X inside model.data; sharding must
+    leave the Parameter intact (only the observed Y gets distributed)."""
+    from gpflow_tpu.base import Parameter
+    from gpflow_tpu.models import GPLVM
+    from gpflow_tpu.parallel import shard_internal_data
+
+    Yl = rng.randn(40, 4)
+    m = GPLVM(Yl, latent_dim=2)
+    shard_internal_data(m)
+    assert isinstance(m.data[0], Parameter)
+    assert any(p is m.data[0] for p in m.trainable_parameters)
+    assert len(m.data[1].sharding.device_set) == 8
+    assert np.isfinite(float(m.training_loss()))
