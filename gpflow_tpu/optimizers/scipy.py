@@ -14,6 +14,7 @@ any closure differentiable without requiring a particular model structure.
 """
 from __future__ import annotations
 
+import warnings
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -77,6 +78,24 @@ class _ParameterCodec:
             else:
                 out.append(chunk.reshape(shape))
         return out
+
+def _find_unused_inputs(fn: Callable[..., Any], example: Tuple[Any, ...]) -> List[int]:
+    """Indices of ``example`` leaves that the traced ``fn(example)`` never
+    consumes. Conservative: a leaf fed into any equation (incl. sub-jaxpr
+    calls) counts as used."""
+    from jax.extend.core import Literal
+
+    closed = jax.make_jaxpr(fn)(example)
+    used = set()
+    for eqn in closed.jaxpr.eqns:
+        for v in eqn.invars:
+            if not isinstance(v, Literal):
+                used.add(v)
+    for v in closed.jaxpr.outvars:
+        if not isinstance(v, Literal):
+            used.add(v)
+    return [i for i, v in enumerate(closed.jaxpr.invars) if v not in used]
+
 
 LossClosure = Callable[[], jax.Array]
 StepCallback = Callable[[int, Sequence[Parameter], Sequence[np.ndarray]], None]
@@ -165,6 +184,27 @@ class Scipy:
         if compile:
             value_and_grad = jax.jit(value_and_grad)
 
+        # Unconnected-variable check (reference ``scipy.py:229-253``): trace
+        # the loss once and find input leaves that no equation consumes.
+        # Structural, not value-based — a variable passed into a sub-jaxpr
+        # (scan/cond) counts as used even if zero-gradient at the optimum.
+        unused = _find_unused_inputs(
+            loss_fn, tuple(jnp.asarray(v.unconstrained_variable) for v in variables)
+        )
+        if unused:
+            names = [variables[i].name for i in unused]
+            if allow_unused_variables:
+                warnings.warn(
+                    f"Some variables do not affect the loss and will keep "
+                    f"zero gradients: {names}"
+                )
+            else:
+                raise ValueError(
+                    f"Some variables do not affect the loss: {names}. Their "
+                    "gradients would silently stay zero under L-BFGS; pass "
+                    "allow_unused_variables=True to proceed anyway."
+                )
+
         step = [0]
 
         def _eval(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -174,8 +214,6 @@ class Scipy:
             )
             loss, grads = value_and_grad(unconstrained)
             grad_arrays = [np.asarray(g, dtype=np.float64) for g in grads]
-            if not allow_unused_variables:
-                pass  # jax returns zero grads for unused leaves; nothing to check
             if step_callback is not None:
                 values = [np.asarray(u) for u in unconstrained]
                 step_callback(step[0], variables, values)

@@ -1,0 +1,98 @@
+"""Scipy optimizer behavior (pattern from reference
+``tests/gpflow/optimizers/test_scipy.py``): step callbacks, compile modes,
+variable subsets, unused-variable handling, and input validation."""
+import numpy as np
+import pytest
+
+import gpflow_tpu as gpf
+from gpflow_tpu import kernels
+from gpflow_tpu.models import GPR
+from gpflow_tpu.optimizers import Scipy
+
+rng = np.random.RandomState(41)
+N = 30
+X = rng.rand(N, 1) * 5
+Y = np.sin(X) + 0.1 * rng.randn(N, 1)
+
+
+def _model():
+    return GPR((X, Y), kernel=kernels.SquaredExponential(), noise_variance=0.5)
+
+
+def test_minimize_reduces_loss_and_reports_iterations():
+    m = _model()
+    before = float(m.training_loss())
+    res = Scipy().minimize(m.training_loss, m.trainable_variables, options={"maxiter": 50})
+    after = float(m.training_loss())
+    assert after < before - 1.0
+    assert res.nit > 1
+    np.testing.assert_allclose(float(res.fun), after, rtol=1e-10)
+
+
+def test_step_callback_sees_every_iteration():
+    m = _model()
+    steps = []
+    values_log = []
+
+    def cb(step, variables, values):
+        steps.append(step)
+        assert len(variables) == len(values) == len(m.trainable_variables)
+        values_log.append([np.asarray(v).copy() for v in values])
+
+    res = Scipy().minimize(
+        m.training_loss, m.trainable_variables, step_callback=cb,
+        options={"maxiter": 10},
+    )
+    assert steps == list(range(len(steps)))
+    assert len(steps) >= res.nit  # >= because function evals > iterations
+    # values must change over the optimization
+    assert not all(
+        np.allclose(a, b) for a, b in zip(values_log[0], values_log[-1])
+    )
+
+
+@pytest.mark.parametrize("compile_", [True, False])
+def test_compile_modes_agree(compile_):
+    m = _model()
+    Scipy().minimize(
+        m.training_loss, m.trainable_variables, compile=compile_,
+        options={"maxiter": 40},
+    )
+    # both modes should land at (nearly) the same optimum
+    assert float(m.training_loss()) < -10
+
+
+def test_optimizes_only_given_subset():
+    m = _model()
+    ls_before = float(m.kernel.lengthscales.value)
+    noise_before = float(m.likelihood.variance.value)
+    Scipy().minimize(
+        m.training_loss, (m.kernel.variance,), options={"maxiter": 20}
+    )
+    assert float(m.kernel.lengthscales.value) == ls_before
+    assert float(m.likelihood.variance.value) == noise_before
+    assert float(m.kernel.variance.value) != 1.0
+
+
+def test_unused_variable_raises_unless_allowed():
+    m = _model()
+    extra = gpf.Parameter(1.0, name="unused")
+    with pytest.raises(ValueError, match="unused|gradient"):
+        Scipy().minimize(
+            m.training_loss, tuple(m.trainable_variables) + (extra,),
+            options={"maxiter": 2},
+        )
+    res = Scipy().minimize(
+        m.training_loss, tuple(m.trainable_variables) + (extra,),
+        allow_unused_variables=True, options={"maxiter": 5},
+    )
+    assert np.isfinite(float(res.fun))
+    np.testing.assert_allclose(float(extra.value), 1.0, rtol=1e-12)
+
+
+def test_input_validation():
+    m = _model()
+    with pytest.raises(TypeError, match="callable"):
+        Scipy().minimize(1.0, m.trainable_variables)
+    with pytest.raises(TypeError, match="Parameters"):
+        Scipy().minimize(m.training_loss, [np.zeros(2)])
