@@ -49,7 +49,28 @@ import numpy as np
 N, M, D, B = 1_000_000, 2048, 8, 8192
 
 A100_F64_PEAK = 19.5e12  # A100 FP64 tensor-core peak (dense), FLOP/s
-TPU_V5E_BF16_PEAK = 197e12  # v5e MXU bf16 peak, FLOP/s
+
+# bf16 dense peak by TPU generation (FLOP/s); MFU is computed against the
+# chip the benchmark actually runs on, and the assumed peak is recorded in
+# the output so the number stays auditable
+_TPU_BF16_PEAKS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,  # v5e device_kind string is "TPU v5 lite..."
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
+
+
+def _bf16_peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _TPU_BF16_PEAKS.items():
+        if tag in kind:
+            return peak
+    return 197e12  # unknown chip: assume v5e and record it in the output
 
 
 def _svgp_step_flops(M: int, B: int, D: int) -> float:
@@ -140,7 +161,10 @@ def bench_svgp(results: dict) -> None:
 
     steps_per_sec = reps * timed_steps / elapsed
     results["svgp_steps_per_sec"] = round(steps_per_sec, 3)
-    results["mfu"] = round(steps_per_sec * FLOPS_PER_STEP / TPU_V5E_BF16_PEAK, 4)
+    peak = _bf16_peak_flops()
+    results["mfu"] = round(steps_per_sec * FLOPS_PER_STEP / peak, 4)
+    results["assumed_bf16_peak_flops"] = peak
+    results["device_kind"] = jax.devices()[0].device_kind
     results["flops_per_step"] = FLOPS_PER_STEP
 
     # 4. serving throughput from the same trained model: cached posterior

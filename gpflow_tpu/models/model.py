@@ -14,6 +14,7 @@ from ..functions import MeanFunction, Zero
 from ..kernels import Kernel, MultioutputKernel
 from ..likelihoods import Likelihood, SwitchedLikelihood
 from ..utilities import assert_params_false
+from ..utilities.shapes import check_shapes
 
 __all__ = ["BayesianModel", "GPModel"]
 
@@ -114,6 +115,11 @@ class GPModel(BayesianModel):
             samples = sample_mvn(mean, cov, full_output_cov, num_samples=num_samples, key=key)
         return samples
 
+    @check_shapes(
+        "Xnew: [batch..., N, D]",
+        "return[0]: [batch..., N, P]",
+        "return[1]: [batch..., N, P]",
+    )
     def predict_y(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -122,6 +128,9 @@ class GPModel(BayesianModel):
         f_mean, f_var = self.predict_f(Xnew, full_cov=full_cov, full_output_cov=full_output_cov)
         return self.likelihood.predict_mean_and_var(Xnew, f_mean, f_var)
 
+    @check_shapes(
+        "return: [batch..., N]",
+    )
     def predict_log_density(
         self, data: RegressionData, full_cov: bool = False, full_output_cov: bool = False
     ) -> jax.Array:

@@ -80,21 +80,37 @@ class _ParameterCodec:
         return out
 
 def _find_unused_inputs(fn: Callable[..., Any], example: Tuple[Any, ...]) -> List[int]:
-    """Indices of ``example`` leaves that the traced ``fn(example)`` never
-    consumes. Conservative: a leaf fed into any equation (incl. sub-jaxpr
-    calls) counts as used."""
+    """Indices of ``example`` leaves with no GRADIENT path to the traced
+    ``fn(example)`` output: backward reachability over the jaxpr from the
+    output vars, with ``stop_gradient`` edges cut (a variable consumed only
+    through stop_gradient has identically-zero gradients — the reference's
+    TF check reports exactly those, ``scipy.py:229-253``). Conservative for
+    sub-jaxpr calls (scan/cond/pjit): any reachable call eqn marks all its
+    inputs reachable."""
     from jax.extend.core import Literal
 
     closed = jax.make_jaxpr(fn)(example)
-    used = set()
-    for eqn in closed.jaxpr.eqns:
-        for v in eqn.invars:
-            if not isinstance(v, Literal):
-                used.add(v)
-    for v in closed.jaxpr.outvars:
-        if not isinstance(v, Literal):
-            used.add(v)
-    return [i for i, v in enumerate(closed.jaxpr.invars) if v not in used]
+    jaxpr = closed.jaxpr
+    producers = {}
+    for eqn in jaxpr.eqns:
+        for v in eqn.outvars:
+            producers[v] = eqn
+    reachable = set()
+    stack = [v for v in jaxpr.outvars if not isinstance(v, Literal)]
+    while stack:
+        v = stack.pop()
+        if v in reachable:
+            continue
+        reachable.add(v)
+        eqn = producers.get(v)
+        if eqn is None:
+            continue  # an input var or constvar: nothing upstream
+        if eqn.primitive.name == "stop_gradient":
+            continue  # gradient edge cut: upstream vars get zero cotangents
+        for iv in eqn.invars:
+            if not isinstance(iv, Literal):
+                stack.append(iv)
+    return [i for i, v in enumerate(jaxpr.invars) if v not in reachable]
 
 
 LossClosure = Callable[[], jax.Array]

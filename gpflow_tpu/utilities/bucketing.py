@@ -52,16 +52,26 @@ def pad_to_bucket(
 
 
 def bucketize(
-    fn: Callable[..., Any], buckets: Optional[Sequence[int]] = None
+    fn: Callable[..., Any],
+    buckets: Optional[Sequence[int]] = None,
+    unpad: str = "matching",
 ) -> Callable[..., Any]:
     """Wraps ``fn`` so its first argument is padded to a bucket size and
-    EVERY output axis whose length equals the padded size is sliced back to
-    the true batch length — covering [b, P] means, [b] vectors, and
-    full-covariance outputs like [b, b] or [P, b, b]. Outputs with no axis
-    of the padded length are returned untouched. (Caveat: an axis that
-    coincidentally equals the bucket size is indistinguishable from a
-    padded batch axis and will be sliced.)
+    padded output axes are sliced back to the true batch length.
+
+    ``unpad`` selects which output axes count as batch axes:
+
+    * ``"matching"`` (default): EVERY axis whose length equals the padded
+      size — covers [b, P] means, [b] vectors, and full-covariance outputs
+      like [b, b] or [P, b, b]. Caveat: a NON-batch axis that coincidentally
+      equals the padded size (e.g. P outputs with P == bucket size) is
+      indistinguishable from a batch axis and would be sliced — use
+      ``"leading"`` in that case.
+    * ``"leading"``: only axis 0 — never touches other dims; full-covariance
+      outputs must then be column-unpadded by the caller.
     """
+    if unpad not in ("matching", "leading"):
+        raise ValueError(f"unpad must be 'matching' or 'leading', got {unpad!r}")
 
     def wrapper(X: Any, *args: Any, **kwargs: Any) -> Any:
         Xp, n = pad_to_bucket(X, buckets)
@@ -73,6 +83,8 @@ def bucketize(
         def slice_(a: Any) -> Any:
             if not (hasattr(a, "shape") and getattr(a, "ndim", 0) >= 1):
                 return a
+            if unpad == "leading":
+                return a[:n] if a.shape[0] == b else a
             if not any(d == b for d in a.shape):
                 return a
             idx = tuple(slice(0, n) if d == b else slice(None) for d in a.shape)

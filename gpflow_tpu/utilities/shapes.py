@@ -171,6 +171,15 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
 
     def decorator(fn: F) -> F:
         sig = inspect.signature(fn)
+        # a typo'd guard argument would otherwise read as always-falsy and
+        # silently flip which spec applies — fail at decoration instead
+        for _name, _tokens, cond in parsed:
+            if cond is not None and cond[0] not in sig.parameters:
+                raise ValueError(
+                    f"check_shapes guard references unknown argument "
+                    f"{cond[0]!r} of {fn.__qualname__} "
+                    f"(known: {list(sig.parameters)})"
+                )
 
         @functools.wraps(fn)
         def wrapper(*args: Any, **kwargs: Any) -> Any:

@@ -96,3 +96,21 @@ def test_input_validation():
         Scipy().minimize(1.0, m.trainable_variables)
     with pytest.raises(TypeError, match="Parameters"):
         Scipy().minimize(m.training_loss, [np.zeros(2)])
+
+
+def test_stop_gradient_only_variable_detected_as_unused():
+    """A variable consumed ONLY through stop_gradient has identically-zero
+    gradients; the unconnected check must catch it (the reference's
+    gradient-based check does, ref scipy.py:229-253)."""
+    import jax
+
+    m = _model()
+    shadow = gpf.Parameter(2.0, name="shadow")
+
+    def closure():
+        return m.training_loss() + jax.lax.stop_gradient(shadow.value) * 0.0
+
+    with pytest.raises(ValueError, match="shadow"):
+        Scipy().minimize(
+            closure, tuple(m.trainable_variables) + (shadow,), options={"maxiter": 2}
+        )

@@ -85,3 +85,20 @@ def test_bucketize_full_cov_gp_prediction():
     assert cov_b.shape == np.asarray(cov).shape
     np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), atol=1e-9)
     np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov), atol=1e-9)
+
+
+def test_bucketize_unpad_leading_for_coincident_dims():
+    """A [b, P] output with P == bucket size is ambiguous under 'matching';
+    'leading' slices only the batch axis and keeps all P columns."""
+    P = 8  # == bucket size of a 5-row batch
+
+    def fn(x):
+        return jnp.ones((x.shape[0], P))
+
+    X5 = rng.randn(5, 2)
+    out_matching = bucketize(fn)(X5)  # documented caveat: slices both axes
+    assert out_matching.shape == (5, 5)
+    out_leading = bucketize(fn, unpad="leading")(X5)
+    assert out_leading.shape == (5, P)
+    with pytest.raises(ValueError, match="unpad"):
+        bucketize(fn, unpad="nope")

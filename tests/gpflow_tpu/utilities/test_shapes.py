@@ -7,15 +7,20 @@ from gpflow_tpu.utilities.shapes import (
     ShapeError,
     check_shape,
     check_shapes,
+    get_enable_check_shapes,
     set_enable_check_shapes,
 )
 
 
 @pytest.fixture(autouse=True)
 def _enable():
+    # restore the PRIOR state: the suite-wide conftest turns contracts on,
+    # and hard-setting False here would silently disable them for every
+    # test collected after this file
+    prev = get_enable_check_shapes()
     set_enable_check_shapes(True)
     yield
-    set_enable_check_shapes(False)
+    set_enable_check_shapes(prev)
 
 
 @check_shapes(
@@ -71,8 +76,12 @@ def test_disabled_is_noop():
     def f(X):
         return jnp.ones((X.shape[0],))
 
+    prev = get_enable_check_shapes()
     set_enable_check_shapes(False)
-    f(jnp.ones((4, 5)))  # spec violation ignored when disabled
+    try:
+        f(jnp.ones((4, 5)))  # spec violation ignored when disabled
+    finally:
+        set_enable_check_shapes(prev)
     set_enable_check_shapes(True)
     with pytest.raises(ShapeError):
         f(jnp.ones((4, 5)))
@@ -113,6 +122,7 @@ def test_guarded_specs_select_on_flag():
     def diag_or_full(K, full_cov=False):
         return np.diag(K) if full_cov else K
 
+    prev = get_enable_check_shapes()
     set_enable_check_shapes(True)
     try:
         diag_or_full(np.eye(3), full_cov=True)
@@ -125,4 +135,11 @@ def test_guarded_specs_select_on_flag():
         with pytest.raises(ShapeError):
             diag_or_full(np.eye(3))
     finally:
-        set_enable_check_shapes(False)
+        set_enable_check_shapes(prev)
+
+
+def test_guard_typo_raises_at_decoration():
+    with pytest.raises(ValueError, match="unknown argument 'full_covv'"):
+        @check_shapes("K: [N, N] if full_covv")
+        def f(K, full_cov=False):
+            return K
