@@ -89,3 +89,48 @@ def test_natgrad_improves_nonconjugate():
     for _ in range(5):
         ng.minimize(lambda: model.training_loss((X, Yb)), [(model.q_mu, model.q_sqrt)])
     assert float(model.elbo((X, Yb))) > before + 1.0
+
+
+@pytest.mark.parametrize("whiten", [True, False])
+def test_small_q_sqrt_handled_correctly(whiten):
+    """Near-degenerate q_sqrt (tiny variance) must not break the natural
+    parameter conversions (reference test_natural_gradient.py:158-168):
+    one gamma=1 step still lands on the collapsed-bound optimum."""
+    model = _svgp(whiten)
+    model.q_sqrt.assign(1e-5 * np.stack([np.eye(M)]))
+    sgpr = SGPR(
+        (X, Y),
+        kernel=kernels.SquaredExponential(lengthscales=0.8),
+        inducing_variable=Z.copy(),
+        noise_variance=0.1,
+    )
+    NaturalGradient(gamma=1.0).minimize(
+        lambda: model.training_loss((X, Y)), [(model.q_mu, model.q_sqrt)]
+    )
+    np.testing.assert_allclose(
+        float(model.elbo((X, Y))), float(sgpr.elbo()), rtol=1e-8
+    )
+
+
+def test_minimize_multiple_variational_pairs():
+    """One minimize() call over TWO independent models' (q_mu, q_sqrt) pairs
+    must move each to its own gamma=1 optimum (joint loss is separable)."""
+    m1, m2 = _svgp(True), _svgp(True)
+    Y2 = np.cos(X[:, :1]) + 0.1 * rng.randn(N, 1)
+
+    def joint_loss():
+        return m1.training_loss((X, Y)) + m2.training_loss((X, Y2))
+
+    NaturalGradient(gamma=1.0).minimize(
+        joint_loss, [(m1.q_mu, m1.q_sqrt), (m2.q_mu, m2.q_sqrt)]
+    )
+    for m, y in ((m1, Y), (m2, Y2)):
+        sgpr = SGPR(
+            (X, y),
+            kernel=kernels.SquaredExponential(lengthscales=0.8),
+            inducing_variable=Z.copy(),
+            noise_variance=0.1,
+        )
+        np.testing.assert_allclose(
+            float(m.elbo((X, y))), float(sgpr.elbo()), rtol=1e-8
+        )
