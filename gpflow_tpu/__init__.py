@@ -70,11 +70,9 @@ _SUBPACKAGES = (
     "experimental",
 )
 for _name in _SUBPACKAGES:
-    try:
-        globals()[_name] = _importlib.import_module(f".{_name}", __name__)
-    except ImportError as _e:  # pragma: no cover - only during staged build
-        if f"gpflow_tpu.{_name}" not in str(_e) and f"'{_name}'" not in str(_e):
-            raise
+    # no ImportError suppression: a failure inside any subpackage must
+    # surface at import time, not as a distant AttributeError later
+    globals()[_name] = _importlib.import_module(f".{_name}", __name__)
 
 __all__ = [
     "Module",

@@ -19,7 +19,7 @@ Design (see SURVEY.md §7.1):
 from __future__ import annotations
 
 import enum
-from typing import Any, Callable, Dict, Iterable, Mapping, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,38 @@ class PriorOn(enum.Enum):
 # ---------------------------------------------------------------------------
 # Parameter
 # ---------------------------------------------------------------------------
+
+# Read-capture hooks: optimizers that jit user closures (NaturalGradient)
+# discover which Parameters a closure reads so they can pass their CURRENT
+# values as traced arguments instead of baking them in as compile-time
+# constants. Near-zero overhead when no capture is active (one truthiness
+# check per read).
+_PARAM_READ_CAPTURE: List[List["Parameter"]] = []
+
+
+def _record_parameter_read(p: "Parameter") -> None:
+    if _PARAM_READ_CAPTURE:
+        _PARAM_READ_CAPTURE[-1].append(p)
+
+
+class capture_parameter_reads:
+    """Context manager collecting every Parameter whose value is read inside
+    the block; ``.parameters`` holds them afterward in first-read order,
+    deduplicated by identity."""
+
+    def __enter__(self) -> "capture_parameter_reads":
+        self._raw: List["Parameter"] = []
+        _PARAM_READ_CAPTURE.append(self._raw)
+        self.parameters: List["Parameter"] = []
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        _PARAM_READ_CAPTURE.pop()
+        seen: set = set()
+        for p in self._raw:
+            if id(p) not in seen:
+                seen.add(id(p))
+                self.parameters.append(p)
 
 
 def _to_array(value: Any, dtype: Any) -> np.ndarray:
@@ -181,10 +213,12 @@ class Parameter:
 
     @property
     def unconstrained_variable(self) -> jax.Array:
+        _record_parameter_read(self)
         return self._unconstrained
 
     @property
     def value(self) -> jax.Array:
+        _record_parameter_read(self)
         return _apply(self._transform, self._unconstrained, "forward")
 
     def numpy(self) -> np.ndarray:
@@ -227,6 +261,7 @@ class Parameter:
         """Log prior density of the constrained variable, including the
         change-of-variables Jacobian when the prior is placed on the
         unconstrained value (reference ``base.py:201-223``)."""
+        _record_parameter_read(self)
         if self.prior is None:
             return jnp.zeros((), dtype=self.dtype)
         if self._prior_on is PriorOn.CONSTRAINED:

@@ -41,7 +41,13 @@ _seed_counter = [0]
 
 
 def _use_inv_solve() -> bool:
-    """Opt-in TPU optimization: see base_conditional_with_lm."""
+    """Opt-in TPU optimization: see base_conditional_with_lm.
+
+    STARTUP-TIME flag: the value is read at TRACE time and baked into each
+    compiled function — toggling the env var after a closure has compiled
+    does not change that closure's path (jit caches are keyed on shapes,
+    not on this flag). Set it before building/compiling, as bench.py does.
+    """
     import os
 
     return os.environ.get("GPFLOW_TPU_INV_SOLVE", "0") not in ("0", "false", "False")

@@ -2,6 +2,7 @@
 from .linalg import chol_and_inverse, triangular_inverse
 from .pallas_distance import (
     PALLAS_FAMILIES,
+    get_pallas_enabled,
     pallas_available,
     rbf_kernel_matrix,
     scaled_squared_distance,
@@ -12,6 +13,7 @@ from .pallas_distance import (
 __all__ = [
     "PALLAS_FAMILIES",
     "chol_and_inverse",
+    "get_pallas_enabled",
     "pallas_available",
     "rbf_kernel_matrix",
     "scaled_squared_distance",

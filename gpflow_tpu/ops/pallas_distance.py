@@ -49,16 +49,24 @@ def set_pallas_enabled(value: Optional[bool]) -> None:
     _state["enabled"] = value
 
 
+def get_pallas_enabled() -> Optional[bool]:
+    """Current programmatic override (True/False), or None for auto."""
+    return _state["enabled"]
+
+
 def pallas_available(dtype) -> bool:
     # the kernel computes in f32 internally: float64 must NEVER route here
     # (silent precision loss), regardless of any force-enable flag
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return False
+    # the PROGRAMMATIC override wins over the env var: export_serving etc.
+    # force the XLA path temporarily (symbolic shapes cannot trace through
+    # the MXU tile padding) and must not be vetoed by GPFLOW_TPU_PALLAS=1
+    if _state["enabled"] is not None:
+        return bool(_state["enabled"])
     env = os.environ.get("GPFLOW_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
-    if _state["enabled"] is not None:
-        return bool(_state["enabled"])
     # auto: only on the TPU backend
     try:
         backend = jax.default_backend()

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from ..base import Parameter
+from ..base import Parameter, capture_parameter_reads
 
 __all__ = [
     "NaturalGradient",
@@ -141,32 +141,80 @@ class NaturalGradient:
                     "q_sqrt: [L, M, M] (q_diag=True is not supported)."
                 )
 
-        # the cache holds a strong reference to loss_fn (inside the cached
-        # closure), so its id cannot be recycled while the entry lives —
-        # an id-keyed lookup is therefore collision-free. A fresh closure per
-        # call (e.g. a lambda created inside the training loop) recompiles
-        # every step; create the loss closure once outside the loop. The
-        # cache is capped to bound memory for that usage pattern.
+        # Staleness-safe compile caching. Everything the loss closure
+        # CAPTURES (hyperparameters, a minibatch, a batch drawn from an
+        # iterator at trace time) would be baked into the jitted step as
+        # compile-time constants, so a cached step would silently keep
+        # optimizing against the values from its first trace while Adam
+        # moves the hyperparameters. Two mechanisms make the cached step
+        # track reality:
+        #   1. Parameter reads are DISCOVERED on the first call
+        #      (capture_parameter_reads) and those parameters' current
+        #      unconstrained values are passed as traced ARGUMENTS.
+        #   2. Remaining array constants (e.g. minibatch data, incl. a
+        #      fresh iterator draw) are hoisted per call by re-tracing the
+        #      loss (cheap — no XLA compile) and feeding the fresh jaxpr
+        #      consts to the cached executable.
+        from jax.core import eval_jaxpr
+
+        current = tuple(jnp.asarray(v._unconstrained) for v in variables)
+
         key = (id(loss_fn), tuple(id(v) for v in variables),
                tuple(type(x) for x in xis))
         entry = self._compiled_steps.get(key)
-        step = entry[1] if entry is not None and entry[0] is loss_fn else None
-        if step is None:
+        if entry is not None and entry[0] is not loss_fn:
+            entry = None
+        if entry is None:
+            def plain_loss(unc: Tuple[jax.Array, ...]) -> jax.Array:
+                originals = [v._unconstrained for v in variables]
+                try:
+                    for v, u in zip(variables, unc):
+                        v._unconstrained = u
+                    return loss_fn()
+                finally:
+                    for v, o in zip(variables, originals):
+                        v._unconstrained = o
+
+            # discovery trace: which OTHER Parameters does the closure read?
+            with capture_parameter_reads() as cap:
+                jax.make_jaxpr(plain_loss)(current)
+            var_ids = {id(v) for v in variables}
+            others = tuple(p for p in cap.parameters if id(p) not in var_ids)
+
+            def loss_ext(
+                unc: Tuple[jax.Array, ...], other_unc: Tuple[jax.Array, ...]
+            ) -> jax.Array:
+                originals = [v._unconstrained for v in variables]
+                other_originals = [o._unconstrained for o in others]
+                try:
+                    for v, u in zip(variables, unc):
+                        v._unconstrained = u
+                    for o, u in zip(others, other_unc):
+                        o._unconstrained = u
+                    return loss_fn()
+                finally:
+                    for v, o_ in zip(variables, originals):
+                        v._unconstrained = o_
+                    for o, o_ in zip(others, other_originals):
+                        o._unconstrained = o_
+
+            other_vals0 = tuple(jnp.asarray(o._unconstrained) for o in others)
+            closed0 = jax.make_jaxpr(loss_ext)(current, other_vals0)
+            jaxpr0 = closed0.jaxpr
+
             xi_transforms = [x if x is not None else self.xi_transform for x in xis]
             transforms = [v.transform for v in variables]
 
-            def _step(unconstrained: Tuple[jax.Array, ...]) -> Tuple[jax.Array, ...]:
-                def loss_of_unconstrained(unc: Tuple[jax.Array, ...]) -> jax.Array:
-                    originals = [v._unconstrained for v in variables]
-                    try:
-                        for v, u in zip(variables, unc):
-                            v._unconstrained = u
-                        return loss_fn()
-                    finally:
-                        for v, o in zip(variables, originals):
-                            v._unconstrained = o
+            def _step(
+                unconstrained: Tuple[jax.Array, ...],
+                other_unc: Tuple[jax.Array, ...],
+                consts: Tuple[jax.Array, ...],
+            ) -> Tuple[jax.Array, ...]:
+                def loss_c(unc: Tuple[jax.Array, ...]) -> jax.Array:
+                    flat = jax.tree_util.tree_leaves((unc, other_unc))
+                    return eval_jaxpr(jaxpr0, consts, *flat)[0]
 
-                grads = jax.grad(loss_of_unconstrained)(unconstrained)
+                grads = jax.grad(loss_c)(unconstrained)
                 new_unc = []
                 for i, xi_transform in enumerate(xi_transforms):
                     mu_t, sq_t = transforms[2 * i], transforms[2 * i + 1]
@@ -183,10 +231,17 @@ class NaturalGradient:
             step = jax.jit(_step)
             if len(self._compiled_steps) >= 16:  # bound growth for per-call closures
                 self._compiled_steps.pop(next(iter(self._compiled_steps)))
-            self._compiled_steps[key] = (loss_fn, step)
-
-        current = tuple(v._unconstrained for v in variables)
-        new_values = step(current)
+            entry = (loss_fn, step, others, loss_ext)
+            self._compiled_steps[key] = entry
+            other_vals = other_vals0
+            closed = closed0  # first call: reuse the structure trace
+        else:
+            _, step, others, loss_ext = entry
+            other_vals = tuple(jnp.asarray(o._unconstrained) for o in others)
+            # per-call re-trace for fresh data consts (one iterator draw per
+            # step); the fresh lambda defeats make_jaxpr's trace cache
+            closed = jax.make_jaxpr(lambda a, b: loss_ext(a, b))(current, other_vals)
+        new_values = step(current, other_vals, tuple(closed.consts))
         for v, nv in zip(variables, new_values):
             v._unconstrained = nv
 

@@ -17,7 +17,6 @@ intermediate distributed and inserts the ICI collectives at the reductions:
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Tuple
 
 import jax
@@ -62,6 +61,9 @@ def shard_internal_data(model: Module, mesh=None, axis_name: str = DEFAULT_AXIS)
     return model
 
 
+_PREDICT_JITS: dict = {}
+
+
 def sharded_predict_f(
     model: Any,
     Xnew: Any,
@@ -74,9 +76,24 @@ def sharded_predict_f(
 
     Accepts a model or a precomputed posterior (anything with
     ``predict_f(Xnew, **kwargs)``). Returns device-sharded (mean, var).
+
+    The jitted wrapper is cached per kwargs and takes the MODEL as a jit
+    argument, so repeated calls (a serving loop) reuse one compiled
+    executable — for any model of the same pytree structure, at the
+    CURRENT parameter values — instead of retracing every call.
     """
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
     sharding = shard_batch(mesh, axis_name)
     Xd = jax.device_put(jnp.asarray(Xnew), sharding)
-    fn = jax.jit(functools.partial(model.predict_f, **predict_kwargs))
-    return fn(Xd)
+
+    key = tuple(sorted(predict_kwargs.items()))
+    fn = _PREDICT_JITS.get(key)
+    if fn is None:
+        kwargs = dict(predict_kwargs)
+
+        def _predict(m: Any, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+            return m.predict_f(x, **kwargs)
+
+        fn = jax.jit(_predict)
+        _PREDICT_JITS[key] = fn
+    return fn(model, Xd)

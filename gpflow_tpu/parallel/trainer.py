@@ -110,12 +110,7 @@ class DataParallelTrainer:
                 p for p in train_params
                 if id(p.unconstrained_variable) not in variational_ids
             ]
-            natgrad_idx = tuple(
-                i for i, l in enumerate(leaves)
-                for target in (q_mu, q_sqrt)
-                if l is target.unconstrained_variable
-            )
-            # order as (q_mu, q_sqrt)
+            # indices ordered as (q_mu, q_sqrt)
             natgrad_idx = (
                 next(i for i, l in enumerate(leaves) if l is q_mu.unconstrained_variable),
                 next(i for i, l in enumerate(leaves) if l is q_sqrt.unconstrained_variable),

@@ -89,8 +89,7 @@ def export_serving(
     :returns: mapping method name -> written file path.
     """
     from ..config import default_float
-    from ..ops import pallas_distance as _pd
-    from ..ops import set_pallas_enabled
+    from ..ops import get_pallas_enabled, set_pallas_enabled
 
     dtype = jnp.dtype(dtype if dtype is not None else default_float())
     os.makedirs(path, exist_ok=True)
@@ -103,7 +102,7 @@ def export_serving(
     # the exported program must be portable and shape-polymorphic: force the
     # plain XLA compute path (the Pallas covariance kernel lowers only for
     # TPU and its MXU tile padding cannot trace with a symbolic batch)
-    prev_pallas = _pd._state["enabled"]
+    prev_pallas = get_pallas_enabled()
     set_pallas_enabled(False)
     written: Dict[str, str] = {}
     try:

@@ -134,3 +134,50 @@ def test_minimize_multiple_variational_pairs():
         np.testing.assert_allclose(
             float(m.elbo((X, y))), float(sgpr.elbo()), rtol=1e-8
         )
+
+
+def test_compiled_step_tracks_hyperparameter_updates():
+    """Regression (round-2 review): the cached compiled step must NOT bake
+    hyperparameters in as constants — after the kernel/likelihood move
+    (Adam's half of the alternating loop), the next natgrad step must
+    match the eager (compile=False) result exactly."""
+
+    def run(compile_):
+        model = _svgp(True)
+        ng = NaturalGradient(gamma=0.7, compile=compile_)
+        loss = lambda: model.training_loss((X, Y))  # created ONCE, as recommended
+        ng.minimize(loss, [(model.q_mu, model.q_sqrt)])
+        # hyperparameter change between natgrad calls
+        model.kernel.variance.assign(25.0)
+        model.likelihood.variance.assign(0.5)
+        ng.minimize(loss, [(model.q_mu, model.q_sqrt)])
+        return np.asarray(model.q_mu.value), float(model.elbo((X, Y)))
+
+    q_mu_c, elbo_c = run(True)
+    q_mu_e, elbo_e = run(False)
+    np.testing.assert_allclose(q_mu_c, q_mu_e, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(elbo_c, elbo_e, rtol=1e-10)
+
+
+def test_compiled_step_advances_minibatch_iterator():
+    """An iterator-backed loss must draw a FRESH batch every minimize call
+    (previously the first batch was baked in at trace time forever)."""
+    model = _svgp(True)
+    seen = []
+
+    def batches():
+        i = 0
+        while True:
+            lo = (i * 20) % 40
+            seen.append(lo)
+            yield X[lo : lo + 20], Y[lo : lo + 20]
+            i += 1
+
+    it = batches()
+    loss = lambda: model.training_loss(next(it))
+    ng = NaturalGradient(gamma=0.3)
+    for _ in range(3):
+        ng.minimize(loss, [(model.q_mu, model.q_sqrt)])
+    # first minimize draws twice (discovery trace + compile trace; the
+    # compile draw is the one optimized against); each later call draws once
+    assert seen == [0, 20, 0, 20], seen
