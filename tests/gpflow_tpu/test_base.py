@@ -196,3 +196,35 @@ def test_fill_triangular_bijector_roundtrip():
     assert L.shape == (3, 3)
     np.testing.assert_allclose(np.triu(np.asarray(L), 1), 0.0)
     np.testing.assert_allclose(tb.inverse(L), v)
+
+
+def test_capture_parameter_reads():
+    from gpflow_tpu.base import capture_parameter_reads
+
+    a = Parameter(1.0, name="a")
+    b = Parameter([2.0, 3.0], transform=positive(), name="b")
+    c = Parameter(4.0, name="c")
+
+    with capture_parameter_reads() as cap:
+        _ = a.value + jnp.sum(jnp.asarray(b))
+        _ = a.value  # duplicate read: recorded once
+    names = [p.name for p in cap.parameters]
+    assert names == ["a", "b"]  # first-read order, deduplicated; c unread
+
+    # capture must not leak outside the block
+    _ = c.value
+    assert [p.name for p in cap.parameters] == ["a", "b"]
+
+
+def test_capture_parameter_reads_nested():
+    from gpflow_tpu.base import capture_parameter_reads
+
+    a = Parameter(1.0, name="a")
+    b = Parameter(2.0, name="b")
+    with capture_parameter_reads() as outer:
+        _ = a.value
+        with capture_parameter_reads() as inner:
+            _ = b.value
+        _ = a.value
+    assert [p.name for p in inner.parameters] == ["b"]
+    assert [p.name for p in outer.parameters] == ["a"]  # inner reads go inner
