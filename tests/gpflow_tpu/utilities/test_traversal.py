@@ -107,3 +107,19 @@ def test_profile_writes_trace(tmp_path):
     import os
     files = [f for root, _, fs in os.walk(d) for f in fs]
     assert files, "profiler produced no trace files"
+
+
+def test_multiple_assign_invalid_value_raises():
+    """Shape-mismatched or non-finite values must be rejected and leave the
+    untouched parameters unchanged (reference test_base_training.py)."""
+    m = _model()
+    before = {k: np.asarray(v) for k, v in gpflow_tpu.utilities.read_values(m).items()}
+    some_key = next(iter(before))
+    bad = np.ones((7, 3))  # wrong shape for any parameter here
+    with pytest.raises(ValueError):
+        gpflow_tpu.utilities.multiple_assign(m, {some_key: bad})
+    with pytest.raises(ValueError):
+        gpflow_tpu.utilities.multiple_assign(m, {some_key: np.nan})
+    after = gpflow_tpu.utilities.read_values(m)
+    for k, v in before.items():
+        np.testing.assert_array_equal(np.asarray(after[k]), v)
