@@ -43,8 +43,10 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
     (X, Y), (Xt, Yt) = ds.train, ds.test
     model = create_model(task.model, (X, Y))
 
-    # warm-up prediction (compiles the predict path)
-    model.predict_y(Xt[:2])
+    # warm-up prediction at the FULL test shape (jax compiles per static
+    # shape, so a smaller warm-up batch would leave the timed call paying
+    # trace+compile for the real shape)
+    model.predict_y(Xt)
 
     from gpflow_tpu.models import training_loss_closure
 
@@ -84,7 +86,7 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
         t0 = time.perf_counter()
         posterior = model.posterior()
         row["posterior_build_time"] = time.perf_counter() - t0
-        posterior.predict_f(Xt[:2])  # compile
+        posterior.predict_f(Xt)  # compile at the timed shape
         t0 = time.perf_counter()
         posterior.predict_f(Xt)
         row["posterior_prediction_time"] = time.perf_counter() - t0

@@ -236,12 +236,9 @@ class Parameter:
     def ndim(self) -> int:
         return self.value.ndim
 
-    def assign(self, value: TensorData) -> None:
-        """Assigns a new *constrained* value (reference ``base.py:250-280``).
-
-        Validates shape compatibility and rejects NaN/Inf like the reference's
-        ``validate_unconstrained_value`` (``base.py:314-326``).
-        """
+    def _prepare_assign(self, value: TensorData) -> Any:
+        """Validates a constrained value and returns the unconstrained array
+        WITHOUT mutating the parameter (used by atomic ``multiple_assign``)."""
         constrained = _to_array(value, self.dtype)
         # shapes are compared in unconstrained space (transforms like
         # FillTriangular change the shape)
@@ -252,7 +249,15 @@ class Parameter:
                 f"{constrained.shape} to parameter of shape {self.shape}"
             )
         _validate_finite(unconstrained, self.name)
-        self._unconstrained = unconstrained
+        return unconstrained
+
+    def assign(self, value: TensorData) -> None:
+        """Assigns a new *constrained* value (reference ``base.py:250-280``).
+
+        Validates shape compatibility and rejects NaN/Inf like the reference's
+        ``validate_unconstrained_value`` (``base.py:314-326``).
+        """
+        self._unconstrained = self._prepare_assign(value)
 
     def assign_unconstrained(self, value: TensorData) -> None:
         self._unconstrained = _to_array(value, self.dtype)

@@ -112,14 +112,18 @@ class ImageToTensorBoard(ToTensorBoard):
         import matplotlib
 
         matplotlib.use("Agg")
+        # a bare Figure carries FigureCanvasBase, which has no buffer_rgba;
+        # attach the Agg canvas explicitly (matplotlib >= 3.x)
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
         from matplotlib.figure import Figure
 
         fig = Figure(**self.fig_kw)
+        canvas = FigureCanvasAgg(fig)
         if self.subplots_kw:
             axes = fig.subplots(**self.subplots_kw)
         else:
             axes = fig.add_subplot(111)
         self.plotting_function(fig, axes)
-        fig.canvas.draw()
-        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]  # [H, W, 3]
+        canvas.draw()
+        buf = np.asarray(canvas.buffer_rgba())[..., :3]  # [H, W, 3]
         self.file_writer.add_image(self.name, buf, self.current_step, dataformats="HWC")

@@ -71,9 +71,7 @@ def square_distance(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
     Xs = jnp.sum(jnp.square(X), axis=-1)  # [batch..., N]
     X2s = jnp.sum(jnp.square(X2), axis=-1)  # [batch2..., M]
     dist = -2.0 * jnp.tensordot(X, X2, axes=[[-1], [-1]])  # [batch..., N, batch2..., M]
-    dist += Xs.reshape(Xs.shape + (1,) * X2s.ndim) + X2s.reshape(
-        (1,) * Xs.ndim + X2s.shape
-    )
+    dist += broadcasting_elementwise(jnp.add, Xs, X2s)
     return dist
 
 

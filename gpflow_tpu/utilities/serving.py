@@ -36,12 +36,15 @@ __all__ = ["ServedModel", "export_serving", "load_serving"]
 _METADATA_FILE = "serving.json"
 
 
-def _build_method(model: Any, name: str) -> Callable[[Any], Tuple[jax.Array, jax.Array]]:
+def _build_method(
+    model: Any, name: str, posterior: Optional[Any]
+) -> Callable[[Any], Tuple[jax.Array, jax.Array]]:
+    """``posterior`` is the model's precomputed cache, built ONCE by
+    ``export_serving`` and shared across all exported methods."""
     if name in ("predict_f", "predict_y"):
         # serve through the cached posterior where the model offers one:
         # (alpha, Qinv) are precomputed so the call is matmul-only
-        if hasattr(model, "posterior"):
-            posterior = model.posterior()
+        if posterior is not None:
             if name == "predict_f":
                 return lambda X: posterior.predict_f(X)
             likelihood = getattr(model, "likelihood", None)
@@ -56,10 +59,8 @@ def _build_method(model: Any, name: str) -> Callable[[Any], Tuple[jax.Array, jax
         fn = getattr(model, name)
         return lambda X: fn(X)
     if name == "predict_mean":
-        if hasattr(model, "posterior"):
-            posterior = model.posterior()
-            if hasattr(posterior, "predict_mean"):
-                return lambda X: posterior.predict_mean(X)
+        if posterior is not None and hasattr(posterior, "predict_mean"):
+            return lambda X: posterior.predict_mean(X)
         return lambda X: model.predict_f(X)[0]
     raise ValueError(f"Unknown serving method {name!r}")
 
@@ -104,10 +105,11 @@ def export_serving(
     # TPU and its MXU tile padding cannot trace with a symbolic batch)
     prev_pallas = get_pallas_enabled()
     set_pallas_enabled(False)
+    posterior = model.posterior() if hasattr(model, "posterior") else None
     written: Dict[str, str] = {}
     try:
         for name in methods:
-            fn = _build_method(model, name)
+            fn = _build_method(model, name, posterior)
             exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
             fname = os.path.join(path, f"{name}.stablehlo")
             with open(fname, "wb") as f:

@@ -90,12 +90,19 @@ def read_values(m: Module) -> Dict[Path, np.ndarray]:
 
 
 def multiple_assign(m: Module, vars_dict: Mapping[Path, Any]) -> None:
-    """Assigns many parameters by path (reference ``traversal.py:52-62``)."""
+    """Assigns many parameters by path (reference ``traversal.py:52-62``).
+
+    Atomic: every path and value is validated BEFORE the first parameter is
+    mutated, so a bad entry (unknown path, shape mismatch, NaN) leaves the
+    model fully unchanged instead of half-updated."""
     params = parameter_dict(m)
+    prepared = []
     for path, value in vars_dict.items():
         if path not in params:
             raise KeyError(f"No parameter at path {path!r}; available: {sorted(params)}")
-        params[path].assign(value)
+        prepared.append((params[path], params[path]._prepare_assign(value)))
+    for p, unconstrained in prepared:
+        p._unconstrained = unconstrained
 
 
 def select_dict_parameters_with_prior(m: Module) -> Dict[Path, Parameter]:
@@ -169,6 +176,8 @@ def tabulate_module_summary(m: Module, tablefmt: Optional[str] = None) -> str:
 
 def print_summary(m: Module, fmt: Optional[str] = None) -> None:
     """Prints the parameter table (reference ``traversal.py:95-110``)."""
+    if fmt is None:
+        fmt = default_summary_fmt()  # honor set_default_summary_fmt
     if fmt == "notebook":  # pragma: no cover
         from IPython.display import HTML, display
 

@@ -55,3 +55,18 @@ def test_tensorboard_tasks_write_event_files(tmp_path):
         monitor(step)
     files = [f for root, _, fs in os.walk(log_dir) for f in fs]
     assert any("tfevents" in f or "events" in f for f in files), files
+
+
+def test_image_to_tensorboard_runs(tmp_path):
+    """Regression (round-2 review): a bare matplotlib Figure has no Agg
+    canvas attached; ImageToTensorBoard must draw through FigureCanvasAgg."""
+    from gpflow_tpu.monitor import ImageToTensorBoard
+
+    def plot(fig, ax):
+        ax.plot([0.0, 1.0], [0.0, 1.0])
+
+    log_dir = str(tmp_path / "img_logs")
+    task = ImageToTensorBoard(log_dir, plot, "line")
+    Monitor(MonitorTaskGroup([task]))(0)
+    files = [f for root, _, fs in os.walk(log_dir) for f in fs]
+    assert any("tfevents" in f or "events" in f for f in files), files

@@ -123,3 +123,20 @@ def test_multiple_assign_invalid_value_raises():
     after = gpflow_tpu.utilities.read_values(m)
     for k, v in before.items():
         np.testing.assert_array_equal(np.asarray(after[k]), v)
+
+
+def test_multiple_assign_is_atomic_across_keys():
+    """Regression (round-2 review): a failing entry later in the dict must
+    not leave earlier entries already mutated."""
+    m = _model()
+    before = {k: np.asarray(v) for k, v in gpflow_tpu.utilities.read_values(m).items()}
+    good_key = ".kernel.lengthscales"
+    bad_key = ".kernel.variance"
+    assert good_key in before and bad_key in before
+    with pytest.raises(ValueError):
+        gpflow_tpu.utilities.multiple_assign(
+            m, {good_key: np.full_like(before[good_key], 9.0), bad_key: np.nan}
+        )
+    after = gpflow_tpu.utilities.read_values(m)
+    for k, v in before.items():
+        np.testing.assert_array_equal(np.asarray(after[k]), v)
