@@ -123,6 +123,12 @@ class NaturalGradient:
         """
         parameters = [(v[0], v[1], (v[2] if len(v) > 2 else None)) for v in var_list]
         if self.compile:
+            # Semantics of the compiled path: the XLA executable is compiled
+            # once per (loss_fn, parameter set), but every call re-reads the
+            # CURRENT values of all Parameters the closure touches and
+            # re-draws any minibatch (one cheap re-trace per call) — the
+            # alternating natgrad/Adam loop and iterator-backed losses are
+            # both exact. The first call traces twice (discovery + compile).
             self._compiled_step(loss_fn, parameters)
         else:
             self._natgrad_steps(loss_fn, parameters)
