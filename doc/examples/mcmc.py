@@ -35,6 +35,9 @@ def main() -> None:
         num_burnin_steps=BURNIN,
         step_size=0.03,
         num_leapfrog_steps=8,
+        # dual-averaging step-size adaptation during burn-in — the analog of
+        # the reference notebook's tfp.mcmc.SimpleStepSizeAdaptation
+        adapt_step_size=True,
         key=jax.random.PRNGKey(42),
     )
     constrained = helper.convert_to_constrained_values(samples)

@@ -99,16 +99,26 @@ def run_hmc(
     num_leapfrog_steps: int = 10,
     key: Optional[jax.Array] = None,
     thin: int = 1,
+    adapt_step_size: bool = False,
+    target_accept: float = 0.75,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Hamiltonian Monte Carlo over a tuple-state target; the full chain is
     one jit-compiled ``lax.scan``. Returns (stacked samples per state leaf,
-    log probs [num_samples])."""
+    log probs [num_samples]).
+
+    ``adapt_step_size=True`` tunes the step size toward ``target_accept``
+    during burn-in with dual averaging (Hoffman & Gelman 2014, the same
+    role as the reference notebook's ``tfp.mcmc.SimpleStepSizeAdaptation``,
+    ``doc/sphinx/notebooks/advanced/mcmc.pct.py``) and freezes the averaged
+    step for the sampling phase.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
 
     state = tuple(jnp.asarray(s) for s in current_state)
     logp_fn = lambda st: target_log_prob_fn(*st)
     grad_fn = jax.grad(lambda st: logp_fn(st))
+    f_dtype = jnp.asarray(logp_fn(state)).dtype
 
     def leapfrog(q, p, step):
         g = grad_fn(q)
@@ -122,33 +132,62 @@ def run_hmc(
         p = tuple(pi + 0.5 * step * gi for pi, gi in zip(p, g))
         return q, p
 
-    def hmc_step(carry, key_i):
-        q, logp = carry
+    # dual-averaging constants (Hoffman & Gelman 2014, Algorithm 5)
+    da_mu = jnp.log(10.0 * step_size)
+    da_gamma, da_t0, da_kappa = 0.05, 10.0, 0.75
+
+    def hmc_step(carry, inputs):
+        q, logp, log_step, log_step_avg, h_stat = carry
+        key_i, t = inputs  # t: 1-based step index within burn-in, 0 after
         k_mom, k_acc = jax.random.split(key_i)
         keys = jax.random.split(k_mom, len(q))
         p0 = tuple(
             jax.random.normal(k, qi.shape, qi.dtype) for k, qi in zip(keys, q)
         )
-        q_new, p_new = leapfrog(q, p0, jnp.asarray(step_size))
+        step = jnp.exp(log_step)
+        q_new, p_new = leapfrog(q, p0, step)
         logp_new = logp_fn(q_new)
         kinetic0 = sum(0.5 * jnp.sum(jnp.square(pi)) for pi in p0)
         kinetic1 = sum(0.5 * jnp.sum(jnp.square(pi)) for pi in p_new)
         log_accept = (logp_new - kinetic1) - (logp - kinetic0)
+        # a diverged trajectory (NaN energy) must count as rejected
+        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
         accept = jnp.log(jax.random.uniform(k_acc, (), logp.dtype)) < log_accept
         q_out = tuple(jnp.where(accept, qn, qo) for qn, qo in zip(q_new, q))
         logp_out = jnp.where(accept, logp_new, logp)
-        return (q_out, logp_out), (q_out, logp_out)
+
+        if adapt_step_size:
+            accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+            in_burnin = t > 0
+            tf = jnp.maximum(t.astype(f_dtype), 1.0)
+            eta = 1.0 / (tf + da_t0)
+            h_new = (1.0 - eta) * h_stat + eta * (target_accept - accept_prob)
+            log_step_new = da_mu - jnp.sqrt(tf) / da_gamma * h_new
+            w = tf ** (-da_kappa)
+            log_avg_new = w * log_step_new + (1.0 - w) * log_step_avg
+            h_stat = jnp.where(in_burnin, h_new, h_stat)
+            log_step_avg = jnp.where(in_burnin, log_avg_new, log_step_avg)
+            # burn-in: explore with the raw adapted step; after: frozen avg
+            log_step = jnp.where(in_burnin, log_step_new, log_step_avg)
+
+        carry = (q_out, logp_out, log_step, log_step_avg, h_stat)
+        return carry, (q_out, logp_out)
 
     total = num_burnin_steps + num_samples * thin
     keys = jax.random.split(key, total)
-    init = (state, logp_fn(state))
+    # step index: 1..num_burnin during burn-in, 0 afterwards (no adaptation)
+    t_idx = jnp.where(
+        jnp.arange(total) < num_burnin_steps, jnp.arange(total) + 1, 0
+    )
+    log_step0 = jnp.asarray(jnp.log(step_size), f_dtype)
+    init = (state, logp_fn(state), log_step0, log_step0, jnp.asarray(0.0, f_dtype))
 
     @jax.jit
-    def run(init, keys):
-        (_, _), (qs, logps) = jax.lax.scan(hmc_step, init, keys)
+    def run(init, keys, t_idx):
+        _, (qs, logps) = jax.lax.scan(hmc_step, init, (keys, t_idx))
         return qs, logps
 
-    qs, logps = run(init, keys)
+    qs, logps = run(init, keys, t_idx)
     # drop burn-in, apply thinning
     samples = tuple(q[num_burnin_steps::thin] for q in qs)
     return samples, logps[num_burnin_steps::thin]
