@@ -33,6 +33,14 @@ def _prior_kl_default(
     if whiten:
         return gauss_kl(q_mu, q_sqrt, None)
     K = Kuu(inducing_variable, kernel, jitter=default_jitter())  # [L, M, M] or [M, M]
+    if K.ndim == 4:
+        # Fully-correlated path (InducingPoints x MultioutputKernel): Kuu is
+        # [M, P, M, P]; q_mu/q_sqrt are over the row-major-flattened [MP]
+        # vector, so the prior is N(0, Kuu reshaped to [MP, MP]).  The
+        # reference's gauss_kl contract only admits [L, M, M]-broadcastable K
+        # and its tests never hit this case unwhitened; we support it.
+        MP = K.shape[0] * K.shape[1]
+        K = jnp.reshape(K, (MP, MP))
     return gauss_kl(q_mu, q_sqrt, K)
 
 
