@@ -38,6 +38,7 @@ __all__ = [
     "RobustMax",
     "ScalarLikelihood",
     "Softmax",
+    "StudentT",
     "SwitchedLikelihood",
     "inv_probit",
 ]

@@ -23,6 +23,26 @@ def test_module_imports_and_all(module_name):
         assert names == sorted(names), f"{module_name}.__all__ is not sorted"
         for name in names:
             assert hasattr(module, name), f"{module_name}.__all__ lists missing {name!r}"
+        # every public name a package __init__ re-exports from its submodules
+        # must be listed in __all__ (ref tests/gpflow/test_all.py dir() check);
+        # submodules themselves are exempt (unlike the reference we keep
+        # __all__ to classes/functions/constants)
+        import types
+        import typing
+
+        if hasattr(module, "__path__"):
+            for name in dir(module):
+                if name.startswith("_") or name in names:
+                    continue
+                obj = getattr(module, name)
+                if isinstance(obj, (types.ModuleType, typing.TypeVar)):
+                    continue
+                defined_in = getattr(obj, "__module__", None)
+                if defined_in is not None and defined_in.startswith(module_name + "."):
+                    raise AssertionError(
+                        f"{module_name} re-exports {name!r} (defined in {defined_in}) "
+                        "but omits it from __all__"
+                    )
 
 
 def test_top_level_surface():
