@@ -12,7 +12,35 @@ import numpy as np
 from ..config import default_float
 from .base import GaussianQuadrature
 
-__all__ = ["NDiagGHQuadrature", "gh_points_and_weights", "ndgh_points_and_weights"]
+__all__ = [
+    "NDiagGHQuadrature",
+    "gh_points_and_weights",
+    "list_to_flat_grid",
+    "ndgh_points_and_weights",
+    "repeat_as_list",
+    "reshape_Z_dZ",
+]
+
+
+def list_to_flat_grid(xs) -> np.ndarray:
+    """Flatten a list of d rank-1 arrays (lengths N1..Nd) into the
+    [N1*...*Nd, d] grid of all combinations (reference
+    ``gauss_hermite.py:49-60``; same 'xy' meshgrid point ordering)."""
+    return np.reshape(np.stack(np.meshgrid(*xs), axis=-1), (-1, len(xs)))
+
+
+def reshape_Z_dZ(zs, dzs) -> Tuple[np.ndarray, np.ndarray]:
+    """Combine per-dimension points/weights into grid points Z
+    [N_product, d] and product weights dZ [N_product, 1] (reference
+    ``gauss_hermite.py:62-77``)."""
+    Z = list_to_flat_grid(zs)
+    dZ = np.prod(list_to_flat_grid(dzs), axis=-1, keepdims=True)
+    return Z, dZ
+
+
+def repeat_as_list(x, n: int):
+    """List of ``n`` references to ``x`` (reference ``gauss_hermite.py:80-90``)."""
+    return [x for _ in range(n)]
 
 
 def gh_points_and_weights(n_gh: int) -> Tuple[np.ndarray, np.ndarray]:

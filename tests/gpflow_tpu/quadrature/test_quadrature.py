@@ -76,3 +76,34 @@ def test_ndiag_mc_close_to_quadrature():
     r_mc = np.asarray(ndiag_mc(lambda F: F ** 2, 50_000, Fmu, Fvar))
     expected = np.asarray(Fmu) ** 2 + np.asarray(Fvar)
     np.testing.assert_allclose(r_mc, expected, atol=0.05)
+
+
+def test_grid_helpers_match_ndgh():
+    """list_to_flat_grid / repeat_as_list / reshape_Z_dZ (reference
+    gauss_hermite.py:49-90): weights sum to one and the grid integrates
+    polynomials exactly regardless of point ordering."""
+    from gpflow_tpu.quadrature import (
+        gh_points_and_weights,
+        list_to_flat_grid,
+        ndgh_points_and_weights,
+        repeat_as_list,
+        reshape_Z_dZ,
+    )
+
+    z, dz = gh_points_and_weights(6)
+    zs, dzs = repeat_as_list(z, 3), repeat_as_list(dz, 3)
+    assert len(zs) == 3 and zs[0] is z
+    Z, dZ = reshape_Z_dZ(zs, dzs)
+    assert Z.shape == (6 ** 3, 3) and dZ.shape == (6 ** 3, 1)
+    np.testing.assert_allclose(dZ.sum(), 1.0, rtol=1e-12)
+    # same moments as the itertools-product grid used by NDiagGHQuadrature
+    Z2, dZ2 = ndgh_points_and_weights(3, 6)
+    for power in (1, 2, 3, 4):
+        np.testing.assert_allclose(
+            (dZ * Z ** power).sum(axis=0),
+            (dZ2 * Z2 ** power).sum(axis=0),
+            atol=1e-10,
+        )
+    grid = list_to_flat_grid([np.array([0.0, 1.0]), np.array([2.0, 3.0, 4.0])])
+    assert grid.shape == (6, 2)
+    assert {tuple(r) for r in grid} == {(a, b) for a in (0.0, 1.0) for b in (2.0, 3.0, 4.0)}
