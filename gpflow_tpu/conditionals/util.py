@@ -490,14 +490,14 @@ def mix_latent_gp(
 
 
 @check_shapes(
-    "Kmns: [P, M, N]",
+    "Kmns: [P, M, batch..., N]",
     "Kmms: [P, M, M]",
-    "Knns: [P, N, N] if full_cov",
-    "Knns: [P, N] if not full_cov",
+    "Knns: [P, batch..., N, N] if full_cov",
+    "Knns: [P, batch..., N] if not full_cov",
     "f: [M, P]",
-    "return[0]: [N, P]",
-    "return[1]: [P, N, N] if full_cov",
-    "return[1]: [N, P] if not full_cov",
+    "return[0]: [batch..., N, P]",
+    "return[1]: [P, batch..., N, N] if full_cov",
+    "return[1]: [batch..., N, P] if not full_cov",
 )
 def separate_independent_conditional_implementation(
     Kmns: jax.Array,
@@ -536,10 +536,12 @@ def separate_independent_conditional_implementation(
 
         rmu, rvar = jax.vmap(single_nq)(Kmms, Kmns, Knns, fs)
 
-    # rmu: [P, N, 1]; rvar: [P, 1, N, N] or [P, N, 1]
-    fmu = jnp.transpose(jnp.squeeze(rmu, axis=-1))  # [N, P]
+    # rmu: [P, batch..., N, 1]; rvar: [P, batch..., 1, N, N] or [P, batch..., N, 1]
+    # move the vmapped P axis last (NOT a full jnp.transpose, which would
+    # reverse any leading batch dims of Xnew along with it)
+    fmu = jnp.moveaxis(jnp.squeeze(rmu, axis=-1), 0, -1)  # [batch..., N, P]
     if full_cov:
-        fvar = jnp.squeeze(rvar, axis=-3)  # [P, N, N]
+        fvar = jnp.squeeze(rvar, axis=-3)  # [P, batch..., N, N]
     else:
-        fvar = jnp.transpose(jnp.squeeze(rvar, axis=-1))  # [N, P]
+        fvar = jnp.moveaxis(jnp.squeeze(rvar, axis=-1), 0, -1)  # [batch..., N, P]
     return fmu, fvar

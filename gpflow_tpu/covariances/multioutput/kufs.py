@@ -47,7 +47,7 @@ def Kuf_generic(
 
 
 @Kuf.register(SharedIndependentInducingVariables, SharedIndependent, object)
-@check_shapes("Xnew: [N, D]", "return: [M, N]")
+@check_shapes("Xnew: [batch..., N, D]", "return: [M, batch..., N]")
 def Kuf_shared_shared(
     inducing_variable: SharedIndependentInducingVariables,
     kernel: SharedIndependent,
@@ -58,7 +58,7 @@ def Kuf_shared_shared(
 
 
 @Kuf.register(SeparateIndependentInducingVariables, SharedIndependent, object)
-@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
+@check_shapes("Xnew: [batch..., N, D]", "return: [L, M, batch..., N]")
 def Kuf_separate_shared(
     inducing_variable: SeparateIndependentInducingVariables,
     kernel: SharedIndependent,
@@ -71,7 +71,7 @@ def Kuf_separate_shared(
 
 
 @Kuf.register(SharedIndependentInducingVariables, SeparateIndependent, object)
-@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
+@check_shapes("Xnew: [batch..., N, D]", "return: [L, M, batch..., N]")
 def Kuf_shared_separate(
     inducing_variable: SharedIndependentInducingVariables,
     kernel: SeparateIndependent,
@@ -84,7 +84,7 @@ def Kuf_shared_separate(
 
 
 @Kuf.register(SeparateIndependentInducingVariables, SeparateIndependent, object)
-@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
+@check_shapes("Xnew: [batch..., N, D]", "return: [L, M, batch..., N]")
 def Kuf_separate_separate(
     inducing_variable: SeparateIndependentInducingVariables,
     kernel: SeparateIndependent,
@@ -140,7 +140,7 @@ def Kuf_fallback_shared_linear_coregionalization(
 
 
 @Kuf.register(SharedIndependentInducingVariables, LinearCoregionalization, object)
-@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
+@check_shapes("Xnew: [batch..., N, D]", "return: [L, M, batch..., N]")
 def Kuf_shared_linear_coregionalization(
     inducing_variable: SharedIndependentInducingVariables,
     kernel: LinearCoregionalization,
@@ -153,7 +153,7 @@ def Kuf_shared_linear_coregionalization(
 
 
 @Kuf.register(SeparateIndependentInducingVariables, LinearCoregionalization, object)
-@check_shapes("Xnew: [N, D]", "return: [L, M, N]")
+@check_shapes("Xnew: [batch..., N, D]", "return: [L, M, batch..., N]")
 def Kuf_separate_linear_coregionalization(
     inducing_variable: SeparateIndependentInducingVariables,
     kernel: LinearCoregionalization,
