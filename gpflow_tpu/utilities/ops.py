@@ -76,11 +76,19 @@ def square_distance(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
 
 
 def difference_matrix(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
-    """Pairwise difference X[..., n, :] - X2[..., m, :]
-    (reference ``ops.py:131-150``): [..., N, D] x [..., M, D] -> [..., N, M, D]."""
+    """Pairwise difference X[..., n, :] - X2[..., m, :] (reference
+    ``ops.py:131-150``): [batch..., N, D] x [batch2..., M, D] ->
+    [batch..., N, batch2..., M, D]. Like ``square_distance``, independent
+    leading batch dims of X and X2 CROSS (the reference flattens both to
+    2-D and reshapes); with X2=None the result is [batch..., N, N, D]."""
     if X2 is None:
-        X2 = X
-    return X[..., :, None, :] - X2[..., None, :, :]
+        return X[..., :, None, :] - X[..., None, :, :]
+    Xshape = jnp.shape(X)
+    X2shape = jnp.shape(X2)
+    Xf = jnp.reshape(X, (-1, Xshape[-1]))
+    X2f = jnp.reshape(X2, (-1, X2shape[-1]))
+    diff = Xf[:, None, :] - X2f[None, :, :]
+    return jnp.reshape(diff, Xshape[:-1] + X2shape[:-1] + (Xshape[-1],))
 
 
 def pca_reduce(X: jax.Array, latent_dim: int) -> jax.Array:
