@@ -1,0 +1,200 @@
+"""Unit tests for the benchmark harness (reference
+``tests/benchmark/test_benchmark_api.py``, ``test_tag.py``,
+``test_metadata.py``): registry semantics, tag-driven task filtering,
+dataset determinism, model factories, sharding edge cases, metadata, and
+error-row handling in the isolated runner."""
+import numpy as np
+import pytest
+
+from benchmark.benchmarks import SUITES, BenchmarkSet, Task, get_suite
+from benchmark.datasets import DATASETS, get_dataset
+from benchmark.metrics import METRICS, MetricOrientation
+from benchmark.models import MODELS, create_model
+from benchmark.registry import Registry
+from benchmark.sharding import shard_tasks
+
+
+# ------------------------- Registry -------------------------
+
+
+def test_registry_register_get_names():
+    r: Registry = Registry("thing")
+    r.register("a", 1, tags=["x"])
+    r.register("b", 2, tags=["x", "y"])
+    r.register("c", 3)
+    assert r.get("b") == 2
+    assert r.names() == ["a", "b", "c"]
+    assert r.names("x") == ["a", "b"]
+    assert r.names("y") == ["b"]
+    assert r.names("z") == []
+    assert r.tags_of("b") == {"x", "y"}
+
+
+def test_registry_duplicate_rejected():
+    r: Registry = Registry("thing")
+    r.register("a", 1)
+    with pytest.raises(ValueError, match="already registered"):
+        r.register("a", 2)
+
+
+def test_registry_unknown_name_lists_known():
+    r: Registry = Registry("thing")
+    r.register("alpha", 1)
+    with pytest.raises(KeyError, match="alpha"):
+        r.get("beta")
+
+
+# ------------------------- Suites / task filtering -------------------------
+
+
+def test_known_suites():
+    assert {"integration_test", "ci", "full"} <= set(SUITES.names())
+    assert get_suite("ci").maxiter == 100
+    with pytest.raises(KeyError):
+        get_suite("nope")
+
+
+def test_large_datasets_exclude_dense_models():
+    """N^3 models (gpr, vgp) must be filtered from LARGE datasets
+    (reference tag compatibility, ``benchmark_api.py:192-219``)."""
+    suite = BenchmarkSet(
+        "t", datasets=["synth_large"], models=["gpr", "vgp", "sgpr", "svgp"],
+        repetitions=1, maxiter=1,
+    )
+    models = {t.model for t in suite.get_tasks()}
+    assert models == {"sgpr", "svgp"}
+
+
+def test_classification_datasets_require_classification_models():
+    suite = BenchmarkSet(
+        "t", datasets=["banana"], models=["gpr", "vgp", "sgpr", "svgp"],
+        repetitions=1, maxiter=1,
+    )
+    models = {t.model for t in suite.get_tasks()}
+    assert models == {"vgp", "svgp"}
+
+
+def test_full_suite_covers_whole_grid_minus_exclusions():
+    tasks = get_suite("full").get_tasks()
+    pairs = {(t.dataset, t.model) for t in tasks}
+    assert len(pairs) == len(tasks)  # no duplicates
+    assert ("synth_large", "gpr") not in pairs
+    assert ("banana", "gpr") not in pairs
+    assert ("synth_large", "svgp") in pairs
+    assert ("tiny_linear", "gpr") in pairs
+
+
+# ------------------------- Datasets -------------------------
+
+
+@pytest.mark.parametrize("name", ["tiny_linear", "tiny_sine", "synth_medium", "banana"])
+def test_dataset_shapes_and_determinism(name):
+    ds1 = get_dataset(name)
+    ds2 = get_dataset(name)
+    (X, Y), (Xt, Yt) = ds1.train, ds1.test
+    assert X.ndim == 2 and Y.ndim == 2 and Y.shape[1] == 1
+    assert X.shape[0] == Y.shape[0] and Xt.shape[0] == Yt.shape[0]
+    assert Xt.shape[1] == X.shape[1]
+    np.testing.assert_array_equal(X, ds2.train[0])  # seeded generators
+    if "classification" in DATASETS.tags_of(name):
+        assert set(np.unique(Y)) <= {0.0, 1.0}
+
+
+def test_dataset_split_no_overlap():
+    ds = get_dataset("synth_medium")
+    n_train = len(ds.train[0])
+    n_test = len(ds.test[0])
+    assert n_test == pytest.approx(0.2 * (n_train + n_test), rel=0.05)
+
+
+# ------------------------- Model factories -------------------------
+
+
+def test_model_factories_regression():
+    import gpflow_tpu
+
+    data = get_dataset("tiny_sine").train
+    assert isinstance(create_model("gpr", data), gpflow_tpu.models.GPR)
+    sgpr = create_model("sgpr", data)
+    assert isinstance(sgpr, gpflow_tpu.models.SGPR)
+    # inducing points come from the data, capped at min(100, N)
+    assert sgpr.inducing_variable.num_inducing == min(100, len(data[0]))
+    svgp = create_model("svgp", data)
+    assert isinstance(svgp.likelihood, gpflow_tpu.likelihoods.Gaussian)
+    assert svgp.num_data == len(data[0])
+
+
+def test_model_factories_classification_pick_bernoulli():
+    import gpflow_tpu
+
+    data = get_dataset("banana").train
+    vgp = create_model("vgp", data)
+    svgp = create_model("svgp", data)
+    assert isinstance(vgp.likelihood, gpflow_tpu.likelihoods.Bernoulli)
+    assert isinstance(svgp.likelihood, gpflow_tpu.likelihoods.Bernoulli)
+
+
+# ------------------------- Metrics -------------------------
+
+
+def test_metric_definitions():
+    names = [m.name for m in METRICS]
+    assert len(names) == len(set(names))
+    for required in (
+        "training_time", "training_iteration_time", "prediction_time",
+        "nlpd", "mae", "rmse", "posterior_build_time", "posterior_prediction_time",
+    ):
+        assert required in names
+    assert all(m.orientation is MetricOrientation.LOWER_IS_BETTER for m in METRICS)
+    time_units = {m.name: m.unit for m in METRICS}
+    assert time_units["training_time"] == "s"
+    assert time_units["nlpd"] is None
+
+
+# ------------------------- Sharding -------------------------
+
+
+def test_sharding_partitions_exactly():
+    tasks = [Task("d", f"m{i}", 1, 1) for i in range(10)]
+    shards = [shard_tasks(tasks, i, 3) for i in range(3)]
+    assert sorted(sum(shards, [])) == sorted(tasks)
+    assert [len(s) for s in shards] == [4, 3, 3]
+
+
+def test_sharding_bad_index():
+    with pytest.raises(ValueError):
+        shard_tasks([1, 2, 3], 3, 3)
+    with pytest.raises(ValueError):
+        shard_tasks([1, 2, 3], -1, 3)
+
+
+def test_sharding_more_shards_than_tasks():
+    assert shard_tasks([1], 0, 4) == [1]
+    assert shard_tasks([1], 3, 4) == []
+
+
+# ------------------------- Runner robustness -------------------------
+
+
+def test_isolated_runner_records_error_row(monkeypatch):
+    """A crashing child becomes a status=error row with the stderr tail —
+    the suite must not raise (reference A.3 isolation)."""
+    from benchmark.run import _run_task_isolated
+
+    task = Task("tiny_linear", "does_not_exist", 1, 1)
+    # index 999 is out of range in the child -> child exits non-zero
+    row = _run_task_isolated("integration_test", task, 999, 0, timeout=240.0)
+    assert row["status"] == "error"
+    assert row["dataset"] == "tiny_linear"
+    assert row["error"]  # stderr tail captured
+
+
+def test_metadata_contents():
+    from benchmark.run import _gather_metadata
+
+    md = _gather_metadata("ci", 12)
+    assert md["suite"] == "ci"
+    assert md["num_tasks"] == 12
+    assert md["cpu_count"] >= 1
+    assert "jax_version" in md and "devices" in md and md["devices"]
+    assert "git_rev" in md and len(md["git_rev"]) == 40
