@@ -82,3 +82,69 @@ def test_analytic_mean_and_var_against_moment_formula():
     np.testing.assert_allclose(mu, F_MU, atol=2e-3)
     expected_var = F_VAR + np.exp(2 * mu_g + 2 * var_g)
     np.testing.assert_allclose(var, expected_var, rtol=3e-2)
+
+
+# ---- StudentT-distribution variant (reference
+# ``test_heteroskedastic_constant_variance.py:54-141``) ----
+
+G_VAR = 0.345
+F2S_MU = np.concatenate([F_MU, np.full((N, 1), 0.5 * np.log(G_VAR))], axis=1)
+F2S_VAR = np.concatenate([F_VAR, np.zeros((N, 1))], axis=1)
+
+
+@pytest.fixture
+def het_t():
+    from gpflow_tpu.likelihoods.multilatent import StudentTDistribution
+
+    return likelihoods.HeteroskedasticTFPConditional(
+        distribution_class=StudentTDistribution
+    )
+
+
+@pytest.fixture
+def homo_t():
+    return likelihoods.StudentT(scale=G_VAR ** 0.5, df=3.0)
+
+
+def test_studentt_log_prob(het_t, homo_t):
+    np.testing.assert_allclose(
+        np.asarray(het_t.log_prob(X, F2S_MU, Y)),
+        np.asarray(homo_t.log_prob(X, F_MU, Y)),
+        rtol=1e-6,
+    )
+
+
+def test_studentt_conditional_moments(het_t, homo_t):
+    np.testing.assert_allclose(
+        np.asarray(het_t.conditional_mean(X, F2S_MU)),
+        np.asarray(homo_t.conditional_mean(X, F_MU)),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(het_t.conditional_variance(X, F2S_MU)),
+        np.asarray(homo_t.conditional_variance(X, F_MU)),
+        rtol=1e-6,
+    )
+
+
+def test_studentt_variational_expectations(het_t, homo_t):
+    np.testing.assert_allclose(
+        np.asarray(het_t.variational_expectations(X, F2S_MU, F2S_VAR, Y)),
+        np.asarray(homo_t.variational_expectations(X, F_MU, F_VAR, Y)),
+        atol=4e-3,  # reference sees ~3.4e-3 between the two quadrature layouts
+    )
+
+
+def test_studentt_predict_mean_and_var(het_t, homo_t):
+    mu_h, var_h = (np.asarray(a) for a in het_t.predict_mean_and_var(X, F2S_MU, F2S_VAR))
+    mu_g, var_g = (np.asarray(a) for a in homo_t.predict_mean_and_var(X, F_MU, F_VAR))
+    np.testing.assert_allclose(mu_h, mu_g, atol=1e-6)
+    np.testing.assert_allclose(var_h, var_g, rtol=1e-6)
+
+
+def test_studentt_predict_log_density(het_t, homo_t):
+    np.testing.assert_allclose(
+        np.asarray(het_t.predict_log_density(X, F2S_MU, F2S_VAR, Y)),
+        np.asarray(homo_t.predict_log_density(X, F_MU, F_VAR, Y)),
+        atol=3e-2,  # reference sees ~2.5e-2 between quadrature layouts
+    )
