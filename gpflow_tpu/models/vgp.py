@@ -146,8 +146,11 @@ def update_vgp_data(vgp: VGP_deprecated, new_data: RegressionData) -> None:
     jitter_mat = default_jitter() * jnp.eye(new_num_data, dtype=Knn.dtype)
     Lnn = jnp.linalg.cholesky(Knn + jitter_mat)
     new_q_mu = solve_triangular(Lnn, f_mu, lower=True)
-    tmp = solve_triangular(Lnn[None], f_cov, lower=True)  # L^-1 f_cov
-    S_v = solve_triangular(Lnn[None], jnp.swapaxes(tmp, -1, -2), lower=True)
+    # materialize the latent batch dim: triangular_solve requires matching
+    # batch sizes (no [1,N,N] vs [L,N,N] broadcast)
+    Lnn_b = jnp.broadcast_to(Lnn[None], f_cov.shape)
+    tmp = solve_triangular(Lnn_b, f_cov, lower=True)  # L^-1 f_cov
+    S_v = solve_triangular(Lnn_b, jnp.swapaxes(tmp, -1, -2), lower=True)
     new_q_sqrt = jnp.linalg.cholesky(S_v + jitter_mat)
 
     vgp.data = (new_X_data, new_Y_data)
