@@ -24,6 +24,7 @@ import scipy.optimize
 
 from ..base import Parameter
 from ..bijectors import TriangularMask
+from ..monitor import Monitor
 
 __all__ = ["Scipy"]
 
@@ -126,6 +127,7 @@ class Scipy:
         step_callback: Optional[StepCallback] = None,
         compile: bool = True,
         allow_unused_variables: bool = False,
+        track_loss_history: bool = False,
         **scipy_kwargs: Any,
     ) -> "scipy.optimize.OptimizeResult":
         """Minimizes ``closure()`` w.r.t. ``variables``
@@ -135,10 +137,19 @@ class Scipy:
             ``variables`` (e.g. ``model.training_loss``).
         :param variables: Parameters to optimize (``model.trainable_variables``).
         :param method: scipy method, default "L-BFGS-B".
-        :param step_callback: called as (step, variables, values) each iteration.
+        :param step_callback: called once per optimizer *iteration* (not per
+            function evaluation) as ``(step, variables, values)`` where
+            ``values`` are the current unconstrained arrays; a ``Monitor``
+            instance is called as ``monitor(step)`` (reference
+            ``scipy.py:256-273``).
         :param compile: jit-compile the loss-and-gradient evaluation.
+        :param track_loss_history: record the loss at each iteration and
+            return it as ``result.loss_history`` (reference
+            ``scipy.py:154-164,276-290``). Costs one extra (jitted)
+            loss-and-gradient evaluation per iteration, as in the reference.
         :param scipy_kwargs: forwarded to scipy.optimize.minimize (e.g.
-            options={"maxiter": 1000}).
+            options={"maxiter": 1000}). Prefer ``step_callback`` over
+            scipy's raw ``callback``.
         """
         if not callable(closure):
             raise TypeError("The 'closure' argument is expected to be a callable object.")
@@ -157,12 +168,24 @@ class Scipy:
             codec,
             compile=compile,
             allow_unused_variables=allow_unused_variables,
-            step_callback=step_callback,
         )
+
+        if step_callback is not None:
+            if "callback" in scipy_kwargs:
+                raise ValueError("Callback passed both via `step_callback` and `callback`")
+            scipy_kwargs["callback"] = self.callback_func(variables, step_callback, codec)
+        history: List[np.ndarray] = []
+        if track_loss_history:
+            scipy_kwargs["callback"] = self.loss_history_callback_func(
+                func, history, scipy_kwargs.get("callback")
+            )
 
         result = scipy.optimize.minimize(
             func, initial_params, jac=True, method=method, **scipy_kwargs
         )
+
+        if track_loss_history:
+            result["loss_history"] = history
         # assign the optimum back into the parameters
         for v, val in zip(variables, codec.decode(np.asarray(result.x))):
             v.assign_unconstrained(jnp.asarray(val, dtype=v.dtype))
@@ -180,7 +203,6 @@ class Scipy:
         codec: Optional[_ParameterCodec] = None,
         compile: bool = True,
         allow_unused_variables: bool = False,
-        step_callback: Optional[StepCallback] = None,
     ) -> Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]]:
         if codec is None:
             codec = _ParameterCodec(variables)
@@ -221,8 +243,6 @@ class Scipy:
                     "allow_unused_variables=True to proceed anyway."
                 )
 
-        step = [0]
-
         def _eval(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
             unconstrained = tuple(
                 jnp.asarray(u, dtype=d)
@@ -230,13 +250,51 @@ class Scipy:
             )
             loss, grads = value_and_grad(unconstrained)
             grad_arrays = [np.asarray(g, dtype=np.float64) for g in grads]
-            if step_callback is not None:
-                values = [np.asarray(u) for u in unconstrained]
-                step_callback(step[0], variables, values)
-            step[0] += 1
             return np.asarray(loss, dtype=np.float64), codec.encode(grad_arrays)
 
         return _eval
+
+    @staticmethod
+    def callback_func(
+        variables: Sequence[Parameter],
+        step_callback: StepCallback,
+        codec: Optional[_ParameterCodec] = None,
+    ) -> Callable[..., None]:
+        """Adapts a ``step_callback`` to scipy's per-iteration ``callback``
+        (reference ``scipy.py:256-273``): counts iterations, decodes the flat
+        vector back into per-parameter unconstrained arrays, and calls a
+        ``Monitor`` with just the step index."""
+        if codec is None:
+            codec = _ParameterCodec(variables)
+        step = [0]
+
+        def _callback(x: Any, *_args: Any) -> None:
+            xvec = np.asarray(getattr(x, "x", x))  # scipy may pass OptimizeResult
+            if isinstance(step_callback, Monitor):
+                step_callback(step[0])
+            else:
+                step_callback(step[0], variables, codec.decode(xvec))
+            step[0] += 1
+
+        return _callback
+
+    @staticmethod
+    def loss_history_callback_func(
+        minimize_func: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
+        history: List[np.ndarray],
+        callback: Optional[Callable[..., None]] = None,
+    ) -> Callable[..., None]:
+        """Per-iteration loss recording, chained after an existing callback
+        (reference ``scipy.py:276-290``). Re-evaluates the jitted
+        loss-and-gradient at the iterate, exactly as the reference does."""
+
+        def _callback(x: Any, *_args: Any) -> None:
+            if callback is not None:
+                callback(x)
+            xvec = np.asarray(getattr(x, "x", x))
+            history.append(minimize_func(xvec)[0])
+
+        return _callback
 
     @staticmethod
     def pack_tensors(tensors: Sequence[Any]) -> np.ndarray:

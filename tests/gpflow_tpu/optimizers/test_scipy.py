@@ -44,11 +44,62 @@ def test_step_callback_sees_every_iteration():
         options={"maxiter": 10},
     )
     assert steps == list(range(len(steps)))
-    assert len(steps) >= res.nit  # >= because function evals > iterations
+    # per-ITERATION semantics (reference scipy.py:256-273): the callback rides
+    # scipy's `callback`, called once per iteration, not per function eval
+    assert len(steps) == res.nit
     # values must change over the optimization
     assert not all(
         np.allclose(a, b) for a, b in zip(values_log[0], values_log[-1])
     )
+
+
+def test_track_loss_history():
+    m = _model()
+    res = Scipy().minimize(
+        m.training_loss, m.trainable_variables, track_loss_history=True,
+        options={"maxiter": 25},
+    )
+    hist = res["loss_history"]
+    assert len(hist) == res.nit
+    # monotone-ish decrease: the last recorded loss is the best and matches
+    # the converged objective
+    assert float(hist[-1]) <= float(hist[0])
+    np.testing.assert_allclose(float(hist[-1]), float(res.fun), rtol=1e-8)
+
+
+def test_track_loss_history_chains_with_step_callback():
+    m = _model()
+    steps = []
+    res = Scipy().minimize(
+        m.training_loss, m.trainable_variables,
+        step_callback=lambda s, v, vals: steps.append(s),
+        track_loss_history=True,
+        options={"maxiter": 10},
+    )
+    assert len(steps) == len(res["loss_history"]) == res.nit
+
+
+def test_monitor_as_step_callback():
+    from gpflow_tpu.monitor import ExecuteCallback, Monitor, MonitorTaskGroup
+
+    m = _model()
+    seen = []
+    monitor = Monitor(MonitorTaskGroup(ExecuteCallback(lambda: seen.append(1)), period=1))
+    res = Scipy().minimize(
+        m.training_loss, m.trainable_variables, step_callback=monitor,
+        options={"maxiter": 10},
+    )
+    assert len(seen) == res.nit
+
+
+def test_step_callback_and_raw_callback_conflict():
+    m = _model()
+    with pytest.raises(ValueError, match="Callback passed both"):
+        Scipy().minimize(
+            m.training_loss, m.trainable_variables,
+            step_callback=lambda s, v, vals: None,
+            callback=lambda x: None,
+        )
 
 
 @pytest.mark.parametrize("compile_", [True, False])
