@@ -164,16 +164,28 @@ class Parameter:
         *,
         transform: Optional[Bijector] = None,
         prior: Optional[Prior] = None,
-        prior_on: Union[str, PriorOn] = PriorOn.CONSTRAINED,
-        trainable: bool = True,
+        prior_on: Optional[Union[str, PriorOn]] = None,
+        trainable: Optional[bool] = None,
         dtype: Any = None,
         name: Optional[str] = None,
         unconstrained_value: Optional[TensorData] = None,
+        unconstrained_shape: Optional[Sequence[Optional[int]]] = None,
+        constrained_shape: Optional[Sequence[Optional[int]]] = None,
+        shape: Optional[Sequence[Optional[int]]] = None,
     ) -> None:
+        if isinstance(value, Parameter):
+            # copy-construction inherits the source's metadata unless
+            # overridden (reference ``base.py:155-166``)
+            transform = transform if transform is not None else value.transform
+            prior = prior if prior is not None else value.prior
+            prior_on = prior_on if prior_on is not None else value.prior_on
+            trainable = value.trainable if trainable is None else trainable
+            name = name if name is not None else value.name
+            value = value.value
         self._transform: Bijector = transform if transform is not None else Identity()
         self.prior: Optional[Prior] = prior
-        self.prior_on = prior_on  # property setter normalizes
-        self.trainable: bool = bool(trainable)
+        self.prior_on = prior_on if prior_on is not None else PriorOn.CONSTRAINED
+        self.trainable: bool = True if trainable is None else bool(trainable)
         self.name: str = name or "parameter"
         if unconstrained_value is not None:
             self._unconstrained = _to_array(unconstrained_value, dtype)
@@ -185,6 +197,22 @@ class Parameter:
             # variance below the transform's lower bound)
             _validate_finite(unconstrained, self.name)
             self._unconstrained = unconstrained
+        # Declarative shape contracts (reference ``base.py:129-148,177-193``).
+        # JAX shapes are static, so the declarations validate rather than
+        # defer: each non-None entry must match the actual dim.
+        if shape is not None:
+            assert unconstrained_shape is None, "Cannot set both `shape` and `unconstrained_shape`."
+            assert constrained_shape is None, "Cannot set both `shape` and `constrained_shape`."
+            unconstrained_shape = shape
+            constrained_shape = shape
+        _validate_declared_shape(
+            tuple(np.shape(self._unconstrained)), unconstrained_shape, self.name, "unconstrained"
+        )
+        if constrained_shape is not None and constrained_shape is not unconstrained_shape:
+            constrained_now = _apply(self._transform, self._unconstrained, "forward")
+            _validate_declared_shape(
+                tuple(np.shape(constrained_now)), constrained_shape, self.name, "constrained"
+            )
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self) -> Tuple[Tuple[jax.Array], Tuple[Any, ...]]:
@@ -355,6 +383,28 @@ class Parameter:
         return self.value >= o
 
     __hash__ = object.__hash__
+
+
+def _validate_declared_shape(
+    actual: Tuple[int, ...],
+    declared: Optional[Sequence[Optional[int]]],
+    name: str,
+    kind: str,
+) -> None:
+    """Checks an actual shape against a declared one where ``None`` entries
+    match any dim (reference ``base.py:129-148`` shape declarations; static
+    JAX shapes make this a constructor-time validation)."""
+    if declared is None:
+        return
+    declared = tuple(declared)
+    ok = len(declared) == len(actual) and all(
+        d is None or int(d) == a for d, a in zip(declared, actual)
+    )
+    if not ok:
+        raise ValueError(
+            f"Parameter {name!r}: declared {kind} shape {declared} does not "
+            f"match actual shape {actual}."
+        )
 
 
 def _validate_finite(value: Any, name: str) -> None:

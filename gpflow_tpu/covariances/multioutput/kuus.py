@@ -23,6 +23,7 @@ from ...utilities.shapes import check_shapes
 from ..dispatch import Kuu
 
 __all__ = [
+    "Kuu_fallbace_separate",
     "Kuu_fallback_separate",
     "Kuu_fallback_separate_shared",
     "Kuu_fallback_shared",
@@ -114,6 +115,9 @@ def _kuu_fallback_separate(
 
 
 Kuu_fallback_separate = _kuu_fallback_separate
+# the reference exports this registration under a typo'd name
+# (``mo/kuus.py:98`` "Kuu_fallbace_separate"); kept as an import-level alias
+Kuu_fallbace_separate = _kuu_fallback_separate
 Kuu.add((FallbackSeparateIndependentInducingVariables, SeparateIndependent), _kuu_fallback_separate)
 Kuu.add(
     (FallbackSeparateIndependentInducingVariables, LinearCoregionalization),

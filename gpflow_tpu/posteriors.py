@@ -67,6 +67,7 @@ __all__ = [
     "VGPPosterior",
     "create_posterior",
     "get_posterior_class",
+    "get_precomputed_value_shape",
 ]
 
 
@@ -118,6 +119,15 @@ class PrecomputedValue:
     axis_dynamic: Tuple[bool, ...]
 
     @staticmethod
+    def shape_of(value: "PrecomputedValue"):
+        """Shape with dynamic axes reported as unknown (``None``), as in the
+        reference's ``get_precomputed_value_shape`` (``posteriors.py:172-177``)."""
+        return tuple(
+            None if dyn else int(s)
+            for s, dyn in zip(jnp.shape(value.value), value.axis_dynamic)
+        )
+
+    @staticmethod
     def wrap_alpha_Qinv(alpha: TensorType, Qinv: TensorType) -> Tuple["PrecomputedValue", ...]:
         alpha_dynamic = (False,) * jnp.ndim(alpha)
         Qinv_dynamic = (False,) * jnp.ndim(Qinv)
@@ -125,6 +135,16 @@ class PrecomputedValue:
             PrecomputedValue(alpha, alpha_dynamic),
             PrecomputedValue(Qinv, Qinv_dynamic),
         )
+
+
+from .utilities.shapes import register_get_shape  # noqa: E402
+
+
+@register_get_shape(PrecomputedValue)
+def get_precomputed_value_shape(shaped: PrecomputedValue):
+    """Shape extractor for the shape-contract system (reference
+    ``posteriors.py:172-177``): dynamic axes report as unknown."""
+    return PrecomputedValue.shape_of(shaped)
 
 
 def _validate_precompute_cache_type(

@@ -6,11 +6,22 @@ import jax
 
 from .base import Module, TensorType
 
-__all__ = ["DiagonalGaussian", "Gaussian", "MarkovGaussian", "ProbabilityDistribution"]
+__all__ = [
+    "DiagonalGaussian",
+    "Gaussian",
+    "MarkovGaussian",
+    "ProbabilityDistribution",
+    "get_probability_distribution_shape",
+]
 
 
 class ProbabilityDistribution(Module):
-    """Base container for an input distribution over X."""
+    """Base container for an input distribution over X.
+
+    Subclasses expose ``.shape`` ([N, D]-style, reference
+    ``probability_distributions.py:32-42``), consumed by the shape-contract
+    system via :func:`get_probability_distribution_shape`.
+    """
 
 
 class Gaussian(ProbabilityDistribution):
@@ -35,6 +46,16 @@ class DiagonalGaussian(ProbabilityDistribution):
     @property
     def shape(self):
         return self.mu.shape
+
+
+from .utilities.shapes import register_get_shape  # noqa: E402  (avoids cycle at class defs)
+
+
+@register_get_shape(ProbabilityDistribution)
+def get_probability_distribution_shape(shaped: ProbabilityDistribution):
+    """Shape extractor for the shape-contract system (reference
+    ``probability_distributions.py:45-49``)."""
+    return tuple(shaped.shape)
 
 
 class MarkovGaussian(ProbabilityDistribution):

@@ -96,6 +96,13 @@ class Dispatcher:
     def dispatch_or_raise(self, *types: Type[Any]) -> Callable[..., Any]:
         return self.registered_fn(*types)
 
+    def get_first_occurrence(self, *types: Type[Any]) -> Optional[Callable[..., Any]]:
+        """First matching implementation by specificity order, or ``None``
+        (reference ``multipledispatch.py:66-85``; there it walks the
+        ``ordering`` list — here the same best-match lookup backs it, so
+        both return the implementation ``__call__`` would pick)."""
+        return self.dispatch(*types)
+
     @property
     def n_args(self) -> int:
         return len(next(iter(self.funcs))) if self.funcs else 0

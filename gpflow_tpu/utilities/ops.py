@@ -32,11 +32,16 @@ def eye(num: int, value: jax.Array | float = 1.0, dtype: Optional[type] = None) 
     return jnp.asarray(value, dtype) * jnp.eye(num, dtype=dtype)
 
 
-def leading_transpose(tensor: jax.Array, perm: Sequence[int]) -> jax.Array:
+def leading_transpose(tensor: jax.Array, perm: Sequence[int], leading_dim: int = 0) -> jax.Array:
     """Transposes tensors with leading dims left unchanged
     (reference ``ops.py:37-79``). ``perm`` uses ``...`` for leading dims and
     negative indices counted from the end, e.g. ``perm=[..., -1, -2]``.
+
+    ``leading_dim`` is accepted for signature parity; in the reference it is
+    substituted for the ellipsis entry and then discarded by the final concat
+    (``ops.py:72-78``), so it never affects the result there either.
     """
+    del leading_dim
     perm = list(perm)
     idx = perm.index(...)
     rank = tensor.ndim

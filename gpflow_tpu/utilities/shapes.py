@@ -37,6 +37,7 @@ __all__ = [
     "check_shapes",
     "get_enable_check_shapes",
     "inherit_check_shapes",
+    "register_get_shape",
     "set_enable_check_shapes",
 ]
 
@@ -142,7 +143,30 @@ def _match(
             )
 
 
+_get_shape_registry: Dict[type, Callable[[Any], Any]] = {}
+
+
+def register_get_shape(tp: type) -> Callable[[Callable[[Any], Any]], Callable[[Any], Any]]:
+    """Registers a custom shape extractor for instances of ``tp`` (the
+    analog of the reference package's ``register_get_shape``, used e.g. at
+    reference ``posteriors.py:172`` and ``probability_distributions.py:45``).
+    The decorated function takes the value and returns its shape tuple
+    (entries may be ``None`` for unknown dims, which skips the check)."""
+
+    def decorator(fn: Callable[[Any], Any]) -> Callable[[Any], Any]:
+        _get_shape_registry[tp] = fn
+        return fn
+
+    return decorator
+
+
 def _shape_of(value: Any) -> Optional[Tuple[int, ...]]:
+    for tp, fn in _get_shape_registry.items():
+        if isinstance(value, tp):
+            shape = fn(value)
+            if shape is None or any(s is None for s in shape):
+                return None
+            return tuple(int(s) for s in shape)
     shape = getattr(value, "shape", None)
     if shape is None:
         return None

@@ -228,3 +228,49 @@ def test_capture_parameter_reads_nested():
         _ = a.value
     assert [p.name for p in inner.parameters] == ["b"]
     assert [p.name for p in outer.parameters] == ["a"]  # inner reads go inner
+
+
+def test_parameter_copy_construction_inherits_metadata():
+    """Parameter(Parameter) inherits transform/prior/prior_on/trainable/name
+    unless overridden (reference base.py:155-166)."""
+    from gpflow_tpu import priors
+    from gpflow_tpu.utilities import positive
+
+    src = Parameter(
+        2.0, transform=positive(), prior=priors.Gamma(2.0, 3.0),
+        prior_on="unconstrained", trainable=False, name="src",
+    )
+    cp = Parameter(src)
+    assert cp.transform is src.transform
+    assert cp.prior is src.prior
+    assert cp.prior_on == src.prior_on
+    assert cp.trainable is False
+    assert cp.name == "src"
+    np.testing.assert_allclose(np.asarray(cp.value), 2.0)
+
+    # overrides win
+    cp2 = Parameter(src, trainable=True, name="other")
+    assert cp2.trainable is True
+    assert cp2.name == "other"
+
+
+def test_parameter_declared_shape_validation():
+    from gpflow_tpu.utilities import positive
+
+    p = Parameter(np.ones((3, 2)), shape=(3, 2))
+    assert p.shape == (3, 2)
+    p = Parameter(np.ones((3, 2)), shape=(None, 2))  # None matches any dim
+    assert p.shape == (3, 2)
+    with pytest.raises(ValueError, match="declared"):
+        Parameter(np.ones((3, 2)), shape=(4, 2))
+    with pytest.raises(ValueError, match="declared"):
+        Parameter(np.ones(3), shape=(3, 1))  # rank mismatch
+    with pytest.raises(AssertionError):
+        Parameter(np.ones(3), shape=(3,), unconstrained_shape=(3,))
+    # separate constrained/unconstrained declarations
+    p = Parameter(
+        2.0, transform=positive(), unconstrained_shape=(), constrained_shape=()
+    )
+    assert p.shape == ()
+    with pytest.raises(ValueError, match="constrained"):
+        Parameter(2.0, transform=positive(), constrained_shape=(1,))

@@ -143,3 +143,85 @@ def test_guard_typo_raises_at_decoration():
         @check_shapes("K: [N, N] if full_covv")
         def f(K, full_cov=False):
             return K
+
+
+def test_register_get_shape_custom_type():
+    """Custom shape extractors feed the contract system (reference
+    posteriors.py:172, probability_distributions.py:45)."""
+    from gpflow_tpu.utilities.shapes import check_shape, register_get_shape
+
+    class Boxed:
+        def __init__(self, arr):
+            self.arr = arr
+
+    @register_get_shape(Boxed)
+    def _get_boxed_shape(b):
+        return np.shape(b.arr)
+
+    set_enable_check_shapes(True)
+    try:
+        check_shape(Boxed(np.ones((3, 2))), "[N, 2]")
+        with pytest.raises(ShapeError):
+            check_shape(Boxed(np.ones((3, 3))), "[N, 2]")
+    finally:
+        set_enable_check_shapes(False)
+
+
+def test_get_shape_of_probability_distribution_and_precomputed_value():
+    import jax.numpy as jnp
+
+    from gpflow_tpu.posteriors import PrecomputedValue, get_precomputed_value_shape
+    from gpflow_tpu.probability_distributions import (
+        Gaussian,
+        get_probability_distribution_shape,
+    )
+    from gpflow_tpu.utilities.shapes import check_shape
+
+    p = Gaussian(np.zeros((5, 2)), np.tile(np.eye(2), (5, 1, 1)))
+    assert get_probability_distribution_shape(p) == (5, 2)
+
+    pv = PrecomputedValue(jnp.ones((4, 3)), (False, True))
+    assert get_precomputed_value_shape(pv) == (4, None)
+
+    set_enable_check_shapes(True)
+    try:
+        check_shape(p, "[N, D]")
+        # dynamic axis -> unknown shape -> check skipped, no raise
+        check_shape(pv, "[A, B]")
+    finally:
+        set_enable_check_shapes(False)
+
+
+def test_dispatcher_get_first_occurrence():
+    from gpflow_tpu.utilities import Dispatcher
+
+    d = Dispatcher("demo")
+
+    class A: ...
+    class B(A): ...
+
+    @d.register(A)
+    def on_a(x):
+        return "a"
+
+    assert d.get_first_occurrence(B) is on_a
+    assert d.get_first_occurrence(int) is None
+
+
+def test_leading_transpose_leading_dim_ignored():
+    from gpflow_tpu.utilities.ops import leading_transpose
+
+    x = np.ones((2, 3, 4, 5))
+    a = leading_transpose(x, [..., -1, -2])
+    b = leading_transpose(x, [..., -1, -2], leading_dim=1)
+    assert a.shape == b.shape == (2, 3, 5, 4)
+
+
+def test_kuu_fallbace_separate_alias():
+    # reference mo/kuus.py:98 exports this typo'd name; we keep import parity
+    from gpflow_tpu.covariances.multioutput.kuus import (
+        Kuu_fallbace_separate,
+        Kuu_fallback_separate,
+    )
+
+    assert Kuu_fallbace_separate is Kuu_fallback_separate
