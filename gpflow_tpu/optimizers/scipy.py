@@ -15,6 +15,7 @@ any closure differentiable without requiring a particular model structure.
 from __future__ import annotations
 
 import warnings
+from collections import OrderedDict
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -119,6 +120,28 @@ StepCallback = Callable[[int, Sequence[Parameter], Sequence[np.ndarray]], None]
 
 
 class Scipy:
+    def __init__(self, compile_cache_size: int = 2) -> None:
+        """:param compile_cache_size: number of compiled loss-and-gradient
+        functions cached across ``minimize`` calls (reference
+        ``scipy.py:47-70``). A repeat call with the same ``closure``
+        (bound methods compare equal), the same Parameter objects, and the
+        same ``allow_unused_variables`` reuses the jitted function and the
+        unused-variable analysis instead of re-tracing. 0 disables caching."""
+        if compile_cache_size < 0:
+            raise ValueError(
+                f"The 'compile_cache_size' argument must be non-negative, got {compile_cache_size}."
+            )
+        self.compile_cache: "OrderedDict[Tuple[Any, ...], Tuple[Callable[..., Any], List[int]]]" = (
+            OrderedDict()
+        )
+        self.compile_cache_size = compile_cache_size
+
+    def __getstate__(self) -> dict:
+        # compiled functions don't pickle (reference ``scipy.py:72-76``)
+        state = self.__dict__.copy()
+        state["compile_cache"] = OrderedDict()
+        return state
+
     def minimize(
         self,
         closure: LossClosure,
@@ -208,27 +231,43 @@ class Scipy:
             codec = _ParameterCodec(variables)
         dtypes = [v.dtype for v in variables]
 
-        def loss_fn(unconstrained: Tuple[jax.Array, ...]) -> jax.Array:
-            originals = [v._unconstrained for v in variables]
-            try:
-                for v, u in zip(variables, unconstrained):
-                    v._unconstrained = u
-                return closure()
-            finally:
-                for v, o in zip(variables, originals):
-                    v._unconstrained = o
+        cache_key: Optional[Tuple[Any, ...]]
+        try:
+            cache_key = (closure, tuple(id(v) for v in variables), compile)
+            hit = self.compile_cache.get(cache_key)
+        except TypeError:  # unhashable closure: skip caching
+            cache_key, hit = None, None
 
-        value_and_grad = jax.value_and_grad(loss_fn)
-        if compile:
-            value_and_grad = jax.jit(value_and_grad)
+        if hit is not None:
+            self.compile_cache.move_to_end(cache_key)
+            value_and_grad, unused = hit
+        else:
+            def loss_fn(unconstrained: Tuple[jax.Array, ...]) -> jax.Array:
+                originals = [v._unconstrained for v in variables]
+                try:
+                    for v, u in zip(variables, unconstrained):
+                        v._unconstrained = u
+                    return closure()
+                finally:
+                    for v, o in zip(variables, originals):
+                        v._unconstrained = o
 
-        # Unconnected-variable check (reference ``scipy.py:229-253``): trace
-        # the loss once and find input leaves that no equation consumes.
-        # Structural, not value-based — a variable passed into a sub-jaxpr
-        # (scan/cond) counts as used even if zero-gradient at the optimum.
-        unused = _find_unused_inputs(
-            loss_fn, tuple(jnp.asarray(v.unconstrained_variable) for v in variables)
-        )
+            value_and_grad = jax.value_and_grad(loss_fn)
+            if compile:
+                value_and_grad = jax.jit(value_and_grad)
+
+            # Unconnected-variable check (reference ``scipy.py:229-253``):
+            # trace the loss once and find input leaves that no equation
+            # consumes. Structural, not value-based — a variable passed into
+            # a sub-jaxpr (scan/cond) counts as used even if zero-gradient
+            # at the optimum.
+            unused = _find_unused_inputs(
+                loss_fn, tuple(jnp.asarray(v.unconstrained_variable) for v in variables)
+            )
+            if cache_key is not None and self.compile_cache_size > 0:
+                while len(self.compile_cache) >= self.compile_cache_size:
+                    self.compile_cache.popitem(last=False)  # evict oldest
+                self.compile_cache[cache_key] = (value_and_grad, unused)
         if unused:
             names = [variables[i].name for i in unused]
             if allow_unused_variables:

@@ -165,3 +165,61 @@ def test_stop_gradient_only_variable_detected_as_unused():
         Scipy().minimize(
             closure, tuple(m.trainable_variables) + (shadow,), options={"maxiter": 2}
         )
+
+
+def test_compile_cache_reuses_traced_function():
+    """Repeated minimize with the same closure/variables must not re-trace
+    (reference scipy.py:47-70, 214-219)."""
+    m = _model()
+    traces = [0]
+
+    def closure():
+        traces[0] += 1  # incremented only at TRACE time under jit
+        return m.training_loss()
+
+    opt = Scipy()
+    opt.minimize(closure, m.trainable_variables, options={"maxiter": 3})
+    n_after_first = traces[0]
+    assert len(opt.compile_cache) == 1
+    opt.minimize(closure, m.trainable_variables, options={"maxiter": 3})
+    # second call: cache hit -> no new traces (jit re-traces only on new
+    # shapes/dtypes, which don't change here)
+    assert traces[0] == n_after_first
+    assert len(opt.compile_cache) == 1
+
+
+def test_compile_cache_bound_method_closures_hit():
+    # m.training_loss creates a fresh bound method each access; bound methods
+    # compare equal, so the cache must still hit
+    m = _model()
+    opt = Scipy()
+    opt.minimize(m.training_loss, m.trainable_variables, options={"maxiter": 3})
+    opt.minimize(m.training_loss, m.trainable_variables, options={"maxiter": 3})
+    assert len(opt.compile_cache) == 1
+
+
+def test_compile_cache_eviction_and_disable():
+    m1, m2, m3 = _model(), _model(), _model()
+    opt = Scipy(compile_cache_size=2)
+    for m in (m1, m2, m3):
+        opt.minimize(m.training_loss, m.trainable_variables, options={"maxiter": 2})
+    assert len(opt.compile_cache) == 2  # oldest evicted
+
+    opt0 = Scipy(compile_cache_size=0)
+    opt0.minimize(m1.training_loss, m1.trainable_variables, options={"maxiter": 2})
+    assert len(opt0.compile_cache) == 0
+
+    with pytest.raises(ValueError, match="non-negative"):
+        Scipy(compile_cache_size=-1)
+
+
+def test_scipy_picklable_without_cache():
+    import pickle
+
+    m = _model()
+    opt = Scipy()
+    opt.minimize(m.training_loss, m.trainable_variables, options={"maxiter": 2})
+    assert len(opt.compile_cache) == 1
+    restored = pickle.loads(pickle.dumps(opt))
+    assert len(restored.compile_cache) == 0
+    assert restored.compile_cache_size == opt.compile_cache_size
