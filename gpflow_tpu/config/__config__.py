@@ -82,9 +82,28 @@ def _default(value: _Values) -> Any:
             _Values.SUMMARY_FMT: "fancy_grid",
         }[value]
     if value in (_Values.INT, _Values.FLOAT):
-        return np.dtype(rv).type
+        try:
+            dtype = np.dtype(rv).type
+        except TypeError:
+            raise TypeError(f"Config cannot recognize {value.value} type {rv!r}.")
+        kind = np.integer if value is _Values.INT else np.floating
+        if not np.issubdtype(dtype, kind):
+            raise TypeError(f"Config cannot recognize {value.value} type {rv!r}.")
+        return dtype
     if value in (_Values.POSITIVE_MINIMUM, _Values.LIKELIHOOD_POSITIVE_MINIMUM, _Values.JITTER):
-        return float(rv)
+        try:
+            return float(rv)
+        except ValueError:
+            # reference __config__.py:135-141: non-float env values are a TypeError
+            raise TypeError(
+                f"Config cannot set the {value.value} value with non float type {rv!r}."
+            )
+    if value is _Values.POSITIVE_BIJECTOR:
+        if rv not in _POSITIVE_BIJECTOR_NAMES:
+            raise TypeError(
+                "Config cannot set the passed value as a default positive bijector. "
+                f"Available options: {set(_POSITIVE_BIJECTOR_NAMES)}"
+            )
     return rv
 
 
@@ -209,7 +228,23 @@ def set_default_likelihood_positive_minimum(value: float) -> None:
     _replace(likelihood_positive_minimum=float(value))
 
 
+def _valid_summary_fmts() -> list:
+    """Accepted ``summary_fmt`` values: any tabulate format, plus None (plain)
+    and "notebook" (HTML display) — reference ``__config__.py:344-353``."""
+    fmts: list = [None, "notebook", "simple", "grid", "fancy_grid", "html", "plain"]
+    try:  # pragma: no branch
+        import tabulate
+
+        fmts += list(tabulate.tabulate_formats)
+    except ImportError:  # pragma: no cover - tabulate is usually available
+        pass
+    return fmts
+
+
 def set_default_summary_fmt(value: Optional[str]) -> None:
+    fmts = _valid_summary_fmts()
+    if value not in fmts:
+        raise ValueError(f"Summary does not support '{value}' format; valid: {fmts}")
     _replace(summary_fmt=value)
 
 
