@@ -329,3 +329,32 @@ def test_convolutional_diag_matches_full_cov_diagonal():
     K_full = np.asarray(k(Ximg))
     K_diag = np.asarray(k(Ximg, full_cov=False))
     np.testing.assert_allclose(np.diag(K_full), K_diag, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "make_kernel",
+    [
+        lambda: kernels.Matern12(),
+        lambda: kernels.Matern32(),
+        lambda: kernels.Matern52(),
+        lambda: kernels.Exponential(),
+        lambda: kernels.Cosine(),
+    ],
+    ids=["matern12", "matern32", "matern52", "exponential", "cosine"],
+)
+def test_scaled_euclid_dist_high_dim_value_and_input_gradient(make_kernel):
+    """High-dimensional inputs generate tiny scaled distances whose naive
+    ||x||^2 + ||y||^2 - 2 x.y evaluation goes NEGATIVE by cancellation; both
+    the kernel matrix and its gradient WITH RESPECT TO THE INPUTS must stay
+    finite (reference ``tests/gpflow/kernels/test_scaled_euclid_dist.py``)."""
+    rng_hd = np.random.RandomState(0)
+    Xhd = rng_hd.rand(100, 100) * 100
+
+    kernel = make_kernel()
+    K = np.asarray(kernel(Xhd))
+    assert np.isfinite(K).all(), f"non-finite K for {type(kernel).__name__}"
+
+    dK = jax.grad(lambda x: jnp.sum(make_kernel()(x, x)))(jnp.asarray(Xhd))
+    assert np.isfinite(np.asarray(dK)).all(), (
+        f"non-finite input-gradient for {type(kernel).__name__}"
+    )
