@@ -68,3 +68,88 @@ def test_sample_conditional_coregionalization_efficient_path():
     m2, v2 = conditional(X, iv, kernel, q_mu, q_sqrt=q_sqrt, white=True)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(m2), atol=1e-8)
     np.testing.assert_allclose(np.asarray(cov), np.asarray(v2), atol=1e-8)
+
+
+@pytest.mark.parametrize("full_cov", [True, False])
+def test_sample_mvn_moments(full_cov):
+    """10k draws from a known MVN recover its mean/cov (reference
+    ``test_multioutput.py:242-261``)."""
+    from gpflow_tpu.conditionals.util import sample_mvn
+    import jax.numpy as jnp
+
+    n, d = 10000, 2
+    means = jnp.ones((n, d))
+    covs = jnp.tile(jnp.eye(d), (n, 1, 1)) if full_cov else jnp.ones((n, d))
+    samples = np.asarray(sample_mvn(means, covs, full_cov, key=jax.random.PRNGKey(0)))
+    np.testing.assert_array_almost_equal(samples.mean(0), [1.0, 1.0], decimal=1)
+    np.testing.assert_array_almost_equal(
+        np.cov(samples, rowvar=False), [[1.0, 0.0], [0.0, 1.0]], decimal=1
+    )
+
+
+@pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize("full_cov", [True, False])
+def test_sample_conditional_inducing_points_vs_raw_array(whiten, full_cov):
+    """The InducingPoints route and the raw-Z-array route must give identical
+    moments and statistically matching samples (reference
+    ``test_multioutput.py:264-322``)."""
+    M_, P_ = 4, 3
+    r = np.random.RandomState(10)
+    q_mu = r.rand(M_, P_)
+    q_sqrt = np.stack([np.tril(r.rand(M_, M_)) for _ in range(P_)])
+    Z = r.randn(M_, D)
+    Xs = np.ones((6, D))
+    kernel = kernels.SquaredExponential()
+
+    value_f, mean_f, var_f = sample_conditional(
+        Xs, InducingPoints(Z), kernel, q_mu, q_sqrt=q_sqrt, white=whiten,
+        full_cov=full_cov, num_samples=30000, key=jax.random.PRNGKey(5),
+    )
+    value_x, mean_x, var_x = sample_conditional(
+        Xs, Z, kernel, q_mu, q_sqrt=q_sqrt, white=whiten,
+        full_cov=full_cov, num_samples=30000, key=jax.random.PRNGKey(6),
+    )
+    np.testing.assert_allclose(np.asarray(mean_x), np.asarray(mean_f), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_x), np.asarray(var_f), atol=1e-10)
+    vf = np.asarray(value_f).reshape(-1, P_)
+    vx = np.asarray(value_x).reshape(-1, P_)
+    np.testing.assert_array_almost_equal(vf.mean(0), vx.mean(0), decimal=1)
+    np.testing.assert_array_almost_equal(
+        np.cov(vf, rowvar=False), np.cov(vx, rowvar=False), decimal=1
+    )
+
+
+def test_sample_conditional_mixedkernel_vs_separate_then_mix():
+    """Sampling through the efficient LinearCoregionalization route matches
+    sampling the independent latents and mixing with W afterwards
+    (reference ``test_multioutput.py:323-356``)."""
+    M_, L_, P_ = 4, 2, 3
+    r = np.random.RandomState(11)
+    q_mu = r.rand(M_, L_)
+    q_sqrt = np.stack([np.tril(r.rand(M_, M_)) for _ in range(L_)])
+    Z = r.randn(M_, D)
+    Xs = np.ones((40000, D))
+    W = r.randn(P_, L_)
+
+    mixed_kernel = kernels.LinearCoregionalization(
+        [kernels.SquaredExponential() for _ in range(L_)], W=W
+    )
+    value, mean, var = sample_conditional(
+        Xs, SharedIndependentInducingVariables(InducingPoints(Z)), mixed_kernel,
+        q_mu, q_sqrt=q_sqrt, white=True, key=jax.random.PRNGKey(7),
+    )
+
+    separate_kernel = kernels.SeparateIndependent(
+        [kernels.SquaredExponential() for _ in range(L_)]
+    )
+    value2, mean2, var2 = sample_conditional(
+        Xs, SharedIndependentInducingVariables(InducingPoints(Z)), separate_kernel,
+        q_mu, q_sqrt=q_sqrt, white=True, key=jax.random.PRNGKey(8),
+    )
+    value2 = np.asarray(value2) @ W.T
+    np.testing.assert_array_almost_equal(
+        np.asarray(value).mean(0), value2.mean(0), decimal=1
+    )
+    np.testing.assert_array_almost_equal(
+        np.cov(np.asarray(value), rowvar=False), np.cov(value2, rowvar=False), decimal=1
+    )
