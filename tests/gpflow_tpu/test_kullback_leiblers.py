@@ -123,3 +123,69 @@ def test_prior_kl_dispatcher_matches_gauss_kl(whiten):
         K = np.asarray(Kuu(iv, kernel, jitter=default_jitter()))
         expected = float(gauss_kl(q_mu, q_sqrt, K))
     np.testing.assert_allclose(kl, expected, rtol=1e-10)
+
+
+@pytest.mark.parametrize("white", [True, False])
+def test_q_sqrt_triangular_constraint_invariance(white):
+    """A q_sqrt stored WITHOUT the triangular transform (full dense matrix)
+    must give the same conditional values and gradients as the
+    triangular-constrained one: the math must only read the lower triangle
+    (reference ``test_kullback_leiblers.py:248-279``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpflow_tpu.base import Parameter
+    from gpflow_tpu.conditionals import conditional
+    from gpflow_tpu.utilities import triangular
+
+    Nn, Ln = 6, 2
+    Z = rng.randn(Nn, 1)
+    Xs = rng.randn(4, 1)
+    q_mu = rng.randn(Nn, Ln)
+    tril = np.tril(rng.randn(Ln, Nn, Nn))
+    dense = tril + np.triu(rng.randn(Ln, Nn, Nn), 1)  # junk ABOVE the diagonal
+
+    kernel = kernels.Matern32()
+    iv = InducingPoints(Z)
+
+    p_tril = Parameter(tril, transform=triangular())
+    p_dense = Parameter(dense)
+
+    def predict(q_sqrt_value):
+        return conditional(
+            Xs, iv, kernel, q_mu, q_sqrt=q_sqrt_value, white=white, full_cov=False
+        )
+
+    m1, v1 = predict(p_tril.value)
+    m2, v2 = predict(p_dense.value)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-12)
+
+    def loss(q_sqrt_value):
+        m, v = predict(q_sqrt_value)
+        return jnp.sum(m) + jnp.sum(v)
+
+    g1 = np.asarray(jax.grad(loss)(jnp.asarray(tril)))
+    g2 = np.asarray(jax.grad(loss)(jnp.asarray(dense)))
+    # gradients agree on the lower triangle; the upper triangle of the dense
+    # parameterization receives zero gradient (the value is never read)
+    np.testing.assert_allclose(np.tril(g1), np.tril(g2), atol=1e-12)
+    np.testing.assert_allclose(np.triu(g2, 1), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("white", [True, False])
+def test_oned_hand_calculation(white):
+    """KL of N x 1-D Gaussians matches the scalar formula
+    0.5 (s^2/p + mu^2/p - 1 + log(p/s^2)) summed (reference ``test_oned``)."""
+    n = 5
+    mu1d = rng.randn(1, n)  # [1, N]: N independent 1-D distributions
+    s1d = np.abs(rng.randn(n, 1, 1)) + 0.3  # [N, 1, 1]
+    K1d = np.abs(rng.randn(n, 1, 1)) + 0.5  # [N, 1, 1]
+
+    kl = float(gauss_kl(mu1d, s1d, None if white else K1d))
+    mu_f, s_f = mu1d.ravel(), s1d.ravel()
+    p_f = np.ones(n) if white else K1d.ravel()
+    expected = float(
+        np.sum(0.5 * (s_f**2 / p_f + mu_f**2 / p_f - 1 + np.log(p_f / s_f**2)))
+    )
+    np.testing.assert_allclose(kl, expected, rtol=1e-10)
