@@ -204,3 +204,58 @@ def test_mean_functions():
     Xsw = np.concatenate([Xf, rng.randint(0, 2, (N, 1)).astype(float)], axis=1)
     out = np.asarray(sw(Xsw))
     np.testing.assert_allclose(out[:, 0], np.where(Xsw[:, -1] == 0, 1.0, 5.0))
+
+
+def test_no_missing_likelihoods():
+    """Every concrete likelihood class must be exercised by some test module
+    (coverage-by-construction, reference ``test_likelihoods.py:142-173``)."""
+    from gpflow_tpu.ci_utils import subclasses
+
+    tested_here = {type(lik) for lik, _ in LIKELIHOOD_SETUPS}
+    abstract = {
+        likelihoods.Likelihood,
+        likelihoods.QuadratureLikelihood,
+        likelihoods.ScalarLikelihood,
+        likelihoods.MonteCarloLikelihood,
+        likelihoods.MultiLatentLikelihood,
+    }
+    tested_elsewhere = {
+        likelihoods.SwitchedLikelihood,  # test_switched_likelihood.py
+        likelihoods.MultiLatentTFPConditional,  # test_heteroskedastic.py
+        likelihoods.HeteroskedasticTFPConditional,  # test_heteroskedastic.py
+        likelihoods.GaussianMC,  # test_montecarlo below
+        likelihoods.Softmax,  # test_softmax_mc / test_multiclass.py
+        likelihoods.MultiClass,  # test_multiclass.py + test_multiclass_robustmax
+    }
+    for cls in set(subclasses(likelihoods.Likelihood)):
+        if cls in abstract or cls in tested_elsewhere:
+            continue
+        assert cls in tested_here, f"no test for likelihood class {cls}"
+
+
+@pytest.mark.parametrize(
+    "lik,y_gen", LIKELIHOOD_SETUPS, ids=lambda s: type(s).__name__ if not callable(s) else ""
+)
+def test_conditional_mean_variance_consistent_at_zero_variance(lik, y_gen):
+    """With Fvar=0, predict_mean_and_var must reduce to
+    (conditional_mean, conditional_variance) (reference
+    ``test_likelihoods.py:176-190``)."""
+    zero = np.zeros_like(Fmu)
+    mu1 = np.asarray(lik.conditional_mean(X, Fmu))
+    var1 = np.asarray(lik.conditional_variance(X, Fmu))
+    mu2, var2 = (np.asarray(a) for a in lik.predict_mean_and_var(X, Fmu, zero))
+    np.testing.assert_allclose(mu1, mu2, rtol=5e-6, atol=1e-7)
+    np.testing.assert_allclose(var1, var2, rtol=5e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "lik,y_gen", LIKELIHOOD_SETUPS, ids=lambda s: type(s).__name__ if not callable(s) else ""
+)
+def test_variational_expectations_zero_variance_equals_log_prob(lik, y_gen):
+    """With Fvar=0 the variational expectation IS the log likelihood
+    (reference ``test_likelihoods.py:193-207``)."""
+    Y = y_gen()
+    zero = np.zeros_like(F)
+    ve = np.asarray(lik.variational_expectations(X, F, zero, Y))
+    lp = np.asarray(lik.log_prob(X, F, Y))
+    np.testing.assert_allclose(ve, lp, rtol=5e-6, atol=1e-7)
