@@ -212,3 +212,53 @@ def test_gplvm_trains():
     initial = float(model.training_loss())
     Scipy().minimize(model.training_loss, model.trainable_variables, options={"maxiter": 30})
     assert float(model.training_loss()) < initial
+
+
+# --- no-uncertainty degenerate checks (reference test_expectations.py:201-235)
+
+
+def _dirac_diag():
+    return DiagonalGaussian(Xmu, np.zeros_like(Xvar_diag))
+
+
+@pytest.mark.parametrize("kernel", KERNELS, ids=["rbf", "rbf-ard", "linear"])
+def test_eKdiag_no_uncertainty(kernel):
+    eKdiag = np.asarray(expectation(_dirac_diag(), kernel))
+    Kdiag = np.asarray(kernel(Xmu, full_cov=False))
+    np.testing.assert_allclose(eKdiag, Kdiag, rtol=1e-8)
+
+
+@pytest.mark.parametrize("kernel", KERNELS, ids=["rbf", "rbf-ard", "linear"])
+def test_eKxz_no_uncertainty(kernel):
+    eKxz = np.asarray(expectation(_dirac_diag(), (kernel, InducingPoints(Z))))
+    Kxz = np.asarray(kernel(Xmu, Z))
+    np.testing.assert_allclose(eKxz, Kxz, rtol=1e-8)
+
+
+@pytest.mark.parametrize("kernel", KERNELS, ids=["rbf", "rbf-ard", "linear"])
+def test_eKzxKxz_no_uncertainty(kernel):
+    iv_ = InducingPoints(Z)
+    eKzxKxz = np.asarray(expectation(_dirac_diag(), (kernel, iv_), (kernel, iv_)))
+    Kxz = np.asarray(kernel(Xmu, Z))
+    KzxKxz = Kxz[:, :, None] * Kxz[:, None, :]
+    np.testing.assert_allclose(eKzxKxz, KzxKxz, rtol=1e-8)
+
+
+def test_rbf_eKzxKxz_gradient_not_nan_when_Kzz_underflows():
+    """psi2 gradient stays finite when K_{Z,Z} underflows to zero at distant
+    inducing points (reference ``test_expectations.py:237-257``, PR #595)."""
+    import jax.numpy as jnp
+
+    p = Gaussian(np.array([[10.0]]), np.array([[[0.1]]]))
+    Zfar = np.array([[-10.0], [10.0]])
+
+    def objective(log_ls):
+        kernel = kernels.SquaredExponential(variance=2.0, lengthscales=1.0)
+        kernel.lengthscales._unconstrained = kernel.lengthscales.transform.inverse(
+            jnp.exp(log_ls)
+        )
+        ekz = expectation(p, (kernel, InducingPoints(Zfar)), (kernel, InducingPoints(Zfar)))
+        return jnp.sum(ekz)
+
+    grad = jax.grad(objective)(np.log(0.1))
+    assert np.isfinite(np.asarray(grad)), grad
