@@ -2,6 +2,7 @@
 ``tests/gpflow/likelihoods/test_multiclass.py``): RobustMax invlink values,
 the GH ``prob_is_largest`` trick against a Monte Carlo oracle, and the
 closed-form variational expectations identity."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -85,3 +86,104 @@ def test_multiclass_rejects_bad_num_classes():
     with pytest.raises(Exception):
         # wrong latent dimension
         lik.variational_expectations(X, Fmu[:, : K - 1], Fvar[:, : K - 1], Y)
+
+
+def test_softmax_bernoulli_equivalence():
+    """Two-class softmax with the second logit pinned to 0 IS a sigmoid
+    Bernoulli (reference ``test_multiclass.py:53-96``): log_prob,
+    conditional mean/variance exactly; MC predict/varexp statistically."""
+    import jax
+
+    num, dimF = 8, 2
+    r = np.random.RandomState(4)
+    F2 = np.vstack((r.randn(num - 3, dimF), np.array([[-3.0, 0.0], [3.0, 0.0], [0.0, 0.0]])))
+    Yb = (np.vstack((r.randn(num - 3, 1), np.ones((3, 1)))) > 0).astype(float)
+    X = r.randn(num, 3)
+    Fvar = np.exp(np.stack([F2[:, 1], -10.0 + np.zeros(num)], axis=1))
+    F = np.stack([F2[:, 0], np.zeros(num)], axis=1)
+    Ylabel = 1.0 - Yb
+
+    sigmoid = lambda x: 1.0 / (1.0 + jnp.exp(-x))
+    softmax_lik = likelihoods.Softmax(dimF)
+    bernoulli_lik = likelihoods.Bernoulli(invlink=sigmoid)
+
+    np.testing.assert_allclose(
+        np.asarray(softmax_lik.conditional_mean(X, F))[:, :1],
+        np.asarray(bernoulli_lik.conditional_mean(X, F[:, :1])),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(softmax_lik.conditional_variance(X, F))[:, :1],
+        np.asarray(bernoulli_lik.conditional_variance(X, F[:, :1])),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(softmax_lik.log_prob(X, F, Ylabel)),
+        np.asarray(bernoulli_lik.log_prob(X, F[:, :1], Yb)),
+        rtol=1e-10,
+    )
+
+    # Monte-Carlo vs Gauss-Hermite: statistical agreement
+    softmax_lik.num_monte_carlo_points = 300_000
+    mean1, var1 = (np.asarray(a) for a in softmax_lik.predict_mean_and_var(X, F, Fvar))
+    mean2, var2 = (np.asarray(a) for a in bernoulli_lik.predict_mean_and_var(X, F[:, :1], Fvar[:, :1]))
+    np.testing.assert_allclose(mean1[:, :1], mean2, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(var1[:, :1], var2, rtol=5e-3, atol=5e-3)
+
+    ve1 = np.asarray(softmax_lik.variational_expectations(X, F, Fvar, Ylabel))
+    ve2 = np.asarray(bernoulli_lik.variational_expectations(X, F[:, :1], Fvar[:, :1], Yb))
+    np.testing.assert_allclose(ve1, ve2, rtol=1e-2, atol=1e-2)
+
+
+def test_robust_max_multiclass_symmetric():
+    """Symmetric latents => uniform class probabilities with the robust-max
+    smoothing (reference ``test_multiclass.py:100-138``)."""
+    num_classes, num_points, epsilon, tol = 10, 3, 1e-3, 1e-4
+    r = np.random.RandomState(1)
+    p = 1.0 / num_classes
+    X = np.ones((num_points, 1))
+    F = np.ones((num_points, num_classes))
+    Y = r.randint(num_classes, size=(num_points, 1)).astype(float)
+
+    lik = likelihoods.MultiClass(num_classes)
+    lik.invlink.epsilon.assign(epsilon)
+
+    mu, _ = (np.asarray(a) for a in lik.predict_mean_and_var(X, F, F))
+    pred = np.asarray(lik.predict_log_density(X, F, F, Y))
+    ve = np.asarray(lik.variational_expectations(X, F, F, Y))
+
+    expected_mu = (p * (1.0 - epsilon) + (1.0 - p) * epsilon / (num_classes - 1)) * np.ones(
+        (num_points, 1)
+    )
+    assert np.allclose(mu, expected_mu, tol, tol)
+    assert np.allclose(pred, np.log(expected_mu), 1e-3, 1e-3)
+    expected_ve = p * np.log(1.0 - epsilon) + (1.0 - p) * np.log(epsilon / (num_classes - 1))
+    np.testing.assert_allclose(ve, np.full(num_points, expected_ve), rtol=tol, atol=tol)
+
+
+def test_robust_max_multiclass_predict_log_density_mocked():
+    """With prob_is_largest mocked to a constant, predict_log_density has a
+    closed form (reference ``test_multiclass.py:149-178``)."""
+    num_classes, num_points, mock_prob, epsilon = 5, 100, 0.73, 0.231
+    expected = -0.5499780059  # log((1-eps)*0.73 + 0.27*eps/(K-1))
+
+    class MockRobustMax(likelihoods.RobustMax):
+        def prob_is_largest(self, Y, mu, var, gh_x, gh_w):
+            return jnp.ones((num_points, 1)) * mock_prob
+
+    lik = likelihoods.MultiClass(num_classes, invlink=MockRobustMax(num_classes, epsilon))
+    X = np.ones((num_points, 2))
+    F = np.ones((num_points, num_classes))
+    Y = np.random.RandomState(1).randint(num_classes, size=(num_points, 1)).astype(float)
+    pred = np.asarray(lik.predict_log_density(X, F, F, Y))
+    np.testing.assert_allclose(pred, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_robust_max_eps_k1_tracks_epsilon():
+    """eps_k1 must recompute when epsilon changes (reference
+    ``test_multiclass.py:181-198``)."""
+    for num_classes in (5, 100):
+        rm = likelihoods.RobustMax(num_classes, 1e-3)
+        np.testing.assert_allclose(float(rm.eps_k1), 1e-3 / (num_classes - 1.0), rtol=1e-12)
+        rm.epsilon.assign(0.412)
+        np.testing.assert_allclose(float(rm.eps_k1), 0.412 / (num_classes - 1.0), rtol=1e-12)
