@@ -78,3 +78,50 @@ def test_row_permutation_equivariance():
         switched.variational_expectations(X[perm], Fmu[perm], Fvar[perm], Y[perm])
     )
     np.testing.assert_allclose(permuted, base[perm], atol=1e-9)
+
+
+def test_switched_likelihood_with_vgp_trains():
+    """VGP + SwitchedLikelihood optimizes without error (reference
+    ``test_switched_likelihood.py:128-143``, GPflow issue #951)."""
+    from gpflow_tpu import kernels, optimizers
+    from gpflow_tpu.models import VGP
+
+    r = np.random.RandomState(9)
+    X = r.randn(12 + 15, 1)
+    Y = r.randn(12 + 15, 1)
+    idx = np.array([0] * 12 + [1] * 15)
+    Y_aug = np.c_[Y, idx]
+    assert Y_aug.shape == (27, 2)
+
+    model = VGP(
+        (X, Y_aug),
+        kernel=kernels.Matern32(),
+        likelihood=likelihoods.SwitchedLikelihood([likelihoods.StudentT(), likelihoods.StudentT()]),
+    )
+    before = float(model.training_loss())
+    optimizers.Scipy().minimize(
+        model.training_loss, model.trainable_variables, options={"maxiter": 3}
+    )
+    after = float(model.training_loss())
+    assert np.isfinite(after) and after <= before + 1e-9
+
+
+def test_switched_likelihood_num_latent_gps_one_with_index_column():
+    """num_latent_gps = Y.shape[1] - 1: the last Y column indexes the switch
+    and must not count as a latent output (reference
+    ``test_switched_likelihood.py:147-167``)."""
+    from gpflow_tpu import kernels
+    from gpflow_tpu.models import SVGP
+
+    r = np.random.RandomState(10)
+    x = r.randn(100, 1)
+    y = np.hstack((r.randn(100, 1), r.randint(0, 3, (100, 1)).astype(float)))
+
+    m = SVGP(
+        kernel=kernels.Matern12(),
+        inducing_variable=r.randn(4, 1),
+        likelihood=likelihoods.SwitchedLikelihood([likelihoods.StudentT() for _ in range(3)]),
+        num_latent_gps=1,
+    )
+    loss = float(m.training_loss((x, y)))
+    assert np.isfinite(loss)
