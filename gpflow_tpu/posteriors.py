@@ -12,6 +12,15 @@ Cache designs (exact formulas at reference ``posteriors.py:694-746``):
 Deviation (SURVEY.md A.5.2): ``PrecomputeCacheType.VARIABLE`` recomputes the
 cache into fresh arrays — functional JAX has no in-place variables inside a
 kept graph; jit re-use comes for free from stable treedefs instead.
+
+Conditioning note: the (alpha, Qinv) cache stores an EXPLICIT inverse (as
+the reference does), so its predictive variance carries a ~cond(Kuu)^2 * eps
+error relative to the fused Cholesky pipeline. Irrelevant at f64 for
+well-conditioned Kuu (error < 1e-10 at cond 1e3), but with near-singular
+Kuu (e.g. a Linear kernel's rank-D Kuu, or tightly clustered 1-D inducing
+points at cond ~1e7) the cached variance can drift ~1e-3 — prefer
+``fused_predict_f`` or better-spread inducing points in that regime
+(measured in ``tests/.../test_fuzz_conditionals.py``).
 """
 from __future__ import annotations
 
