@@ -258,3 +258,35 @@ def test_changepoints_rejects_multidim_input():
         k(X2d, full_cov=False)
     # 1-D stays fine
     assert np.asarray(k(X2d[:, :1])).shape == (5, 5)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_kernel_random_hyperparameters_vs_numpy_oracle(seed):
+    """Fuzz: random (family, shapes, ARD/scalar lengthscales, variance)
+    configurations against the NumPy loop oracles — agreement must hold
+    across the hyperparameter space, not just the structured grid points."""
+    r = np.random.RandomState(6000 + seed)
+    N = r.randint(2, 12)
+    D = r.randint(1, 5)
+    X = r.randn(N, D)
+    variance = 0.3 + 2 * r.rand()
+    ls = (0.4 + r.rand(D)) if r.randint(2) else (0.4 + r.rand())
+
+    family = r.randint(4)
+    if family == 0:
+        k = kernels.SquaredExponential(variance=variance, lengthscales=ls)
+        expected = ref_rbf_kernel(X, np.broadcast_to(ls, (D,)), variance)
+    elif family == 1:
+        k = kernels.Matern12(variance=variance, lengthscales=ls)
+        expected = ref_matern12(X, np.broadcast_to(ls, (D,)), variance)
+    elif family == 2:
+        k = kernels.Matern32(variance=variance, lengthscales=ls)
+        expected = ref_matern32(X, np.broadcast_to(ls, (D,)), variance)
+    else:
+        k = kernels.Matern52(variance=variance, lengthscales=ls)
+        expected = ref_matern52(X, np.broadcast_to(ls, (D,)), variance)
+
+    np.testing.assert_allclose(np.asarray(k(X)), expected, rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(k(X, full_cov=False)), np.diag(expected), rtol=1e-7, atol=1e-11
+    )
