@@ -201,6 +201,56 @@ def bench_svgp(results: dict) -> None:
     results["serving_points_per_sec"] = round(reps_s * K_batches * B / dt, 0)
 
 
+def bench_natgrad_nonconjugate(results: dict) -> None:
+    """Non-conjugate (Bernoulli) SVGP with the fused natgrad+Adam step
+    (PERFORMANCE.md 'Fused natural-gradient mode'): steps/sec at M=1024,
+    B=4096 — the reference's natgrad-then-Adam recipe, one backward pass."""
+    import jax
+    import optax
+
+    from gpflow_tpu import kernels, likelihoods
+    from gpflow_tpu.models import SVGP
+    from gpflow_tpu.parallel import DataParallelTrainer, make_mesh
+
+    Mn, Bn, Dn = 1024, 4096, 8
+    rng = np.random.RandomState(2)
+    Xn = rng.rand(Bn * 8, Dn).astype(np.float32) * 4.0
+    w = rng.randn(Dn, 1).astype(np.float32)
+    Yn = (np.sin(Xn @ w) + 0.3 * rng.randn(len(Xn), 1) > 0).astype(np.float32)
+    Zn = Xn[rng.choice(len(Xn), Mn, replace=False)].copy()
+
+    model = SVGP(
+        kernel=kernels.SquaredExponential(lengthscales=np.ones(Dn, np.float32)),
+        likelihood=likelihoods.Bernoulli(),
+        inducing_variable=Zn,
+        num_data=len(Xn),
+    )
+    trainer = DataParallelTrainer(
+        model, optimizer=optax.adam(1e-2), mesh=make_mesh(),
+        natgrad_gamma=0.1, natgrad_fused=True,
+    )
+    timed_steps = 50
+    batches = trainer.shard_stacked(
+        (
+            np.stack([Xn[i * Bn % (len(Xn) - Bn):][:Bn] for i in range(timed_steps)]),
+            np.stack([Yn[i * Bn % (len(Xn) - Bn):][:Bn] for i in range(timed_steps)]),
+        )
+    )
+    batches[0].block_until_ready()
+    for _ in range(2):  # two warm-up dispatches (donated-layout recompile)
+        losses = trainer.run_steps(batches, presharded=True)
+        float(np.asarray(losses)[-1])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        losses = trainer.run_steps(batches, presharded=True)
+    final = float(np.asarray(losses)[-1])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final), f"natgrad bench diverged: {final}"
+    results["natgrad_bernoulli_steps_per_sec"] = round(reps * timed_steps / dt, 1)
+    trainer.finalize()
+
+
 def bench_gpr_nlml(results: dict) -> None:
     """Exact-GP NLML wall-clock per jitted evaluation (ref gpr.py:91-107)."""
     import jax
@@ -234,6 +284,7 @@ def bench_gpr_nlml(results: dict) -> None:
 def main() -> None:
     results: dict = {}
     bench_svgp(results)
+    bench_natgrad_nonconjugate(results)
     bench_gpr_nlml(results)
 
     steps_per_sec = results["svgp_steps_per_sec"]
