@@ -35,11 +35,14 @@ def test_tpu_smoke_sweep():
         pythonpath += os.pathsep + axon_site
     env["PYTHONPATH"] = pythonpath
 
-    probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; import sys; sys.exit(0 if jax.default_backend() == 'tpu' else 3)"],
-        env=env, capture_output=True, text=True, timeout=120, cwd="/tmp",
-    )
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; import sys; sys.exit(0 if jax.default_backend() == 'tpu' else 3)"],
+            env=env, capture_output=True, text=True, timeout=300, cwd="/tmp",
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU probe timed out (congested tunnel)")
     if probe.returncode != 0:
         pytest.skip(
             f"no TPU backend reachable (probe rc={probe.returncode}): "
