@@ -107,3 +107,38 @@ def test_grid_helpers_match_ndgh():
     grid = list_to_flat_grid([np.array([0.0, 1.0]), np.array([2.0, 3.0, 4.0])])
     assert grid.shape == (6, 2)
     assert {tuple(r) for r in grid} == {(a, b) for a in (0.0, 1.0) for b in (2.0, 3.0, 4.0)}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_ndiag_gh_random_polynomial_moments_exact(seed):
+    """Fuzz: an n-point GH rule integrates polynomials up to degree 2n-1
+    EXACTLY under any diagonal Gaussian — random means/vars/coefficients."""
+    r = np.random.RandomState(8000 + seed)
+    n_gh = r.randint(3, 12)
+    deg = 2 * n_gh - 1
+    # random polynomial of degree <= 2n-1 (keep coefficients small)
+    coeffs = 0.5 * r.randn(deg + 1) / (np.arange(deg + 1) + 1.0) ** 2
+    mu = r.randn(4, 1)
+    var = 0.2 + r.rand(4, 1)
+
+    quad = NDiagGHQuadrature(1, n_gh)
+    got = np.asarray(
+        quad(lambda X: jnp.polyval(jnp.asarray(coeffs), X[..., 0:1]), mu, var)
+    )
+
+    # oracle: E[p(X)] via central moments of N(mu, var): E[(x)^k] closed form
+    from math import comb
+
+    def gaussian_raw_moment(m, v, k):
+        # sum_{j even} C(k, j) m^{k-j} v^{j/2} (j-1)!!
+        total = 0.0
+        for j in range(0, k + 1, 2):
+            dfact = np.prod(np.arange(j - 1, 0, -2)) if j > 1 else 1.0
+            total += comb(k, j) * m ** (k - j) * v ** (j / 2) * dfact
+        return total
+
+    expected = np.zeros((4, 1))
+    for i in range(4):
+        for k, c in enumerate(coeffs[::-1]):  # coeffs is highest-first
+            expected[i, 0] += c * gaussian_raw_moment(mu[i, 0], var[i, 0], k)
+    np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-10)
