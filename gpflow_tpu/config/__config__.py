@@ -104,6 +104,10 @@ def _default(value: _Values) -> Any:
                 "Config cannot set the passed value as a default positive bijector. "
                 f"Available options: {set(_POSITIVE_BIJECTOR_NAMES)}"
             )
+    if value is _Values.SUMMARY_FMT and rv not in _valid_summary_fmts():
+        # fail at import, not much later inside print_summary (the reference
+        # leaves this unvalidated; see tests/gpflow_tpu/test_config.py)
+        raise TypeError(f"Config cannot recognize summary_fmt {rv!r}.")
     return rv
 
 
@@ -113,7 +117,10 @@ class Config:
 
     int: type = dataclasses.field(default_factory=lambda: _default(_Values.INT))
     float: type = dataclasses.field(default_factory=lambda: _default(_Values.FLOAT))
-    jitter: float = dataclasses.field(default_factory=lambda: _default(_Values.JITTER))
+    # None = "resolve from the float dtype" (f64 -> 1e-6, else 1e-4) so that a
+    # directly constructed Config(float=np.float32) cannot end up with the
+    # NaN-prone (float32, 1e-6) combination; resolved in __post_init__.
+    jitter: Optional[float] = None
     positive_bijector: str = dataclasses.field(
         default_factory=lambda: _default(_Values.POSITIVE_BIJECTOR)
     )
@@ -126,6 +133,18 @@ class Config:
     summary_fmt: Optional[str] = dataclasses.field(
         default_factory=lambda: _default(_Values.SUMMARY_FMT)
     )
+
+    def __post_init__(self) -> None:
+        if self.jitter is None:
+            # env override first (validated), else the dtype-matched default
+            resolved = _default(_Values.JITTER) if os.getenv(
+                _Values.JITTER.env_name
+            ) is not None else _dtype_matched_jitter(self.float)
+            object.__setattr__(self, "jitter", resolved)
+
+
+def _dtype_matched_jitter(float_dtype: Any) -> float:
+    return 1e-6 if float_dtype == np.float64 else 1e-4
 
 
 _config = Config()
@@ -184,9 +203,13 @@ def set_default_float(value_type: Any) -> None:
     if not np.issubdtype(dtype, np.floating):
         raise TypeError(f"{value_type} is not a float dtype")
     kwargs: dict = {"float": dtype}
-    if not _jitter_explicit:
-        # keep the dtype-matched jitter default unless the user pinned one
-        kwargs["jitter"] = 1e-6 if dtype == np.float64 else 1e-4
+    # Keep the dtype-matched jitter default ONLY when the current jitter is
+    # still the default for the CURRENT dtype. A jitter customized any other
+    # way (set_default_jitter, set_config / Config(jitter=...), env var) is
+    # preserved (review r2: set_config-customized jitter used to be
+    # silently clobbered here).
+    if not _jitter_explicit and config().jitter == _dtype_matched_jitter(config().float):
+        kwargs["jitter"] = _dtype_matched_jitter(dtype)
     _replace(**kwargs)
 
 
@@ -250,11 +273,16 @@ def set_default_summary_fmt(value: Optional[str]) -> None:
 
 @contextlib.contextmanager
 def as_context(temporary_config: Optional[Config] = None) -> Generator[None, None, None]:
-    """Context manager swapping the global config (reference ``__config__.py:375-384``)."""
+    """Context manager swapping the global config (reference ``__config__.py:375-384``).
+    Also restores the jitter-explicitness flag so a ``set_default_jitter``
+    inside the block does not leak past it."""
+    global _jitter_explicit
     current = config()
+    current_explicit = _jitter_explicit
     temporary = temporary_config or current
     try:
         set_config(temporary)
         yield
     finally:
         set_config(current)
+        _jitter_explicit = current_explicit

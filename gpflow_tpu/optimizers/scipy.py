@@ -41,8 +41,22 @@ class _ParameterCodec:
     never carries the permanently-zero upper-triangle dimensions."""
 
     def __init__(self, variables: Sequence[Parameter]) -> None:
-        self.shapes = [tuple(np.shape(v.unconstrained_variable)) for v in variables]
-        self.tril = [isinstance(v.transform, TriangularMask) for v in variables]
+        self._init_from_specs(
+            [tuple(np.shape(v.unconstrained_variable)) for v in variables],
+            [isinstance(v.transform, TriangularMask) for v in variables],
+        )
+
+    @classmethod
+    def from_specs(
+        cls, shapes: Sequence[Tuple[int, ...]], tril: Sequence[bool]
+    ) -> "_ParameterCodec":
+        codec = cls.__new__(cls)
+        codec._init_from_specs(list(shapes), list(tril))
+        return codec
+
+    def _init_from_specs(self, shapes: list, tril: list) -> None:
+        self.shapes = shapes
+        self.tril = tril
         self.sizes = []
         for shape, tri in zip(self.shapes, self.tril):
             if tri:
@@ -126,7 +140,15 @@ class Scipy:
         ``scipy.py:47-70``). A repeat call with the same ``closure``
         (bound methods compare equal), the same Parameter objects, and the
         same ``allow_unused_variables`` reuses the jitted function and the
-        unused-variable analysis instead of re-tracing. 0 disables caching."""
+        unused-variable analysis instead of re-tracing. 0 disables caching.
+
+        CAVEAT (same as the reference's cache): only Parameter values are
+        traced arguments — everything else the closure reads (notably
+        ``model.data``) is baked in as a trace-time CONSTANT. If non-Parameter
+        state changes between calls (e.g. a BO loop growing the dataset via
+        a model REBUILD keeps ids fresh and is safe, but mutating
+        ``model.data`` in place is not), use a fresh ``Scipy()`` instance or
+        ``compile_cache_size=0`` so the loss is re-traced."""
         if compile_cache_size < 0:
             raise ValueError(
                 f"The 'compile_cache_size' argument must be non-negative, got {compile_cache_size}."
@@ -327,9 +349,11 @@ class Scipy:
         (reference ``scipy.py:276-290``). Re-evaluates the jitted
         loss-and-gradient at the iterate, exactly as the reference does."""
 
-        def _callback(x: Any, *_args: Any) -> None:
+        def _callback(x: Any, *args: Any) -> None:
             if callback is not None:
-                callback(x)
+                # forward extra positional args — some scipy methods
+                # (trust-constr) call back with (xk, state)
+                callback(x, *args)
             xvec = np.asarray(getattr(x, "x", x))
             history.append(minimize_func(xvec)[0])
 
@@ -342,44 +366,28 @@ class Scipy:
         arrays. Uses the SAME vector layout as ``minimize``'s flat vector
         (``result.x`` / ``initial_parameters``): Parameters with a
         TriangularMask transform contribute only their lower-triangle
-        entries, so ``unpack_tensors(variables, result.x)`` round-trips."""
-        flats = []
-        for t in tensors:
-            a, tri = Scipy._unconstrained_and_tril(t)
-            if tri:
-                rows, cols = _tril_indices(a.shape)
-                flats.append(a[..., rows, cols].reshape(-1))
-            else:
-                flats.append(a.reshape(-1))
-        if not flats:
-            return np.zeros((0,), dtype=np.float64)
-        return np.concatenate(flats)
+        entries, so ``unpack_tensors(variables, result.x)`` round-trips.
+        Delegates to the same ``_ParameterCodec`` that builds ``minimize``'s
+        vector, so there is exactly ONE implementation of the layout."""
+        pairs = [Scipy._unconstrained_and_tril(t) for t in tensors]
+        codec = _ParameterCodec.from_specs(
+            [tuple(a.shape) for a, _ in pairs], [tri for _, tri in pairs]
+        )
+        return codec.encode([a for a, _ in pairs])
 
     @staticmethod
     def unpack_tensors(to_tensors: Sequence[Any], from_vector: Any) -> List[np.ndarray]:
         """Splits a flat vector (in ``pack_tensors``/``minimize`` layout)
         back into arrays shaped like ``to_tensors`` (reference
         ``scipy.py:298-312``); tril-packed segments are scattered back into
-        full matrices with a zero upper triangle."""
-        from_vector = np.asarray(from_vector)
-        out = []
-        i = 0
-        for t in to_tensors:
-            a, tri = Scipy._unconstrained_and_tril(t)
-            if tri:
-                n = a.shape[-1]
-                rows, cols = _tril_indices(a.shape)
-                batch = a.shape[:-2]
-                size = int(np.prod(batch)) * len(rows) if batch else len(rows)
-                chunk = from_vector[i : i + size]
-                full = np.zeros(a.shape, dtype=a.dtype)
-                full[..., rows, cols] = chunk.reshape(batch + (len(rows),))
-                out.append(full)
-            else:
-                size = int(np.prod(a.shape)) if a.shape else 1
-                out.append(from_vector[i : i + size].reshape(a.shape).astype(a.dtype))
-            i += size
-        return out
+        full matrices with a zero upper triangle. Delegates to
+        ``_ParameterCodec.decode`` (the single layout implementation)."""
+        pairs = [Scipy._unconstrained_and_tril(t) for t in to_tensors]
+        codec = _ParameterCodec.from_specs(
+            [tuple(a.shape) for a, _ in pairs], [tri for _, tri in pairs]
+        )
+        decoded = codec.decode(np.asarray(from_vector))
+        return [d.astype(a.dtype) for d, (a, _) in zip(decoded, pairs)]
 
     @staticmethod
     def _unconstrained_and_tril(t: Any) -> Tuple[np.ndarray, bool]:

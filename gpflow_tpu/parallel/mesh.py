@@ -50,6 +50,11 @@ def make_mesh(
             )
         return Mesh(np.array(devices[:total]).reshape(sizes), names)
     n = num_devices if num_devices is not None else len(devices)
+    if n > len(devices):
+        # raising (like the shape= path) instead of silently truncating: a
+        # smaller mesh than requested doubles the per-device batch and
+        # breaks the caller's divisibility assumptions without any signal
+        raise ValueError(f"num_devices={n} requested but only {len(devices)} available")
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 

@@ -162,11 +162,22 @@ class DataParallelTrainer:
                 elif l is q_sqrt.unconstrained_variable:
                     leaf_shardings[i] = NamedSharding(self.mesh, sq_spec)
 
-        self._leaves = [
+        placed = [
             jax.device_put(jnp.asarray(l), s) for l, s in zip(leaves, leaf_shardings)
         ]
-        self.params = tuple(self._leaves[i] for i in self._train_idx)
-        self.vparams = tuple(self._leaves[i] for i in natgrad_idx)
+        self.params = tuple(placed[i] for i in self._train_idx)
+        self.vparams = tuple(placed[i] for i in natgrad_idx)
+        # Trainable/natgrad slots travel through (params, vparams), which are
+        # DONATED. Passing the same buffers again through `leaves` would alias
+        # donated inputs — XLA either refuses the donation (losing the
+        # in-place update) or, should any future edit read the aliased slot,
+        # fails at execute time with a donated-buffer error. The leaves
+        # argument therefore carries None in those slots; ``loss_fn``
+        # re-inserts the live params before unflattening.
+        occupied = set(self._train_idx) | set(natgrad_idx)
+        self._static_leaves = [
+            None if i in occupied else l for i, l in enumerate(placed)
+        ]
         # init under jit: ONE device dispatch — eager init issues one RPC per
         # state leaf, which is minutes of setup on a remote-attached chip.
         # Under jit zeros_like lowers to a data-independent broadcast, so
@@ -321,6 +332,21 @@ class DataParallelTrainer:
             self._pending_rejections = []
         return self._natgrad_rejections
 
+    def _record_rejections(self, rejected) -> None:
+        """Tracks in-graph natgrad step rejections without unbounded growth:
+        no-op when natgrad is off (the counter is identically zero), and the
+        pending device scalars are folded into the host counter every 1024
+        dispatches (by then the oldest scalar has long finished computing,
+        so the int() sync does not stall the pipeline)."""
+        if not self._natgrad_idx:
+            return
+        self._pending_rejections.append(rejected)
+        if len(self._pending_rejections) >= 1024:
+            self._natgrad_rejections += int(
+                sum(int(r) for r in self._pending_rejections)
+            )
+            self._pending_rejections = []
+
     def shard(self, batch: Tuple[Any, ...]) -> Tuple[Any, ...]:
         """Places a (X, Y) batch sharded over the data axis."""
         return jax.tree_util.tree_map(
@@ -332,9 +358,9 @@ class DataParallelTrainer:
         if not presharded:
             batch = self.shard(batch)
         self.params, self.vparams, self.opt_state, loss, rejected = self._train_step(
-            self.params, self.vparams, self.opt_state, self._leaves, batch
+            self.params, self.vparams, self.opt_state, self._static_leaves, batch
         )
-        self._pending_rejections.append(rejected)
+        self._record_rejections(rejected)
         return loss
 
     def shard_stacked(self, batches: Tuple[Any, ...]) -> Tuple[Any, ...]:
@@ -354,9 +380,9 @@ class DataParallelTrainer:
         if not presharded:
             batches = self.shard_stacked(batches)
         self.params, self.vparams, self.opt_state, losses, rejected = self._multi_step(
-            self.params, self.vparams, self.opt_state, self._leaves, batches
+            self.params, self.vparams, self.opt_state, self._static_leaves, batches
         )
-        self._pending_rejections.append(rejected)
+        self._record_rejections(rejected)
         return losses
 
     def stage_data(self, data: Tuple[Any, ...]) -> None:
@@ -385,23 +411,24 @@ class DataParallelTrainer:
         (
             self.params, self.vparams, self.opt_state, losses, rejected
         ) = self._multi_step_sampled(
-            self.params, self.vparams, self.opt_state, self._leaves,
+            self.params, self.vparams, self.opt_state, self._static_leaves,
             self._staged_data, keys, batch_size,
         )
-        self._pending_rejections.append(rejected)
+        self._record_rejections(rejected)
         return losses
 
     def loss(self, batch: Tuple[Any, ...], presharded: bool = False) -> jax.Array:
         if not presharded:
             batch = self.shard(batch)
-        return self._eval_loss(self.params, self.vparams, self._leaves, batch)
+        return self._eval_loss(self.params, self.vparams, self._static_leaves, batch)
 
     def finalize(self) -> None:
         """Writes the optimized parameter values back into the model."""
+        leaves = list(self._static_leaves)
         for i, p in zip(self._train_idx, self.params):
-            self._leaves[i] = p
+            leaves[i] = p
         for i, p in zip(self._natgrad_idx, self.vparams):
-            self._leaves[i] = p
-        updated = jax.tree_util.tree_unflatten(self._treedef, self._leaves)
+            leaves[i] = p
+        updated = jax.tree_util.tree_unflatten(self._treedef, leaves)
         for target, source in zip(self.model.parameters, updated.parameters):
             target.assign_unconstrained(source.unconstrained_variable)

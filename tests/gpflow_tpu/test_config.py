@@ -67,8 +67,6 @@ def test_env_variables(attr_name, value, expected_value):
     "attr_name", list(dict.fromkeys(list(zip(*_env_values))[0]))
 )
 def test_env_variables_garbage_rejected(attr_name):
-    if attr_name == "summary_fmt":
-        pytest.skip("summary_fmt env values are not validated (matches reference)")
     env_name = f"GPFLOW_{attr_name.upper()}"
     with mock.patch.dict("os.environ", {env_name: "garbage"}):
         with pytest.raises(TypeError):
@@ -233,3 +231,38 @@ def test_explicit_jitter_survives_dtype_switch():
 def test_set_default_jitter_validates():
     with pytest.raises(ValueError):
         config.set_default_jitter(-1.0)
+
+
+def test_direct_config_construction_resolves_jitter_from_dtype():
+    """Config(float=np.float32) must NOT keep the f64 jitter 1e-6 (the
+    NaN-prone combination); jitter=None resolves from the float dtype
+    (round-2 review finding)."""
+    assert Config(float=np.float32).jitter == 1e-4
+    assert Config(float=np.float64).jitter == 1e-6
+    assert Config(float=np.float32, jitter=7e-5).jitter == 7e-5
+    with as_context(Config(float=np.float32)):
+        assert default_jitter() == 1e-4
+
+
+def test_set_default_float_preserves_set_config_customized_jitter():
+    """A jitter customized via set_config/Config(jitter=...) survives a
+    dtype switch (round-2 review finding: it used to be clobbered)."""
+    import dataclasses
+
+    set_config(dataclasses.replace(config.config(), jitter=1e-8))
+    set_default_float(np.float64)
+    assert default_jitter() == 1e-8
+    set_default_float(np.float32)
+    assert default_jitter() == 1e-8
+
+
+def test_as_context_restores_jitter_explicitness():
+    """set_default_jitter inside as_context must not leak the explicitness
+    flag: after the block, the dtype-matched jitter default is live again."""
+    with as_context():
+        set_default_jitter(1e-3)
+        assert default_jitter() == 1e-3
+    set_default_float(np.float32)
+    assert default_jitter() == 1e-4  # dtype-tracking restored
+    set_default_float(np.float64)
+    assert default_jitter() == 1e-6

@@ -434,7 +434,7 @@ def test_dp_step_hlo_has_collectives_and_sharded_batch():
         )
 
     compiled = trainer._train_step.lower(
-        trainer.params, trainer.vparams, trainer.opt_state, trainer._leaves, batch
+        trainer.params, trainer.vparams, trainer.opt_state, trainer._static_leaves, batch
     ).compile()
     hlo = compiled.as_text()
     assert "all-reduce" in hlo, "dp step compiled without cross-device collectives"
@@ -449,7 +449,7 @@ def test_latent_axis_2d_hlo_has_collectives():
     )
     batch = trainer.shard((X[:32], Ym[:32]))
     compiled = trainer._train_step.lower(
-        trainer.params, trainer.vparams, trainer.opt_state, trainer._leaves, batch
+        trainer.params, trainer.vparams, trainer.opt_state, trainer._static_leaves, batch
     ).compile()
     assert "all-reduce" in compiled.as_text()
 
@@ -497,3 +497,42 @@ def test_shard_internal_data_preserves_gplvm_parameter():
     assert any(p is m.data[0] for p in m.trainable_parameters)
     assert len(m.data[1].sharding.device_set) == 8
     assert np.isfinite(float(m.training_loss()))
+
+
+def test_make_mesh_rejects_oversubscription():
+    """num_devices > available must raise like the shape= path does (round-2
+    review: silent truncation halved the mesh and broke batch divisibility
+    assumptions without signal)."""
+    with pytest.raises(ValueError, match="requested but only"):
+        make_mesh(num_devices=len(jax.devices()) + 1)
+
+
+def test_trainer_leaves_argument_never_aliases_donated_params():
+    """The jitted step donates (params, vparams, opt_state); the leaves
+    argument must NOT carry the same buffers (round-2 review: aliased
+    donated inputs only worked via dead-code elimination and would fail with
+    a donated-buffer execute error if any path read them)."""
+    model = _svgp()
+    trainer = DataParallelTrainer(model, optimizer=optax.adam(1e-2))
+    assert all(trainer._static_leaves[i] is None for i in trainer._train_idx)
+    param_ids = {id(p) for p in trainer.params} | {id(p) for p in trainer.vparams}
+    assert not any(
+        id(l) in param_ids for l in trainer._static_leaves if l is not None
+    )
+    # two consecutive donated steps + a loss eval still work and finalize
+    l1 = float(trainer.step((X, Y)))
+    l2 = float(trainer.step((X, Y)))
+    assert np.isfinite(l1) and np.isfinite(l2)
+    trainer.finalize()
+
+
+def test_trainer_rejection_tracking_noop_without_natgrad():
+    """No natgrad => no per-step device scalars are retained (round-2
+    review: the pending list grew one buffer per step for a counter that is
+    identically zero)."""
+    model = _svgp()
+    trainer = DataParallelTrainer(model, optimizer=optax.adam(1e-2))
+    for _ in range(3):
+        trainer.step((X, Y))
+    assert trainer._pending_rejections == []
+    assert trainer.natgrad_rejections == 0
