@@ -188,7 +188,14 @@ class Parameter:
         self.trainable: bool = True if trainable is None else bool(trainable)
         self.name: str = name or "parameter"
         if unconstrained_value is not None:
-            self._unconstrained = _to_array(unconstrained_value, dtype)
+            if value is not None:
+                raise ValueError(
+                    "Pass either `value` or `unconstrained_value` to Parameter, "
+                    "not both (the `value` would be silently ignored)."
+                )
+            u = _to_array(unconstrained_value, dtype)
+            _validate_finite(u, self.name)
+            self._unconstrained = u
         else:
             constrained = _to_array(value, dtype)
             unconstrained = _apply(self._transform, constrained, "inverse")
@@ -254,7 +261,17 @@ class Parameter:
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return tuple(self.value.shape)
+        """Constrained shape. Cached per unconstrained shape: shape
+        inspection must not re-run the forward bijector (O(L*M^2) host work
+        for triangular transforms) nor count as a parameter READ for
+        ``capture_parameter_reads`` (round-2 review finding)."""
+        ushape = tuple(np.shape(self._unconstrained))
+        cache = getattr(self, "_shape_cache", None)
+        if cache is not None and cache[0] == ushape:
+            return cache[1]
+        cshape = tuple(np.shape(_apply(self._transform, self._unconstrained, "forward")))
+        object.__setattr__(self, "_shape_cache", (ushape, cshape))
+        return cshape
 
     @property
     def dtype(self) -> Any:
@@ -262,7 +279,7 @@ class Parameter:
 
     @property
     def ndim(self) -> int:
-        return self.value.ndim
+        return len(self.shape)
 
     def _prepare_assign(self, value: TensorData) -> Any:
         """Validates a constrained value and returns the unconstrained array
@@ -382,6 +399,22 @@ class Parameter:
     def __ge__(self, o: Any) -> jax.Array:
         return self.value >= o
 
+    def __eq__(self, o: Any) -> Any:
+        # elementwise, consistent with the ordering operators and with
+        # tf.Variable semantics (round-2 review: == used to silently fall
+        # back to identity while < was elementwise). Parameter-to-Parameter
+        # identity checks should use `is` / id().
+        if o is self:
+            return True
+        return self.value == (o.value if isinstance(o, Parameter) else o)
+
+    def __ne__(self, o: Any) -> Any:
+        if o is self:
+            return False
+        return self.value != (o.value if isinstance(o, Parameter) else o)
+
+    # identity hash kept despite elementwise __eq__: Parameters are used as
+    # set/dict members by identity throughout (capture hooks, trainers)
     __hash__ = object.__hash__
 
 
@@ -450,19 +483,141 @@ def _hashable(value: Any) -> Any:
     return value
 
 
+class _StaticValue:
+    """Hashable aux wrapper that PRESERVES the original static object.
+
+    jit caches on treedef equality, which needs hashable aux data — but the
+    converted hashable form must not leak back into the reconstructed module
+    (round-2 review: a static ``dict`` attribute used to come back from
+    ``tree_unflatten`` as a tuple of pairs, breaking any jitted method that
+    indexed it)."""
+
+    __slots__ = ("value", "_key")
+
+    def __init__(self, value: Any, key: Any) -> None:
+        self.value = value
+        self._key = key
+
+    def __hash__(self) -> int:
+        return hash(self._key)
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, _StaticValue) and self._key == other._key
+
+    def __repr__(self) -> str:
+        return f"_StaticValue({self.value!r})"
+
+
+def _static_entry(value: Any) -> Any:
+    """`value` if hashable as-is, else a `_StaticValue` whose hash/eq use the
+    converted form while the original object round-trips unchanged."""
+    try:
+        hash(value)
+        return value
+    except TypeError:
+        return _StaticValue(value, _hashable(value))
+
+
+def _unwrap_static(value: Any) -> Any:
+    return value.value if isinstance(value, _StaticValue) else value
+
+
+class _StaticSlot:
+    """Marks a static element inside an otherwise-dynamic container."""
+
+    __slots__ = ("entry",)
+
+    def __init__(self, entry: Any) -> None:
+        self.entry = entry
+
+    def __hash__(self) -> int:
+        return hash(("static-slot", self.entry))
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, _StaticSlot) and self.entry == other.entry
+
+
+def _split_dynamic(v: Any) -> Tuple[Any, Any]:
+    """Splits a dynamic value into (traced part, static-element spec).
+
+    A mixed container (e.g. ``[Parameter(...), "label"]``) keeps its dynamic
+    elements as pytree children while static elements move to the treedef as
+    a spec (round-2 review: strings used to become pytree LEAVES, and any
+    jit over the module failed with an abstract-array TypeError). Returns
+    spec None when the container is purely dynamic."""
+    if isinstance(v, (list, tuple)):
+        dyns, specs, has_static = [], [], False
+        for e in v:
+            if _is_dynamic(e):
+                de, se = _split_dynamic(e)
+                dyns.append(de)
+                specs.append(se)
+                has_static = has_static or se is not None
+            else:
+                dyns.append(None)
+                specs.append(_StaticSlot(_static_entry(e)))
+                has_static = True
+        if isinstance(v, tuple):
+            dyn = type(v)(*dyns) if hasattr(v, "_fields") else tuple(dyns)
+        else:
+            dyn = list(dyns)
+        return dyn, (("seq", tuple(specs)) if has_static else None)
+    if isinstance(v, dict):
+        dyns, specs, has_static = {}, [], False
+        for k, e in v.items():
+            if _is_dynamic(e):
+                de, se = _split_dynamic(e)
+                dyns[k] = de
+                specs.append((k, se))
+                has_static = has_static or se is not None
+            else:
+                dyns[k] = None
+                specs.append((k, _StaticSlot(_static_entry(e))))
+                has_static = True
+        return dyns, (("dict", tuple(specs)) if has_static else None)
+    return v, None
+
+
+def _merge_elem(dyn: Any, spec: Any) -> Any:
+    if spec is None:
+        return dyn
+    if isinstance(spec, _StaticSlot):
+        return _unwrap_static(spec.entry)
+    return _merge_dynamic(dyn, spec)
+
+
+def _merge_dynamic(dyn: Any, spec: Any) -> Any:
+    if spec is None:
+        return dyn
+    tag, parts = spec
+    if tag == "seq":
+        merged = [_merge_elem(d, s) for d, s in zip(dyn, parts)]
+        if isinstance(dyn, tuple):
+            return type(dyn)(*merged) if hasattr(dyn, "_fields") else tuple(merged)
+        return merged
+    out = dict(dyn)
+    for k, s in parts:
+        out[k] = _merge_elem(dyn.get(k), s)
+    return out
+
+
 def _module_flatten(m: "Module") -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
     d = vars(m)
     dyn_keys = []
     dyn_vals = []
     static = []
+    cspecs = []
     for k in sorted(d):
         v = d[k]
         if _is_dynamic(v):
+            dv, spec = _split_dynamic(v)
             dyn_keys.append(k)
-            dyn_vals.append(v)
+            dyn_vals.append(dv)
+            if spec is not None:
+                cspecs.append((k, spec))
         else:
-            static.append((k, _hashable(v)))
-    return tuple(dyn_vals), (tuple(dyn_keys), tuple(static))
+            static.append((k, _static_entry(v)))
+    return tuple(dyn_vals), (tuple(dyn_keys), tuple(static), tuple(cspecs))
 
 
 def _module_flatten_with_keys(m: "Module") -> Tuple[Tuple[Any, ...], Tuple[Any, ...]]:
@@ -472,13 +627,15 @@ def _module_flatten_with_keys(m: "Module") -> Tuple[Tuple[Any, ...], Tuple[Any, 
 
 
 def _module_unflatten(cls: type, aux: Tuple[Any, ...], children: Iterable[Any]) -> "Module":
-    dyn_keys, static = aux
+    dyn_keys, static, cspecs = aux
     obj = object.__new__(cls)
     d = obj.__dict__
     for k, v in static:
-        d[k] = v
+        d[k] = _unwrap_static(v)
     for k, v in zip(dyn_keys, children):
         d[k] = v
+    for k, spec in cspecs:
+        d[k] = _merge_dynamic(d[k], spec)
     return obj
 
 

@@ -55,7 +55,17 @@ def _use_inv_solve() -> bool:
 
 def _default_key() -> jax.Array:
     """Fresh key for convenience use outside jit (stateful; pass `key=`
-    explicitly inside jit)."""
+    explicitly inside jit). Under tracing the stateful key would be baked in
+    as a COMPILE-TIME CONSTANT — every call of the compiled function would
+    return identical "random" samples (silently biased Monte Carlo), so that
+    misuse is an error rather than a trap (round-2 review finding)."""
+    if type(jax.core.trace_ctx.trace).__name__ != "EvalTrace":
+        raise ValueError(
+            "Sampling without an explicit `key=` inside jit/scan/vmap would "
+            "bake a constant PRNG key into the compiled function (identical "
+            "samples on every call). Pass key=jax.random.PRNGKey(...) "
+            "explicitly."
+        )
     _seed_counter[0] += 1
     return jax.random.PRNGKey(_seed_counter[0])
 
@@ -144,11 +154,13 @@ def base_conditional_with_lm(
         A = jnp.matmul(Lm_inv, Kmn)  # [..., M, N]
     elif _use_inv_solve() and N > M:
         # TPU fast path: triangular solves with wide right-hand sides are
-        # slower than matmuls on the MXU. Invert L once ([M, M] solve, 4x
-        # cheaper than the [M, N] solve when N >> M) and turn the projection
-        # and its backward pass into pure matmuls (triangular_inverse has a
+        # slower than matmuls on the MXU. Invert L ONCE ([M, M] solve, 4x
+        # cheaper than the [M, N] solve when N >> M) and broadcast the
+        # inverse — inverting the broadcast Lm_b would redo the O(M^3)
+        # inversion per leading batch element. The projection and its
+        # backward pass become pure matmuls (triangular_inverse has a
         # matmul-only custom VJP).
-        Lm_inv = triangular_inverse(Lm_b)
+        Lm_inv = jnp.broadcast_to(triangular_inverse(Lm), leading_dims + Lm.shape)
         A = jnp.matmul(Lm_inv, Kmn)  # [..., M, N]
     else:
         Lm_inv = None

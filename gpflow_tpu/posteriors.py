@@ -827,6 +827,23 @@ class FullyCorrelatedPosterior(BasePosterior):
 class FallbackIndependentLatentPosterior(FullyCorrelatedPosterior):
     """reference ``posteriors.py:1015-1036``."""
 
+    def _precompute(self) -> Tuple[PrecomputedValue, ...]:
+        # The inherited FullyCorrelatedPosterior cache assumes a single
+        # flattened [MP, MP] Kuu; with L>1 independent latents Kuu is
+        # [L, M, M] and the cached matmuls are shape-incompatible — same
+        # limitation as the reference (its posterior tests use L=1 only).
+        # Raise HERE with a clear message instead of letting update_cache
+        # succeed and predict_f die later on an opaque shape error.
+        Kmm = Kuu(self.X_data, self.kernel, jitter=default_jitter())
+        if Kmm.ndim == 3 and Kmm.shape[0] > 1:
+            raise NotImplementedError(
+                "FallbackIndependentLatentPosterior supports the precomputed "
+                f"cache only for a single latent GP (got L={Kmm.shape[0]}); "
+                "use fused_predict_f, or the efficient LinearCoregionalization "
+                "route (SharedIndependentInducingVariables)."
+            )
+        return super()._precompute()
+
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

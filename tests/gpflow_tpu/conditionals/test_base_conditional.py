@@ -80,6 +80,67 @@ def test_base_conditional_vs_oracle(white, q_form, full_cov):
         np.testing.assert_allclose(np.asarray(var), diag_ref, rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.parametrize("white", [False, True])
+@pytest.mark.parametrize("full_cov", [False, True])
+def test_base_conditional_inv_solve_batched_leading_dims(
+    monkeypatch, white, full_cov
+):
+    """INV_SOLVE path with leading batch dims must match the solve path.
+
+    Regression: the fast path used to invert the BROADCAST [..., M, M]
+    Cholesky (redundant O(M^3) work per batch element); now it inverts once
+    and broadcasts — results must stay identical either way."""
+    B1, B2, Nn = 2, 3, 12  # N > M triggers the inv-solve branch (M=5)
+    X = rng.randn(M, 2)
+    from gpflow_tpu import kernels
+
+    k = kernels.SquaredExponential(lengthscales=0.9)
+    Kmm = np.asarray(k(X)) + 1e-6 * np.eye(M)
+    Kmn = rng.randn(M, B1, B2, Nn) * 0.3
+    Knn_full = np.stack(
+        [np.eye(Nn) + 0.1 * np.ones((Nn, Nn)) for _ in range(B1 * B2)]
+    ).reshape(B1, B2, Nn, Nn)
+    Knn = Knn_full if full_cov else np.einsum("...ii->...i", Knn_full)
+    f = rng.randn(M, R)
+    q_sqrt = np.stack([np.tril(rng.randn(M, M)) + np.eye(M) for _ in range(R)])
+
+    monkeypatch.delenv("GPFLOW_TPU_INV_SOLVE", raising=False)
+    mean_ref, var_ref = base_conditional(
+        Kmn, Kmm, Knn, f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
+    )
+    monkeypatch.setenv("GPFLOW_TPU_INV_SOLVE", "1")
+    mean_fast, var_fast = base_conditional(
+        Kmn, Kmm, Knn, f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean_fast), np.asarray(mean_ref), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_fast), np.asarray(var_ref), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_sample_mvn_default_key_refused_inside_jit():
+    """Omitting `key=` under tracing would bake a constant PRNG key into the
+    compiled function (identical samples every call) — must raise."""
+    import jax
+
+    mean = rng.randn(4, 3)
+    cov = np.abs(rng.randn(4, 3)) + 0.1
+
+    def f(m, c):
+        return sample_mvn(m, c, full_cov=False)
+
+    with pytest.raises(ValueError, match="explicit"):
+        jax.jit(f)(mean, cov)
+    # outside jit the stateful default key still works, and successive calls
+    # draw DIFFERENT keys
+    s1 = np.asarray(sample_mvn(mean, cov, full_cov=False))
+    s2 = np.asarray(sample_mvn(mean, cov, full_cov=False))
+    assert s1.shape == (4, 3)
+    assert not np.allclose(s1, s2)
+
+
 def test_sample_mvn_moments():
     import jax
 

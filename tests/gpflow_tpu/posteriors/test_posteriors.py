@@ -165,6 +165,20 @@ def test_fallback_independent_latent(q_sqrt_form, whiten):
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_c), atol=1e-8)
 
 
+def test_fallback_independent_latent_multilatent_cache_raises():
+    """L>1 fallback: the precomputed cache is single-latent-only (same
+    limitation as the reference); update_cache must fail with a clear
+    NotImplementedError instead of a downstream shape error."""
+    ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)]
+    W = rng.randn(P, L)
+    kernel = kernels.LinearCoregionalization(ks, W=W)
+    iv = FallbackSharedIndependentInducingVariables(InducingPoints(Z.copy()))
+    q_mu, q_sqrt = _q(M, L, "full")
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, True, precompute_cache=None)
+    with pytest.raises(NotImplementedError, match="single latent"):
+        posterior.update_cache(PrecomputeCacheType.TENSOR)
+
+
 @pytest.mark.parametrize("whiten", [True, False])
 def test_fallback_independent_latent_fused_multilatent(whiten):
     """L>1 fallback works through the fused interdomain conditional."""

@@ -254,6 +254,93 @@ def test_parameter_copy_construction_inherits_metadata():
     assert cp2.name == "other"
 
 
+def test_parameter_value_and_unconstrained_value_exclusive():
+    # passing both would silently ignore `value` — must be an error
+    with pytest.raises(ValueError, match="not both"):
+        Parameter(1.0, unconstrained_value=0.5)
+    # unconstrained_value alone works and is validated for finiteness
+    p = Parameter(None, transform=Exp(), unconstrained_value=0.0)
+    np.testing.assert_allclose(p.numpy(), 1.0, rtol=1e-12)
+    with pytest.raises(ValueError, match="NaN or Inf"):
+        Parameter(None, unconstrained_value=np.nan)
+
+
+def test_parameter_shape_is_not_a_read_and_is_cached():
+    from gpflow_tpu.base import capture_parameter_reads
+    from gpflow_tpu.bijectors import FillTriangular
+
+    p = Parameter(np.tril(np.ones((3, 3))) + np.eye(3), transform=FillTriangular())
+    assert p.shape == (3, 3)  # constrained shape, not the packed (6,)
+    assert p.ndim == 2
+    with capture_parameter_reads() as cap:
+        _ = p.shape
+        _ = p.ndim
+    assert cap.parameters == [], "shape inspection must not count as a read"
+    # cache stays consistent across unconstrained-shape-preserving assigns
+    p.assign(np.tril(2.0 * np.ones((3, 3))) + np.eye(3))
+    assert p.shape == (3, 3)
+
+
+def test_parameter_eq_elementwise():
+    p = Parameter([1.0, 2.0])
+    q = Parameter([1.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(p == q), [True, False])
+    np.testing.assert_array_equal(np.asarray(p != q), [False, True])
+    np.testing.assert_array_equal(np.asarray(p == np.array([1.0, 0.0])), [True, False])
+    assert (p == p) is True and (p != p) is False  # identity fast path
+    # identity hash retained: Parameters remain usable as set/dict members
+    assert len({p, q}) == 2
+
+
+class _MixedContainers(Module):
+    def __init__(self):
+        self.items = [Parameter(1.0, name="p0"), "label", 3]
+        self.table = {"p": Parameter(2.0, name="p1"), "mode": "fast"}
+        self.cfg = {"depth": 2}  # fully-static dict attribute
+        self.pair = (Parameter(4.0, name="p2"), None, "x")
+
+
+def test_module_mixed_containers_roundtrip():
+    m = _MixedContainers()
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    # static elements inside dynamic containers survive with original types
+    assert m2.items[1] == "label" and m2.items[2] == 3
+    assert isinstance(m2.table, dict) and m2.table["mode"] == "fast"
+    assert isinstance(m2.cfg, dict) and m2.cfg["depth"] == 2
+    assert m2.pair[1] is None and m2.pair[2] == "x"
+    np.testing.assert_allclose(np.asarray(m2.items[0].value), 1.0)
+    np.testing.assert_allclose(np.asarray(m2.table["p"].value), 2.0)
+    np.testing.assert_allclose(np.asarray(m2.pair[0].value), 4.0)
+    assert len(m.parameters) == 3
+
+
+def test_module_mixed_containers_jit_and_grad():
+    m = _MixedContainers()
+    traces = []
+
+    @jax.jit
+    def loss(mod):
+        traces.append(1)
+        # statics must come back usable inside the traced function
+        assert mod.table["mode"] == "fast" and mod.cfg["depth"] == 2
+        return (
+            mod.items[0].value ** 2
+            + mod.table["p"].value
+            + mod.pair[0].value * mod.items[2]
+        )
+
+    np.testing.assert_allclose(float(loss(m)), 1.0 + 2.0 + 12.0, rtol=1e-12)
+    m.items[0].assign(3.0)
+    np.testing.assert_allclose(float(loss(m)), 9.0 + 2.0 + 12.0, rtol=1e-12)
+    assert len(traces) == 1, "value change must not retrace"
+    m.table["mode"] = "slow"  # static change -> retrace (cache keyed on aux)
+    with pytest.raises(AssertionError):
+        loss(m)
+    g = jax.grad(lambda mod: mod.items[0].value ** 2)(m)
+    assert isinstance(g, _MixedContainers)
+
+
 def test_parameter_declared_shape_validation():
     from gpflow_tpu.utilities import positive
 
