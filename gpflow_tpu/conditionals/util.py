@@ -59,7 +59,11 @@ def _default_key() -> jax.Array:
     as a COMPILE-TIME CONSTANT — every call of the compiled function would
     return identical "random" samples (silently biased Monte Carlo), so that
     misuse is an error rather than a trap (round-2 review finding)."""
-    if type(jax.core.trace_ctx.trace).__name__ != "EvalTrace":
+    try:
+        tracing = type(jax.core.trace_ctx.trace).__name__ != "EvalTrace"
+    except AttributeError:  # jax internals moved: degrade to permissive
+        tracing = False
+    if tracing:
         raise ValueError(
             "Sampling without an explicit `key=` inside jit/scan/vmap would "
             "bake a constant PRNG key into the compiled function (identical "

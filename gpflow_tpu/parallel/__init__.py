@@ -14,12 +14,13 @@ For multioutput models a second, model-parallel axis is available: build a
 conversions are then sharded over that axis (compute and memory both scale
 in L, which a pure data mesh cannot do).
 """
-from .mesh import make_mesh, replicated, shard_batch
+from .mesh import make_hybrid_mesh, make_mesh, replicated, shard_batch
 from .sharded import shard_internal_data, sharded_predict_f
 from .trainer import DataParallelTrainer
 
 __all__ = [
     "DataParallelTrainer",
+    "make_hybrid_mesh",
     "make_mesh",
     "replicated",
     "shard_batch",

@@ -7,7 +7,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "replicated", "shard_batch"]
+__all__ = ["make_hybrid_mesh", "make_mesh", "replicated", "shard_batch"]
 
 DEFAULT_AXIS = "data"
 LATENT_AXIS = "latent"
@@ -56,6 +56,71 @@ def make_mesh(
         # breaks the caller's divisibility assumptions without any signal
         raise ValueError(f"num_devices={n} requested but only {len(devices)} available")
     return Mesh(np.array(devices[:n]), (axis_name,))
+
+
+def make_hybrid_mesh(
+    ici: Mapping[str, int],
+    dcn: Optional[Mapping[str, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """DCN-aware mesh for multi-slice TPU pods.
+
+    Each named axis has total size ``ici[name] * dcn.get(name, 1)``: the
+    ``ici`` factor lays out WITHIN a slice (fast chip-to-chip interconnect),
+    the ``dcn`` factor ACROSS slices (slow data-center network). Shard so
+    traffic matches the link:
+
+    * the **data/batch axis** goes in ``dcn`` — its only collective is one
+      gradient/ELBO psum per step, which amortizes the slow link;
+    * **model axes** (``latent`` for multioutput state) stay ICI-only —
+      their collectives sit inside the per-step math.
+
+    On multi-slice hardware this delegates to
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` so device
+    coordinates actually map to the physical topology. On single-slice (or
+    CPU-mesh test) environments the same logical mesh is built by an
+    ordinary reshape, so code written against a hybrid mesh runs unchanged.
+
+    Example — 2 slices of 4 chips, data-parallel across slices, latent
+    model-parallel inside each::
+
+        mesh = make_hybrid_mesh(ici={"data": 2, "latent": 2}, dcn={"data": 2})
+        # axes: data=4 (2 per slice x 2 slices), latent=2 (ICI-only)
+    """
+    dcn = dict(dcn or {})
+    unknown = set(dcn) - set(ici)
+    if unknown:
+        raise ValueError(
+            f"dcn axes {sorted(unknown)} not in ici axes {sorted(ici)}; "
+            "declare every axis in `ici` (use ici size 1 for pure-DCN axes)"
+        )
+    names = tuple(ici)
+    ici_sizes = tuple(int(ici[n]) for n in names)
+    dcn_sizes = tuple(int(dcn.get(n, 1)) for n in names)
+    total = int(np.prod(ici_sizes)) * int(np.prod(dcn_sizes))
+    devices = list(devices) if devices is not None else jax.devices()
+    if total > len(devices):
+        raise ValueError(
+            f"hybrid mesh ici={dict(ici)} x dcn={dcn} needs {total} devices, "
+            f"have {len(devices)}"
+        )
+    devices = devices[:total]
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices > 1:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            ici_sizes, dcn_sizes, devices=devices
+        )
+    else:
+        # single granule: the hybrid layout degenerates to a reshape with
+        # each axis's DCN factor outermost — (d0..dk, i0..ik) interleaved to
+        # (d0, i0, d1, i1, ...) then merged per axis
+        arr = np.array(devices).reshape(dcn_sizes + ici_sizes)
+        k = len(names)
+        arr = arr.transpose([x for i in range(k) for x in (i, k + i)])
+        arr = arr.reshape(tuple(d * i for d, i in zip(dcn_sizes, ici_sizes)))
+    return Mesh(arr, names)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

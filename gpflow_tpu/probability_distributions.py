@@ -23,6 +23,15 @@ class ProbabilityDistribution(Module):
     system via :func:`get_probability_distribution_shape`.
     """
 
+    @property
+    def shape(self):
+        """[N, D]-style shape of the distribution (reference
+        ``probability_distributions.py:32-42``); N = data points, D = input
+        dims. Concrete subclasses derive it from ``mu``."""
+        raise NotImplementedError(
+            f"{type(self).__name__} must implement the `shape` property"
+        )
+
 
 class Gaussian(ProbabilityDistribution):
     """mu: [N, D], cov: [N, D, D]."""

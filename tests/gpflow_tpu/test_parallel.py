@@ -499,6 +499,34 @@ def test_shard_internal_data_preserves_gplvm_parameter():
     assert np.isfinite(float(m.training_loss()))
 
 
+def test_make_hybrid_mesh_layout_and_training():
+    """DCN-aware hybrid mesh: logical shape = ici * dcn per axis; on a
+    single granule (this CPU mesh) it degenerates to a reshape, and a
+    trainer built on it matches the plain-mesh run exactly."""
+    from gpflow_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(ici={"data": 2, "latent": 2}, dcn={"data": 2})
+    assert mesh.axis_names == ("data", "latent")
+    assert mesh.devices.shape == (4, 2)
+    assert len({d.id for d in mesh.devices.flat}) == 8
+
+    # dcn axis must be declared in ici (size-1 ici for pure-DCN axes)
+    with pytest.raises(ValueError, match="not in ici axes"):
+        make_hybrid_mesh(ici={"data": 2}, dcn={"batch": 2})
+    with pytest.raises(ValueError, match="needs"):
+        make_hybrid_mesh(ici={"data": 8}, dcn={"data": 2})
+
+    model = _svgp()
+    t_plain = DataParallelTrainer(model, optimizer=optax.adam(0.01))
+    l_plain = [float(t_plain.step((X[:64], Y[:64]))) for _ in range(3)]
+
+    model2 = _svgp()
+    hmesh = make_hybrid_mesh(ici={"data": 4}, dcn={"data": 2})
+    t_hyb = DataParallelTrainer(model2, optimizer=optax.adam(0.01), mesh=hmesh)
+    l_hyb = [float(t_hyb.step((X[:64], Y[:64]))) for _ in range(3)]
+    np.testing.assert_allclose(l_plain, l_hyb, rtol=1e-10)
+
+
 def test_make_mesh_rejects_oversubscription():
     """num_devices > available must raise like the shape= path does (round-2
     review: silent truncation halved the mesh and broke batch divisibility
