@@ -341,6 +341,84 @@ def test_module_mixed_containers_jit_and_grad():
     assert isinstance(g, _MixedContainers)
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_module_random_structure_roundtrip_fuzz(seed):
+    """Random nested attribute structures (Parameters/arrays mixed with
+    strings/ints/None at every level) must round-trip through
+    flatten/unflatten exactly and jit without retracing on value change."""
+    r = np.random.RandomState(seed)
+
+    def rand_value(depth):
+        kinds = ["param", "np", "float", "str", "int", "none"]
+        if depth < 2:
+            kinds += ["list", "tuple", "dict"] * 2
+        k = kinds[r.randint(len(kinds))]
+        if k == "param":
+            return Parameter(r.rand(2) + 0.5, name=f"p{r.randint(1000)}")
+        if k == "np":
+            return r.rand(3)
+        if k == "float":
+            return float(r.rand())
+        if k == "str":
+            return f"s{r.randint(10)}"
+        if k == "int":
+            return int(r.randint(100))
+        if k == "none":
+            return None
+        n = r.randint(1, 4)
+        if k == "list":
+            return [rand_value(depth + 1) for _ in range(n)]
+        if k == "tuple":
+            return tuple(rand_value(depth + 1) for _ in range(n))
+        return {f"k{i}": rand_value(depth + 1) for i in range(n)}
+
+    class _Fuzz(Module):
+        def __init__(self):
+            for i in range(r.randint(2, 6)):
+                setattr(self, f"attr{i}", rand_value(0))
+
+    m = _Fuzz()
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def structure(v):
+        if isinstance(v, Parameter):
+            return ("P", np.asarray(v.value).tolist())
+        if isinstance(v, (np.ndarray, jax.Array)):
+            return ("A", np.asarray(v).tolist())
+        if isinstance(v, list):
+            return ("L", [structure(e) for e in v])
+        if isinstance(v, tuple):
+            return ("T", [structure(e) for e in v])
+        if isinstance(v, dict):
+            return ("D", sorted((k, structure(e)) for k, e in v.items()))
+        return ("S", v)
+
+    for k in vars(m):
+        assert structure(getattr(m, k)) == structure(getattr(m2, k)), k
+
+    traces = []
+
+    @jax.jit
+    def total(mod):
+        traces.append(1)
+        leaves = jax.tree_util.tree_leaves(
+            mod, is_leaf=lambda x: isinstance(x, Parameter)
+        )
+        vals = [
+            jnp.sum(l.value if isinstance(l, Parameter) else jnp.asarray(l))
+            for l in leaves
+        ]
+        return sum(vals) if vals else jnp.zeros(())
+
+    v1 = float(total(m))
+    assert np.isfinite(v1)
+    for p in m.parameters:
+        p.assign(np.asarray(p.value) + 1.0)
+    total(m)
+    assert len(traces) == 1, "parameter value change must not retrace"
+
+
 def test_parameter_declared_shape_validation():
     from gpflow_tpu.utilities import positive
 
