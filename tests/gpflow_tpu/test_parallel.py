@@ -564,3 +564,63 @@ def test_trainer_rejection_tracking_noop_without_natgrad():
         trainer.step((X, Y))
     assert trainer._pending_rejections == []
     assert trainer.natgrad_rejections == 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sharded_training_fuzz_matches_single_device(seed):
+    """Randomized (mesh x model x batch x natgrad) configs: the sharded
+    trainer's loss trajectory must equal a single-device trainer started
+    from an identical model, to f64 accuracy."""
+    r = np.random.RandomState(100 + seed)
+    kind = ["svgp", "svgp_bern", "multioutput"][r.randint(3)]
+    data_size = int(r.choice([2, 4, 8]))
+    B = int(r.choice([4, 8]) * data_size)
+    steps = 3
+
+    if kind == "multioutput":
+        L = int(r.choice([2, 4]))
+        model, Ym = _multioutput_svgp(L=L, M=8)
+        data = (X[:B], Ym[:B])
+        natgrad = None
+        use_latent = bool(r.randint(2))
+        mesh = (
+            make_mesh(shape={"data": data_size, "latent": min(L, 8 // data_size)})
+            if use_latent and data_size < 8
+            else make_mesh(num_devices=data_size)
+        )
+        latent_axis = "latent" if (use_latent and data_size < 8) else None
+    else:
+        if kind == "svgp_bern":
+            model = SVGP(
+                kernel=kernels.SquaredExponential(),
+                likelihood=likelihoods.Bernoulli(),
+                inducing_variable=X[:8].copy(),
+                num_data=N,
+            )
+            data = (X[:B], (Y[:B] > 0).astype(float))
+        else:
+            model = _svgp()
+            data = (X[:B], Y[:B])
+        natgrad = float(r.choice([0.0, 0.1, 0.3])) or None
+        mesh = make_mesh(num_devices=data_size)
+        latent_axis = None
+
+    model_ref = gpflow_tpu.utilities.deepcopy(model)
+    kw = dict(optimizer=optax.adam(0.02))
+    if natgrad:
+        kw["natgrad_gamma"] = natgrad
+    t_sharded = DataParallelTrainer(model, mesh=mesh, latent_axis=latent_axis, **kw)
+    t_single = DataParallelTrainer(model_ref, mesh=make_mesh(num_devices=1), **kw)
+    ls = [float(t_sharded.step(data)) for _ in range(steps)]
+    lr = [float(t_single.step(data)) for _ in range(steps)]
+    np.testing.assert_allclose(ls, lr, rtol=1e-8, err_msg=f"config: {kind}, "
+                               f"mesh={mesh.shape}, B={B}, natgrad={natgrad}")
+    t_sharded.finalize()
+    t_single.finalize()
+    # parameters: slightly looser than the losses — Adam's sqrt(v)+eps
+    # normalization amplifies f64 psum reduction-order differences between
+    # mesh sizes by ~1/sqrt(v), so 1e-8-grade losses give ~1e-7 params
+    for p, q in zip(model.parameters, model_ref.parameters):
+        np.testing.assert_allclose(
+            np.asarray(p.value), np.asarray(q.value), rtol=1e-6, atol=1e-9
+        )
