@@ -244,7 +244,10 @@ def test_config5_heteroskedastic_svgp():
     )
     before = float(m.elbo((X, Y)))
     natgrad = NaturalGradient(gamma=0.5)
-    params = [p for p in m.trainable_parameters if p not in (m.q_mu, m.q_sqrt)]
+    # identity-based filter: Parameter.__eq__ is elementwise (tf.Variable
+    # semantics), so `p not in (...)` would build ambiguous boolean arrays
+    variational = {id(m.q_mu), id(m.q_sqrt)}
+    params = [p for p in m.trainable_parameters if id(p) not in variational]
 
     opt = optax.adam(0.01)
 
