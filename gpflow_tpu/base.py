@@ -537,6 +537,20 @@ class _StaticSlot:
         return isinstance(other, _StaticSlot) and self.entry == other.entry
 
 
+def _dict_spec_items(v: Mapping) -> Any:
+    """Items of ``v`` in JAX's canonical flatten order for its type: plain
+    dict / defaultdict are flattened by SORTED key, OrderedDict by insertion
+    order. The spec order must match, or flatten(unflatten(m)) would yield a
+    different treedef than flatten(m) (round-2 review: tree_map over
+    (model, grads) raised 'Mismatch custom node data' and every
+    reconstructed module retraced)."""
+    import collections
+
+    if isinstance(v, collections.OrderedDict):
+        return list(v.items())
+    return sorted(v.items())
+
+
 def _split_dynamic(v: Any) -> Tuple[Any, Any]:
     """Splits a dynamic value into (traced part, static-element spec).
 
@@ -544,7 +558,9 @@ def _split_dynamic(v: Any) -> Tuple[Any, Any]:
     elements as pytree children while static elements move to the treedef as
     a spec (round-2 review: strings used to become pytree LEAVES, and any
     jit over the module failed with an abstract-array TypeError). Returns
-    spec None when the container is purely dynamic."""
+    spec None when the container is purely dynamic — in that case ``v`` is
+    returned UNTOUCHED so JAX's own handling of container types
+    (OrderedDict order/type, defaultdict factory, ...) applies unchanged."""
     if isinstance(v, (list, tuple)):
         dyns, specs, has_static = [], [], False
         for e in v:
@@ -557,14 +573,18 @@ def _split_dynamic(v: Any) -> Tuple[Any, Any]:
                 dyns.append(None)
                 specs.append(_StaticSlot(_static_entry(e)))
                 has_static = True
+        if not has_static:
+            return v, None
         if isinstance(v, tuple):
             dyn = type(v)(*dyns) if hasattr(v, "_fields") else tuple(dyns)
         else:
             dyn = list(dyns)
-        return dyn, (("seq", tuple(specs)) if has_static else None)
+        return dyn, ("seq", tuple(specs))
     if isinstance(v, dict):
-        dyns, specs, has_static = {}, [], False
-        for k, e in v.items():
+        specs, has_static = [], False
+        dyns = v.copy()  # preserves dict subclass type (defaultdict factory,
+        # OrderedDict order) through the JAX round trip
+        for k, e in _dict_spec_items(v):
             if _is_dynamic(e):
                 de, se = _split_dynamic(e)
                 dyns[k] = de
@@ -574,7 +594,9 @@ def _split_dynamic(v: Any) -> Tuple[Any, Any]:
                 dyns[k] = None
                 specs.append((k, _StaticSlot(_static_entry(e))))
                 has_static = True
-        return dyns, (("dict", tuple(specs)) if has_static else None)
+        if not has_static:
+            return v, None
+        return dyns, ("dict", tuple(specs))
     return v, None
 
 
@@ -595,7 +617,7 @@ def _merge_dynamic(dyn: Any, spec: Any) -> Any:
         if isinstance(dyn, tuple):
             return type(dyn)(*merged) if hasattr(dyn, "_fields") else tuple(merged)
         return merged
-    out = dict(dyn)
+    out = dyn.copy()  # keeps the dict subclass type
     for k, s in parts:
         out[k] = _merge_elem(dyn.get(k), s)
     return out

@@ -97,29 +97,58 @@ def make_hybrid_mesh(
     names = tuple(ici)
     ici_sizes = tuple(int(ici[n]) for n in names)
     dcn_sizes = tuple(int(dcn.get(n, 1)) for n in names)
-    total = int(np.prod(ici_sizes)) * int(np.prod(dcn_sizes))
+    ici_total = int(np.prod(ici_sizes))
+    dcn_total = int(np.prod(dcn_sizes))
+    total = ici_total * dcn_total
     devices = list(devices) if devices is not None else jax.devices()
     if total > len(devices):
         raise ValueError(
             f"hybrid mesh ici={dict(ici)} x dcn={dcn} needs {total} devices, "
             f"have {len(devices)}"
         )
-    devices = devices[:total]
-    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
-    if n_slices > 1:
-        from jax.experimental import mesh_utils
-
-        arr = mesh_utils.create_hybrid_device_mesh(
-            ici_sizes, dcn_sizes, devices=devices
-        )
-    else:
+    def _reshape_mesh(devs: Sequence[jax.Device]) -> Mesh:
         # single granule: the hybrid layout degenerates to a reshape with
         # each axis's DCN factor outermost — (d0..dk, i0..ik) interleaved to
         # (d0, i0, d1, i1, ...) then merged per axis
-        arr = np.array(devices).reshape(dcn_sizes + ici_sizes)
+        arr = np.array(devs).reshape(dcn_sizes + ici_sizes)
         k = len(names)
         arr = arr.transpose([x for i in range(k) for x in (i, k + i)])
-        arr = arr.reshape(tuple(d * i for d, i in zip(dcn_sizes, ici_sizes)))
+        return Mesh(
+            arr.reshape(tuple(d * i for d, i in zip(dcn_sizes, ici_sizes))), names
+        )
+
+    # Group by slice BEFORE selecting: a naive devices[:total] can swallow a
+    # whole slice and silently collapse the requested cross-slice layout onto
+    # one granule, or select an uneven cross-slice subset that
+    # create_hybrid_device_mesh rejects with a cryptic granule-count error.
+    by_slice: dict = {}
+    for d in devices:
+        by_slice.setdefault(getattr(d, "slice_index", None) or 0, []).append(d)
+    slice_ids = sorted(by_slice)
+    if len(slice_ids) == 1:
+        return _reshape_mesh(devices[:total])
+    if dcn_total > len(slice_ids):
+        raise ValueError(
+            f"hybrid mesh dcn={dcn} needs {dcn_total} slices, "
+            f"have {len(slice_ids)}"
+        )
+    usable = [s for s in slice_ids if len(by_slice[s]) >= ici_total]
+    if len(usable) < dcn_total:
+        short = [s for s in slice_ids if len(by_slice[s]) < ici_total]
+        raise ValueError(
+            f"hybrid mesh ici={dict(ici)} needs {ici_total} devices per "
+            f"slice on {dcn_total} slices; slices {short} have fewer"
+        )
+    if dcn_total == 1:
+        # keep the mesh inside ONE slice (spanning slices without declaring
+        # a dcn axis would put per-step collectives on the slow link)
+        return _reshape_mesh(by_slice[usable[0]][:total])
+    from jax.experimental import mesh_utils
+
+    selected = [d for s in usable[:dcn_total] for d in by_slice[s][:ici_total]]
+    arr = mesh_utils.create_hybrid_device_mesh(
+        ici_sizes, dcn_sizes, devices=selected
+    )
     return Mesh(arr, names)
 
 

@@ -833,12 +833,14 @@ class FallbackIndependentLatentPosterior(FullyCorrelatedPosterior):
         # [L, M, M] and the cached matmuls are shape-incompatible — same
         # limitation as the reference (its posterior tests use L=1 only).
         # Raise HERE with a clear message instead of letting update_cache
-        # succeed and predict_f die later on an opaque shape error.
-        Kmm = Kuu(self.X_data, self.kernel, jitter=default_jitter())
-        if Kmm.ndim == 3 and Kmm.shape[0] > 1:
+        # succeed and predict_f die later on an opaque shape error. Pure
+        # metadata check — building Kuu just to read L would double the
+        # O(L M^2 D) kernel work of every cache refresh.
+        L = self.kernel.num_latent_gps
+        if L > 1:
             raise NotImplementedError(
                 "FallbackIndependentLatentPosterior supports the precomputed "
-                f"cache only for a single latent GP (got L={Kmm.shape[0]}); "
+                f"cache only for a single latent GP (got L={L}); "
                 "use fused_predict_f, or the efficient LinearCoregionalization "
                 "route (SharedIndependentInducingVariables)."
             )

@@ -315,6 +315,67 @@ def test_module_mixed_containers_roundtrip():
     assert len(m.parameters) == 3
 
 
+def test_module_mixed_dict_treedef_stable_and_tree_mappable():
+    """Insertion order != sorted order must not destabilize the treedef:
+    tree_map over (model, grads) — the standard optimizer-update pattern —
+    and re-jitting a reconstructed module must both work (round-2 review:
+    the spec recorded insertion order while JAX unflattens dicts sorted)."""
+
+    class _M(Module):
+        def __init__(self):
+            self.table = {"p": Parameter(2.0), "mode": "fast"}  # p > mode
+
+    m = _M()
+    leaves, td = jax.tree_util.tree_flatten(m)
+    m2 = jax.tree_util.tree_unflatten(td, leaves)
+    _, td2 = jax.tree_util.tree_flatten(m2)
+    assert td == td2, "flatten(unflatten(m)) must reproduce the treedef"
+
+    g = jax.grad(lambda mod: mod.table["p"].value ** 2)(m)
+    summed = jax.tree_util.tree_map(lambda a, b: a + b, m, g)
+    assert isinstance(summed, _M)
+
+    traces = []
+
+    @jax.jit
+    def loss(mod):
+        traces.append(1)
+        return mod.table["p"].value
+
+    loss(m)
+    loss(m2)  # reconstructed module: same treedef -> no retrace
+    assert len(traces) == 1
+
+
+def test_module_container_subclasses_preserved():
+    """OrderedDict order/type and defaultdict factory survive the module
+    round trip (JAX itself preserves them; the static-split machinery must
+    not degrade them to plain containers)."""
+    from collections import OrderedDict, defaultdict
+
+    class _M(Module):
+        def __init__(self):
+            self.od = OrderedDict([("b", Parameter(1.0)), ("a", Parameter(2.0))])
+            self.dd = defaultdict(int, {"y": Parameter(3.0), "x": Parameter(4.0)})
+            # mixed variants: static element inside each subclass type
+            self.od_mixed = OrderedDict([("z", Parameter(5.0)), ("tag", "s")])
+            self.dd_mixed = defaultdict(list, {"w": Parameter(6.0), "mode": "m"})
+
+    m = _M()
+    leaves, td = jax.tree_util.tree_flatten(m)
+    m2 = jax.tree_util.tree_unflatten(td, leaves)
+    assert type(m2.od) is OrderedDict and list(m2.od) == ["b", "a"]
+    assert type(m2.dd) is defaultdict and m2.dd.default_factory is int
+    assert type(m2.od_mixed) is OrderedDict and m2.od_mixed["tag"] == "s"
+    assert list(m2.od_mixed) == ["z", "tag"]
+    assert type(m2.dd_mixed) is defaultdict and m2.dd_mixed.default_factory is list
+    assert m2.dd_mixed["mode"] == "m"
+    np.testing.assert_allclose(np.asarray(m2.od["b"].value), 1.0)
+    np.testing.assert_allclose(np.asarray(m2.dd_mixed["w"].value), 6.0)
+    _, td2 = jax.tree_util.tree_flatten(m2)
+    assert td == td2
+
+
 def test_module_mixed_containers_jit_and_grad():
     m = _MixedContainers()
     traces = []
@@ -370,7 +431,17 @@ def test_module_random_structure_roundtrip_fuzz(seed):
             return [rand_value(depth + 1) for _ in range(n)]
         if k == "tuple":
             return tuple(rand_value(depth + 1) for _ in range(n))
-        return {f"k{i}": rand_value(depth + 1) for i in range(n)}
+        # dict keys inserted in SHUFFLED order (insertion != sorted is the
+        # case the spec machinery must keep treedef-stable); sometimes an
+        # OrderedDict, which JAX flattens by insertion order instead
+        keys = [f"k{i}" for i in range(n)]
+        r.shuffle(keys)
+        items = [(key, rand_value(depth + 1)) for key in keys]
+        if r.randint(4) == 0:
+            from collections import OrderedDict
+
+            return OrderedDict(items)
+        return dict(items)
 
     class _Fuzz(Module):
         def __init__(self):
@@ -380,6 +451,8 @@ def test_module_random_structure_roundtrip_fuzz(seed):
     m = _Fuzz()
     leaves, treedef = jax.tree_util.tree_flatten(m)
     m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    _, treedef2 = jax.tree_util.tree_flatten(m2)
+    assert treedef == treedef2, "round trip must not destabilize the treedef"
 
     def structure(v):
         if isinstance(v, Parameter):

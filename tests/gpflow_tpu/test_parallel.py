@@ -527,6 +527,25 @@ def test_make_hybrid_mesh_layout_and_training():
     np.testing.assert_allclose(l_plain, l_hyb, rtol=1e-10)
 
 
+def test_make_hybrid_mesh_multislice_selection_errors():
+    """Slice-aware device selection: requesting more DCN granules than
+    slices, or more per-slice devices than a slice has, must raise clearly
+    instead of silently collapsing the layout (round-2 review)."""
+    from gpflow_tpu.parallel import make_hybrid_mesh
+
+    class _Dev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+    # 2 slices x 4 devices
+    devs = [_Dev(i, i // 4) for i in range(8)]
+    with pytest.raises(ValueError, match="slices"):
+        make_hybrid_mesh(ici={"data": 2}, dcn={"data": 3}, devices=devs)
+    with pytest.raises(ValueError, match="per\\s+slice"):
+        # 8 ICI devices per slice requested but each slice has only 4
+        make_hybrid_mesh(ici={"data": 8}, devices=devs)
+
+
 def test_make_mesh_rejects_oversubscription():
     """num_devices > available must raise like the shape= path does (round-2
     review: silent truncation halved the mesh and broke batch divisibility
