@@ -12,6 +12,34 @@ from .gauss_hermite import NDiagGHQuadrature, gh_points_and_weights
 
 __all__ = ["hermgauss", "mvhermgauss", "mvnquad", "ndiag_mc", "ndiagquad"]
 
+_mc_seed = [0]
+
+
+def _default_mc_epsilon(Fmu: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    """Default MC noise when the caller passes no ``epsilon``.
+
+    Outside jit: a fresh stateful key per call (matches the reference's
+    ``tf.random.normal``). Under tracing, a stateful key would bake ONE
+    fixed noise realization into the compiled function — every training
+    step would share the same draws and the MC error would become a frozen
+    systematic bias. Instead the key is derived in-graph from the
+    (gradient-stopped) bits of ``Fmu``: the draws change whenever the
+    predictive moments change (i.e. every optimization step), so the MC
+    error decorrelates across steps. For reproducible or
+    antithetic/custom sampling pass ``epsilon`` explicitly."""
+    try:
+        tracing = type(jax.core.trace_ctx.trace).__name__ != "EvalTrace"
+    except AttributeError:  # jax internals moved: assume eager
+        tracing = False
+    if tracing:
+        bits = jax.lax.stop_gradient(jnp.asarray(Fmu)).astype(jnp.float32)
+        seed = jax.lax.bitcast_convert_type(jnp.sum(bits), jnp.uint32)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    else:
+        _mc_seed[0] += 1
+        key = jax.random.PRNGKey(_mc_seed[0])
+    return jax.random.normal(key, shape, dtype=Fmu.dtype)
+
 
 def hermgauss(n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Gauss-Hermite points/weights in the default float (reference
@@ -53,13 +81,13 @@ def ndiagquad(
         Fmu_stacked = jnp.stack([jnp.asarray(f) for f in Fmu], axis=-1)
         Fvar_stacked = jnp.stack([jnp.asarray(v) for v in Fvar], axis=-1)
     else:
+        # no shape juggling needed: the flattening reshape below handles any
+        # rank, including 0-d scalars (reference deprecated.py:150-153 does
+        # the same single tf.reshape)
         dim = 1
         shape = jnp.shape(Fmu)
-        Fmu_stacked = jnp.asarray(Fmu)[..., None] if jnp.ndim(Fmu) == 1 else jnp.asarray(Fmu)
-        Fvar_stacked = jnp.asarray(Fvar)[..., None] if jnp.ndim(Fvar) == 1 else jnp.asarray(Fvar)
-        if Fmu_stacked.shape[-1] != 1:
-            Fmu_stacked = Fmu_stacked.reshape(-1, 1)
-            Fvar_stacked = Fvar_stacked.reshape(-1, 1)
+        Fmu_stacked = jnp.asarray(Fmu)
+        Fvar_stacked = jnp.asarray(Fvar)
 
     Fmu_flat = Fmu_stacked.reshape(-1, dim)
     Fvar_flat = Fvar_stacked.reshape(-1, dim)
@@ -100,13 +128,16 @@ def ndiag_mc(
 ) -> Union[jax.Array, List[jax.Array]]:
     """Monte-Carlo estimate of Gaussian expectations
     (reference ``deprecated.py:224-277``). ``epsilon`` [S, N, D] standard
-    normals; if None, drawn with a fixed seed."""
+    normals; if None, see ``_default_mc_epsilon``."""
     N, D = Fmu.shape[0], Fmu.shape[-1]
     if epsilon is None:
-        epsilon = jax.random.normal(jax.random.PRNGKey(0), (S, N, D), dtype=Fmu.dtype)
+        epsilon = _default_mc_epsilon(Fmu, (S, N, D))
     # clamp as in NDiagGHQuadrature._build_X_W: reduced-precision modes can
-    # round the variance slightly negative.
-    std = jnp.sqrt(jnp.maximum(Fvar, jnp.zeros((), Fvar.dtype)))
+    # round the variance slightly negative. Double-where so the clamped
+    # branch has a zero (not NaN) gradient at Fvar <= 0.
+    positive = Fvar > 0
+    safe_var = jnp.where(positive, Fvar, jnp.ones((), Fvar.dtype))
+    std = jnp.where(positive, jnp.sqrt(safe_var), jnp.zeros((), Fvar.dtype))
     mc_x = Fmu[None, :, :] + std[None, :, :] * epsilon
     mc_Xr = mc_x.reshape(S * N, D)
     Ys_r = {name: jnp.tile(Y, (S, 1)) for name, Y in Ys.items()}

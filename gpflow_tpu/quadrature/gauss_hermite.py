@@ -2,14 +2,12 @@
 ``/root/reference/gpflow/quadrature/gauss_hermite.py:30-154``)."""
 from __future__ import annotations
 
-import itertools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import default_float
 from .base import GaussianQuadrature
 
 __all__ = [
@@ -58,13 +56,12 @@ def gh_points_and_weights(n_gh: int) -> Tuple[np.ndarray, np.ndarray]:
 def ndgh_points_and_weights(dim: int, n_gh: int) -> Tuple[np.ndarray, np.ndarray]:
     """Cartesian-product grid over ``dim`` dimensions
     (reference ``gauss_hermite.py:75-109``): Z [n_gh**dim, dim],
-    dZ [n_gh**dim, 1] (product of 1-D weights)."""
+    dZ [n_gh**dim, 1] (product of 1-D weights). Built from the exported
+    grid helpers so Z shares their 'xy'-meshgrid point ordering (a private
+    itertools grid used to order points differently from
+    ``list_to_flat_grid``, silently permuting user-side comparisons)."""
     z, dz = gh_points_and_weights(n_gh)
-    zs = np.array(list(itertools.product(*(z,) * dim)))  # [n_gh**dim, dim]
-    dzs = np.array(list(itertools.product(*(dz,) * dim)))
-    Z = zs.reshape(-1, dim)
-    dZ = np.prod(dzs.reshape(-1, dim), axis=-1, keepdims=True)
-    return Z, dZ
+    return reshape_Z_dZ(repeat_as_list(z, dim), repeat_as_list(dz, dim))
 
 
 class NDiagGHQuadrature(GaussianQuadrature):
@@ -93,7 +90,12 @@ class NDiagGHQuadrature(GaussianQuadrature):
         # GPFLOW_TPU_FAST_MATMUL in gpflow_tpu/__init__.py) can round the
         # predictive-variance cancellation slightly negative; sqrt of that
         # would poison the whole ELBO with NaN, whereas clamping degrades
-        # gracefully to evaluating the integrand at the mean.
-        stddev = jnp.sqrt(jnp.maximum(var, jnp.zeros((), var.dtype)))
+        # gracefully to evaluating the integrand at the mean. Double-where:
+        # sqrt(maximum(var, 0)) still has a NaN GRADIENT exactly when the
+        # clamp engages (inf * 0 at var <= 0), so the clamped branch must
+        # never see the raw var in the backward pass either.
+        positive = var > 0
+        safe_var = jnp.where(positive, var, jnp.ones((), var.dtype))
+        stddev = jnp.where(positive, jnp.sqrt(safe_var), jnp.zeros((), var.dtype))
         X = mean[None] + stddev[None] * Z
         return X, W

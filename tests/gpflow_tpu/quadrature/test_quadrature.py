@@ -142,3 +142,80 @@ def test_ndiag_gh_random_polynomial_moments_exact(seed):
         for k, c in enumerate(coeffs[::-1]):  # coeffs is highest-first
             expected[i, 0] += c * gaussian_raw_moment(mu[i, 0], var[i, 0], k)
     np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-10)
+
+
+def test_quadrature_gradient_finite_at_clamped_variance():
+    """sqrt(maximum(var, 0)) has a NaN gradient exactly where the clamp
+    engages (round-2 review); the double-where form must give finite (zero)
+    gradients at var <= 0 for both the GH and MC paths."""
+    import jax
+
+    quad = NDiagGHQuadrature(1, 5)
+
+    def gh_loss(var):
+        mu = jnp.zeros((3, 1))
+        return jnp.sum(quad(lambda X: X ** 2, mu, var))
+
+    g = jax.grad(gh_loss)(jnp.asarray([[0.5], [0.0], [-1e-8]]))
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g)[1:], 0.0)  # clamped branch
+
+    def mc_loss(var):
+        mu = jnp.zeros((3, 1))
+        eps = jnp.ones((10, 3, 1))
+        return jnp.sum(ndiag_mc(lambda F: F ** 2, 10, mu, var, epsilon=eps))
+
+    gm = jax.grad(mc_loss)(jnp.asarray([[0.5], [0.0], [-1e-8]]))
+    assert np.isfinite(np.asarray(gm)).all()
+    np.testing.assert_allclose(np.asarray(gm)[1:], 0.0)
+
+
+def test_ndiag_mc_default_noise_varies():
+    """Default epsilon must NOT be one frozen realization (round-2 review):
+    eager calls draw fresh noise; under jit the draws change whenever the
+    predictive moments change (every optimization step)."""
+    import jax
+
+    Fmu = jnp.asarray(rng.randn(4, 1))
+    Fvar = jnp.asarray(0.5 + rng.rand(4, 1))
+    f = lambda F: F ** 3  # odd power: MC value moves with the draws
+    a = np.asarray(ndiag_mc(f, 50, Fmu, Fvar))
+    b = np.asarray(ndiag_mc(f, 50, Fmu, Fvar))
+    assert not np.allclose(a, b), "eager default epsilon must be fresh per call"
+
+    jf = jax.jit(lambda mu, var: ndiag_mc(f, 50, mu, var))
+    c1 = np.asarray(jf(Fmu, Fvar))
+    c2 = np.asarray(jf(Fmu, Fvar))
+    np.testing.assert_allclose(c1, c2)  # same inputs -> deterministic
+    c3 = np.asarray(jf(Fmu + 0.01, Fvar))
+    exact_shift = np.asarray(jf(Fmu, Fvar))  # same draws would shift exactly
+    assert not np.allclose(c3 - c1, 0.0)
+    # the draws actually changed: c3 is not just c1 evaluated at shifted mu
+    # with identical epsilon (which for F^3 would differ from c1 smoothly by
+    # ~3 mu^2 * 0.01); instead a different realization moves it by O(mc err)
+    assert not np.allclose(c3, c1, atol=1e-6)
+
+
+def test_ndgh_ordering_matches_grid_helpers():
+    """ndgh_points_and_weights must share the exported helpers' point
+    ordering (round-2 review: a private itertools grid ordered points
+    differently, silently permuting user-side comparisons)."""
+    from gpflow_tpu.quadrature import (
+        gh_points_and_weights,
+        ndgh_points_and_weights,
+        repeat_as_list,
+        reshape_Z_dZ,
+    )
+
+    z, dz = gh_points_and_weights(4)
+    Z_h, dZ_h = reshape_Z_dZ(repeat_as_list(z, 2), repeat_as_list(dz, 2))
+    Z, dZ = ndgh_points_and_weights(2, 4)
+    np.testing.assert_allclose(Z, Z_h)
+    np.testing.assert_allclose(dZ, dZ_h)
+
+
+def test_ndiagquad_scalar_input():
+    """0-d Fmu/Fvar must work (reference handles it via one tf.reshape)."""
+    out = ndiagquad(lambda F: F ** 2, 20, jnp.asarray(1.5), jnp.asarray(0.25))
+    assert np.shape(np.asarray(out)) == ()
+    np.testing.assert_allclose(float(out), 1.5 ** 2 + 0.25, rtol=1e-10)
