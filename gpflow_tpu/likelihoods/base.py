@@ -259,7 +259,15 @@ class SwitchedLikelihood(ScalarLikelihood):
             (-1,) + (1,) * ind.ndim
         )
         mask_bool = mask_bool.reshape(mask_bool.shape + (1,) * (stacked.ndim - mask_bool.ndim))
-        return jnp.sum(jnp.where(mask_bool, stacked, jnp.zeros((), stacked.dtype)), axis=0)
+        out = jnp.sum(jnp.where(mask_bool, stacked, jnp.zeros((), stacked.dtype)), axis=0)
+        # An index outside [0, K) matches no mask, which would silently
+        # return 0 (log-probability 1!) for that row. The reference's
+        # tf.dynamic_partition raises instead; inside jit the loud
+        # jit-compatible equivalent is NaN-poisoning the invalid rows so the
+        # loss/gradients surface the bad labels immediately.
+        valid = (ind >= 0) & (ind < len(self.likelihoods))
+        valid = valid.reshape(valid.shape + (1,) * (out.ndim - valid.ndim))
+        return jnp.where(valid, out, jnp.asarray(jnp.nan, out.dtype))
 
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return self._masked_apply([X, F, Y], "_scalar_log_prob")

@@ -29,7 +29,15 @@ class Softmax(MonteCarloLikelihood):
         F = jnp.asarray(F)
         labels = jnp.asarray(Y)[..., 0].astype(default_int())
         log_p = jax.nn.log_softmax(F, axis=-1)
-        return jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+        # JAX gathers WRAP negative indices and clamp over-range ones inside
+        # jit, so an invalid label (e.g. a -1 sentinel, or 1-based classes)
+        # would silently score some other class. The reference's
+        # sparse_softmax_cross_entropy raises; the jit-compatible loud
+        # equivalent is NaN for invalid rows.
+        valid = (labels >= 0) & (labels < self.num_classes)
+        safe = jnp.clip(labels, 0, self.num_classes - 1)
+        picked = jnp.take_along_axis(log_p, safe[..., None], axis=-1)[..., 0]
+        return jnp.where(valid, picked, jnp.asarray(jnp.nan, picked.dtype))
 
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return jax.nn.softmax(jnp.asarray(F), axis=-1)

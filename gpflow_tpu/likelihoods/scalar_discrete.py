@@ -107,13 +107,20 @@ class Ordinal(ScalarLikelihood):
         inf = jnp.asarray([np.inf], dtype)
         scaled_bins_left = jnp.concatenate([self.bin_edges / self.sigma, inf], 0)
         scaled_bins_right = jnp.concatenate([-inf, self.bin_edges / self.sigma], 0)
-        selected_bins_left = jnp.take(scaled_bins_left, Y)
-        selected_bins_right = jnp.take(scaled_bins_right, Y)
-        return jnp.log(
+        # JAX gathers WRAP negative bin labels and clamp over-range ones
+        # inside jit (the reference's tf.gather raises): score with a
+        # clipped label and NaN-poison invalid rows so mislabeled ordinal
+        # data (1-based labels, -1 sentinels) fails loudly.
+        valid = (Y >= 0) & (Y < self.num_bins)
+        safe_Y = jnp.clip(Y, 0, self.num_bins - 1)
+        selected_bins_left = jnp.take(scaled_bins_left, safe_Y)
+        selected_bins_right = jnp.take(scaled_bins_right, safe_Y)
+        logp = jnp.log(
             inv_probit(selected_bins_left - F / self.sigma)
             - inv_probit(selected_bins_right - F / self.sigma)
             + 1e-6
         )
+        return jnp.where(valid, logp, jnp.asarray(jnp.nan, logp.dtype))
 
     def _make_phi(self, F: TensorType) -> jax.Array:
         """[flattened_batch, num_bins] bin-probability matrix

@@ -187,3 +187,38 @@ def test_robust_max_eps_k1_tracks_epsilon():
         np.testing.assert_allclose(float(rm.eps_k1), 1e-3 / (num_classes - 1.0), rtol=1e-12)
         rm.epsilon.assign(0.412)
         np.testing.assert_allclose(float(rm.eps_k1), 0.412 / (num_classes - 1.0), rtol=1e-12)
+
+
+def test_softmax_invalid_label_is_nan_not_wrapped():
+    """JAX gathers wrap negative labels (and clamp over-range inside jit):
+    a -1 sentinel must NOT silently score the last class (round-2 review)."""
+    import jax
+
+    from gpflow_tpu import likelihoods
+
+    lik = likelihoods.Softmax(3)
+    F = rng.randn(4, 3)
+    X = rng.randn(4, 2)
+    Y = np.array([[0], [2], [-1], [3]], dtype=float)
+    lp = np.asarray(lik.log_prob(X, F, Y))
+    assert np.isfinite(lp[:2]).all()
+    assert np.isnan(lp[2]) and np.isnan(lp[3])
+    # same under jit (where TPU gather clamping would otherwise hide it)
+    lp_j = np.asarray(jax.jit(lambda f, y: lik.log_prob(X, f, y))(F, Y))
+    np.testing.assert_array_equal(np.isnan(lp_j), np.isnan(lp))
+
+
+def test_ordinal_invalid_label_is_nan_not_wrapped():
+    import jax
+
+    from gpflow_tpu import likelihoods
+
+    lik = likelihoods.Ordinal(np.array([-0.5, 0.5]))  # 3 bins: labels 0..2
+    F = rng.randn(4, 1)
+    X = rng.randn(4, 2)
+    Y = np.array([[0], [2], [-1], [3]], dtype=float)
+    lp = np.asarray(lik.log_prob(X, F, Y))
+    assert np.isfinite(lp[:2]).all()
+    assert np.isnan(lp[2]) and np.isnan(lp[3])
+    lp_j = np.asarray(jax.jit(lambda f, y: lik.log_prob(X, f, y))(F, Y))
+    np.testing.assert_array_equal(np.isnan(lp_j), np.isnan(lp))

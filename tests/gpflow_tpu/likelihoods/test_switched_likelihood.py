@@ -125,3 +125,18 @@ def test_switched_likelihood_num_latent_gps_one_with_index_column():
     )
     loss = float(m.training_loss((x, y)))
     assert np.isfinite(loss)
+
+
+def test_switched_likelihood_invalid_index_poisons_loudly():
+    """An index outside [0, K) must NaN its rows (the reference's
+    dynamic_partition raises; silent 0 == log-probability 1 trained models
+    to wrong answers — round-2 review)."""
+    lik = likelihoods.SwitchedLikelihood(_liks())
+    Ybad = Y.copy()
+    Ybad[0, -1] = 5.0   # out of range
+    Ybad[1, -1] = -1.0  # sentinel
+    lp = np.asarray(lik.log_prob(X, F, Ybad))
+    assert np.isnan(lp[0]) and np.isnan(lp[1])
+    assert np.isfinite(lp[2:]).all()
+    ve = np.asarray(lik.variational_expectations(X, Fmu, Fvar, Ybad))
+    assert np.isnan(ve[0]) and np.isnan(ve[1]) and np.isfinite(ve[2:]).all()
