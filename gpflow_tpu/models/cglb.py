@@ -135,9 +135,9 @@ class CGLB(SGPR):
 
         Kv = v @ K if not callable(K) else K(v)
         r = err_t - Kv
-        _, error_bound = preconditioner(r)
+        _, error_bound_cols = preconditioner(r)  # per-column [R]
         lb = jnp.sum(v * (r + 0.5 * Kv))
-        ub = lb + 0.5 * error_bound
+        ub = lb + 0.5 * jnp.sum(error_bound_cols)
 
         if not v_init.trainable and not isinstance(v, jax.core.Tracer):
             v_init.assign(v)
@@ -246,7 +246,11 @@ class NystromPreconditioner:
         self.sigma_sq = sigma_sq
 
     def __call__(self, v: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """Returns (v^T Q^-1 as a row-vector batch, v^T Q^-1 v)."""
+        """Returns (v^T Q^-1 as a row-vector batch [R, N], and the
+        PER-COLUMN quadratics v_r^T Q^-1 v_r as [R]). Per-column (not
+        summed like the reference ``cglb.py:330-339``) so the CG below can
+        run an independent step size per right-hand side — the reference's
+        shared scalar makes its CG silently unsound for R > 1."""
         sigma_sq = self.sigma_sq
         A = self.A
         LB = self.LB
@@ -257,7 +261,7 @@ class NystromPreconditioner:
         LBinvtLBinvAv = solve_triangular(jnp.transpose(LB), LBinvAv, lower=False)
 
         rv = vt - A.T @ LBinvtLBinvAv
-        vtrv = jnp.sum(rv * vt)
+        vtrv = jnp.sum(rv * vt, axis=0)  # [R]
         return jnp.transpose(rv) / sigma_sq, vtrv / sigma_sq
 
 
@@ -284,12 +288,19 @@ def cglb_conjugate_gradient(
         rz: jax.Array
 
     def stopping_criterion(state: CGState) -> jax.Array:
-        return jnp.logical_and(0.5 * state.rz > cg_tolerance, state.i < max_steps)
+        # run until EVERY column's residual quadratic is below tolerance
+        return jnp.logical_and(
+            0.5 * jnp.max(state.rz) > cg_tolerance, state.i < max_steps
+        )
 
     def cg_step(state: CGState) -> CGState:
         Ap = mv(state.p)
-        denom = jnp.sum(state.p * Ap, axis=-1)
-        gamma = state.rz / denom
+        denom = jnp.sum(state.p * Ap, axis=-1)  # [R]
+        # per-column step size [R, 1] (a scalar-broadcast gamma against the
+        # trailing N axis is shape-wrong for R > 1 — multi-output fix over
+        # the reference); converged columns (p ~ 0, denom ~ 0) take a zero
+        # step instead of 0/0
+        gamma = jnp.where(denom > 0, state.rz / denom, 0.0)[..., None]
         v = state.v + gamma * state.p
         i = state.i + 1
         restart = state.i % restart_cg_step == restart_cg_step - 1
@@ -299,10 +310,11 @@ def cglb_conjugate_gradient(
             lambda: state.r - gamma * Ap,
         )
         z, new_rz = preconditioner(r)
+        beta = jnp.where(state.rz > 0, new_rz / state.rz, 0.0)[..., None]  # [R, 1]
         p = jax.lax.cond(
             restart,
             lambda: z,
-            lambda: z + state.p * new_rz / state.rz,
+            lambda: z + state.p * beta,
         )
         return CGState(i, v, r, p, new_rz)
 

@@ -13,7 +13,6 @@ from ..base import InputData, MeanAndVariance, OutputData, Parameter, Regression
 from ..bijectors import positive
 from ..config import default_float, default_jitter
 from ..covariances import Kuf, Kuu
-from ..ops.linalg import sym_jitter
 from ..expectations import expectation
 from ..functions import MeanFunction, Zero
 from ..inducing_variables import InducingPoints
@@ -141,6 +140,19 @@ class BayesianGPLVM(GPModel, InternalDataTrainingLossMixin):
 
         self.X_prior_mean = jnp.asarray(np.atleast_1d(np.asarray(X_prior_mean)), default_float())
         self.X_prior_var = jnp.asarray(np.atleast_1d(np.asarray(X_prior_var)), default_float())
+        # [N, Q] like the reference's check_shapes (gplvm.py:116-127): a
+        # broadcastable-but-wrong shape (e.g. per-dimension [Q]) would make
+        # the KL's sum(log(X_prior_var)) silently lose a factor of N
+        expected = (self.num_data, self.num_latent_gps)
+        for name, arr in (
+            ("X_prior_mean", self.X_prior_mean),
+            ("X_prior_var", self.X_prior_var),
+        ):
+            if tuple(arr.shape) != expected:
+                raise ValueError(
+                    f"{name} must have shape [num_data, num_latent_gps] = "
+                    f"{expected}, got {tuple(arr.shape)}"
+                )
 
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.elbo()

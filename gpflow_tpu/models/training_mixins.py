@@ -63,6 +63,11 @@ class ExternalDataTrainingLossMixin:
 
             training_loss = lambda batch: _loss(self, batch)  # noqa: E731
 
-        if isinstance(data, tuple):
-            return lambda: training_loss(data)
-        return lambda: training_loss(next(data))
+        # Dispatch on iterator-ness, not tuple-ness (reference
+        # training_mixins.py checks for its DatasetOwnedIterator): a list
+        # or other non-tuple (X, Y) pair is fixed data, not a minibatch
+        # stream — `next()` on it would raise TypeError at first call.
+        if hasattr(data, "__next__"):
+            return lambda: training_loss(next(data))
+        data = tuple(data)  # normalize list pairs for a stable jit cache key
+        return lambda: training_loss(data)

@@ -53,3 +53,40 @@ def test_matrix_free_cglb_matches_dense():
     mm, vm = mf.predict_f(Xnew)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(md), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(vm), np.asarray(vd), rtol=1e-8)
+
+
+def test_cglb_multioutput_elbo_and_predict():
+    """Multi-output CGLB: per-column CG step sizes (the reference's shared
+    scalar gamma is shape-wrong for P > 1 — round-2 review). The multi-output
+    ELBO must equal the sum of per-column single-output ELBOs up to the
+    shared-constant structure: elbo([y1 y2]) == elbo(y1) + elbo(y2) for
+    identical hyperparameters."""
+    import gpflow_tpu
+    from gpflow_tpu.models import CGLB
+
+    rngm = np.random.RandomState(7)
+    N, M = 60, 10
+    X = rngm.rand(N, 2) * 3
+    Y1 = np.sin(X[:, :1]) + 0.05 * rngm.randn(N, 1)
+    Y2 = np.cos(X[:, :1]) + 0.05 * rngm.randn(N, 1)
+    Z = X[:M].copy()
+
+    def build(Y):
+        m = CGLB(
+            (X, Y),
+            kernel=gpflow_tpu.kernels.SquaredExponential(),
+            inducing_variable=Z.copy(),
+            cg_tolerance=1e-10,
+        )
+        gpflow_tpu.set_trainable(m.aux_vec, False)
+        return m
+
+    m12 = build(np.concatenate([Y1, Y2], axis=1))
+    m1, m2 = build(Y1), build(Y2)
+    e12 = float(m12.elbo())
+    e1, e2 = float(m1.elbo()), float(m2.elbo())
+    np.testing.assert_allclose(e12, e1 + e2, rtol=1e-6)
+
+    mu, var = m12.predict_f(X[:5])
+    assert np.asarray(mu).shape == (5, 2)
+    assert np.isfinite(np.asarray(mu)).all() and (np.asarray(var) > 0).all()

@@ -121,3 +121,51 @@ def test_bayesian_gplvm_requires_exactly_one_inducing_spec():
             kernel=kernels.SquaredExponential(),
             num_inducing_variables=M, inducing_variable=Z0,
         )
+
+
+def test_bayesian_gplvm_prior_shape_validation():
+    """[Q]-shaped priors would silently lose a factor of N in the KL's
+    log-prior-variance term (round-2 review; reference rejects via
+    check_shapes)."""
+    import pytest as _pytest
+
+    import gpflow_tpu
+    from gpflow_tpu.models import BayesianGPLVM
+
+    rngp = np.random.RandomState(0)
+    Y = rngp.randn(15, 4)
+    mean0 = rngp.randn(15, 2)
+    var0 = np.ones((15, 2))
+    with _pytest.raises(ValueError, match="X_prior_var"):
+        BayesianGPLVM(Y, mean0, var0, gpflow_tpu.kernels.SquaredExponential(),
+                      num_inducing_variables=5, X_prior_var=np.array([0.5, 0.5]))
+    with _pytest.raises(ValueError, match="X_prior_mean"):
+        BayesianGPLVM(Y, mean0, var0, gpflow_tpu.kernels.SquaredExponential(),
+                      num_inducing_variables=5, X_prior_mean=np.zeros(2))
+    # correct shapes still work
+    m = BayesianGPLVM(Y, mean0, var0, gpflow_tpu.kernels.SquaredExponential(),
+                      num_inducing_variables=5,
+                      X_prior_mean=np.zeros((15, 2)), X_prior_var=0.5 * np.ones((15, 2)))
+    assert np.isfinite(float(m.elbo()))
+
+
+def test_training_loss_closure_accepts_list_data():
+    """A list (X, Y) pair is fixed data, not a minibatch iterator
+    (round-2 review: next() on it raised TypeError)."""
+    import gpflow_tpu
+
+    rngl = np.random.RandomState(1)
+    X = rngl.randn(20, 2)
+    Yl = rngl.randn(20, 1)
+    m = gpflow_tpu.models.SVGP(
+        kernel=gpflow_tpu.kernels.SquaredExponential(),
+        likelihood=gpflow_tpu.likelihoods.Gaussian(0.1),
+        inducing_variable=X[:4].copy(), num_data=20,
+    )
+    closure = m.training_loss_closure([X, Yl])
+    v = float(closure())
+    np.testing.assert_allclose(v, float(m.training_loss((X, Yl))), rtol=1e-12)
+    # iterators still stream
+    it = iter([(X, Yl), (X[:8], Yl[:8])])
+    closure_it = m.training_loss_closure(it, compile=False)
+    closure_it(); closure_it()
