@@ -102,6 +102,32 @@ class capture_parameter_reads:
                 self.parameters.append(p)
 
 
+def functionalize(
+    closure: Callable[[], Any], parameters: Sequence["Parameter"]
+) -> Callable[[Sequence[Any]], Any]:
+    """Turns a zero-argument loss closure reading ``parameters`` into a pure
+    function of their unconstrained values, by temporarily swapping each
+    parameter's storage and restoring it afterwards (exception-safe).
+
+    The single shared implementation of the pattern used by every optimizer
+    (Scipy, NaturalGradient, SamplingHelper, training_loop): under jit the
+    swapped-in values are tracers, so the closure's reads become traced
+    inputs instead of baked-in constants.
+    """
+
+    def fn(unconstrained: Sequence[Any]) -> Any:
+        originals = [p._unconstrained for p in parameters]
+        try:
+            for p, u in zip(parameters, unconstrained):
+                p._unconstrained = u
+            return closure()
+        finally:
+            for p, o in zip(parameters, originals):
+                p._unconstrained = o
+
+    return fn
+
+
 def _to_array(value: Any, dtype: Any) -> np.ndarray:
     """Host-side array conversion. Parameter construction/assignment stays
     in NumPy: on remote-attached chips each eager device op costs an RPC

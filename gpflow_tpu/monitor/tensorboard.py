@@ -20,6 +20,12 @@ __all__ = ["ImageToTensorBoard", "ModelToTensorBoard", "ScalarToTensorBoard", "T
 
 
 class ToTensorBoard(MonitorTask):
+    """Writer-owning base. Writers are shared per ``log_dir`` (tasks
+    targeting the same directory must not interleave separate event files);
+    each holds an open file handle and a flush thread, so long-lived sweep
+    processes should release them with :meth:`close_writer` /
+    :meth:`close_all_writers` when a run's directory is done."""
+
     writers: Dict[str, Any] = {}
 
     def __init__(self, log_dir: str) -> None:
@@ -31,11 +37,28 @@ class ToTensorBoard(MonitorTask):
             ) from e
         if log_dir not in self.writers:
             self.writers[log_dir] = SummaryWriter(log_dir=log_dir)
+        self.log_dir = log_dir
         self.file_writer = self.writers[log_dir]
 
     def __call__(self, step: int, **kwargs: Any) -> None:
         super().__call__(step, **kwargs)
         self.file_writer.flush()
+
+    @classmethod
+    def close_writer(cls, log_dir: str) -> None:
+        """Flushes, closes, and evicts the shared writer for ``log_dir``
+        (no-op if none exists). Call when a run's directory is finished —
+        e.g. per trial in a hyperparameter sweep — to release its file
+        handle and flush thread."""
+        writer = cls.writers.pop(log_dir, None)
+        if writer is not None:
+            writer.close()
+
+    @classmethod
+    def close_all_writers(cls) -> None:
+        """Flushes, closes, and evicts every shared writer."""
+        for log_dir in list(cls.writers):
+            cls.close_writer(log_dir)
 
 
 class ModelToTensorBoard(ToTensorBoard):
@@ -109,11 +132,10 @@ class ImageToTensorBoard(ToTensorBoard):
         self.subplots_kw = subplots_kw or {}
 
     def run(self, **unused_kwargs: Any) -> None:
-        import matplotlib
-
-        matplotlib.use("Agg")
         # a bare Figure carries FigureCanvasBase, which has no buffer_rgba;
-        # attach the Agg canvas explicitly (matplotlib >= 3.x)
+        # attaching FigureCanvasAgg explicitly renders via Agg WITHOUT
+        # touching the process-global matplotlib backend (a matplotlib.use
+        # call here used to silently break interactive/notebook plotting)
         from matplotlib.backends.backend_agg import FigureCanvasAgg
         from matplotlib.figure import Figure
 

@@ -16,7 +16,7 @@ from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..base import Parameter
+from ..base import Parameter, functionalize
 
 __all__ = ["SamplingHelper", "run_hmc"]
 
@@ -59,19 +59,17 @@ class SamplingHelper:
         parameters = self._parameters
         model_log_prob_fn = self._model_log_prob_fn
 
+        def _posterior_plus_jacobians() -> jax.Array:
+            log_prob = model_log_prob_fn()
+            for p in parameters:
+                x = p.unconstrained_variable
+                log_prob += jnp.sum(p.transform.forward_log_det_jacobian(x))
+            return log_prob
+
+        fn = functionalize(_posterior_plus_jacobians, parameters)
+
         def _target_log_prob_fn(*unconstrained: jax.Array) -> jax.Array:
-            originals = [p._unconstrained for p in parameters]
-            try:
-                for p, u in zip(parameters, unconstrained):
-                    p._unconstrained = u
-                log_prob = model_log_prob_fn()
-                for p in parameters:
-                    x = p.unconstrained_variable
-                    log_prob += jnp.sum(p.transform.forward_log_det_jacobian(x))
-                return log_prob
-            finally:
-                for p, o in zip(parameters, originals):
-                    p._unconstrained = o
+            return fn(unconstrained)
 
         return _target_log_prob_fn
 
@@ -144,7 +142,14 @@ def run_hmc(
         p0 = tuple(
             jax.random.normal(k, qi.shape, qi.dtype) for k, qi in zip(keys, q)
         )
-        step = jnp.exp(log_step)
+        # Select the effective step at USE time: during burn-in the raw
+        # dual-averaging iterate, after it the frozen average — including
+        # for the FIRST post-burn-in step (the carry's log_step still holds
+        # the last raw iterate at that point; round-2 review).
+        if adapt_step_size:
+            step = jnp.exp(jnp.where(t > 0, log_step, log_step_avg))
+        else:
+            step = jnp.exp(log_step)
         q_new, p_new = leapfrog(q, p0, step)
         logp_new = logp_fn(q_new)
         kinetic0 = sum(0.5 * jnp.sum(jnp.square(pi)) for pi in p0)
@@ -167,8 +172,7 @@ def run_hmc(
             log_avg_new = w * log_step_new + (1.0 - w) * log_step_avg
             h_stat = jnp.where(in_burnin, h_new, h_stat)
             log_step_avg = jnp.where(in_burnin, log_avg_new, log_step_avg)
-            # burn-in: explore with the raw adapted step; after: frozen avg
-            log_step = jnp.where(in_burnin, log_step_new, log_step_avg)
+            log_step = jnp.where(in_burnin, log_step_new, log_step)
 
         carry = (q_out, logp_out, log_step, log_step_avg, h_stat)
         return carry, (q_out, logp_out)
@@ -184,10 +188,29 @@ def run_hmc(
 
     @jax.jit
     def run(init, keys, t_idx):
-        _, (qs, logps) = jax.lax.scan(hmc_step, init, (keys, t_idx))
+        # Two-level scan so only the RETAINED samples are ever stacked:
+        # a single flat scan would materialize the full state for every
+        # burn-in and thinned-out step too — a factor
+        # (burnin + samples*thin)/samples more sample memory (round-2
+        # review; OOM for large [L, M, M] states).
+        def advance(carry, inp):
+            carry, _ = hmc_step(carry, inp)
+            return carry, None
+
+        carry, _ = jax.lax.scan(
+            advance, init, (keys[:num_burnin_steps], t_idx[:num_burnin_steps])
+        )
+
+        sample_keys = keys[num_burnin_steps:].reshape(
+            (num_samples, thin) + keys.shape[1:]  # works for typed keys too
+        )
+        sample_t = t_idx[num_burnin_steps:].reshape(num_samples, thin)
+
+        def draw(carry, inp):
+            carry, _ = jax.lax.scan(advance, carry, inp)
+            return carry, (carry[0], carry[1])
+
+        _, (qs, logps) = jax.lax.scan(draw, carry, (sample_keys, sample_t))
         return qs, logps
 
-    qs, logps = run(init, keys, t_idx)
-    # drop burn-in, apply thinning
-    samples = tuple(q[num_burnin_steps::thin] for q in qs)
-    return samples, logps[num_burnin_steps::thin]
+    return run(init, keys, t_idx)

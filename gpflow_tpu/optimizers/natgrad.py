@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import abc
 import functools
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from ..base import Parameter, capture_parameter_reads
+from ..base import Parameter, capture_parameter_reads, functionalize
 
 __all__ = [
     "NaturalGradient",
@@ -165,21 +165,22 @@ class NaturalGradient:
 
         current = tuple(jnp.asarray(v._unconstrained) for v in variables)
 
-        key = (id(loss_fn), tuple(id(v) for v in variables),
-               tuple(type(x) for x in xis))
-        entry = self._compiled_steps.get(key)
-        if entry is not None and entry[0] is not loss_fn:
-            entry = None
+        # Key on the closure by EQUALITY (bound methods compare equal across
+        # attribute accesses — identity would miss on every call and pay a
+        # discovery trace + XLA compile per step, round-2 review); fall back
+        # to identity for unhashable closures.
+        try:
+            key: Tuple[Any, ...] = (loss_fn, tuple(id(v) for v in variables),
+                                    tuple(type(x) for x in xis))
+            entry = self._compiled_steps.get(key)
+        except TypeError:
+            key = (id(loss_fn), tuple(id(v) for v in variables),
+                   tuple(type(x) for x in xis))
+            entry = self._compiled_steps.get(key)
+            if entry is not None and entry[0] is not loss_fn:
+                entry = None
         if entry is None:
-            def plain_loss(unc: Tuple[jax.Array, ...]) -> jax.Array:
-                originals = [v._unconstrained for v in variables]
-                try:
-                    for v, u in zip(variables, unc):
-                        v._unconstrained = u
-                    return loss_fn()
-                finally:
-                    for v, o in zip(variables, originals):
-                        v._unconstrained = o
+            plain_loss = functionalize(loss_fn, variables)
 
             # discovery trace: which OTHER Parameters does the closure read?
             with capture_parameter_reads() as cap:
@@ -187,22 +188,12 @@ class NaturalGradient:
             var_ids = {id(v) for v in variables}
             others = tuple(p for p in cap.parameters if id(p) not in var_ids)
 
+            _ext = functionalize(loss_fn, tuple(variables) + others)
+
             def loss_ext(
                 unc: Tuple[jax.Array, ...], other_unc: Tuple[jax.Array, ...]
             ) -> jax.Array:
-                originals = [v._unconstrained for v in variables]
-                other_originals = [o._unconstrained for o in others]
-                try:
-                    for v, u in zip(variables, unc):
-                        v._unconstrained = u
-                    for o, u in zip(others, other_unc):
-                        o._unconstrained = u
-                    return loss_fn()
-                finally:
-                    for v, o_ in zip(variables, originals):
-                        v._unconstrained = o_
-                    for o, o_ in zip(others, other_originals):
-                        o._unconstrained = o_
+                return _ext(tuple(unc) + tuple(other_unc))
 
             other_vals0 = tuple(jnp.asarray(o._unconstrained) for o in others)
             closed0 = jax.make_jaxpr(loss_ext)(current, other_vals0)
@@ -215,7 +206,11 @@ class NaturalGradient:
                 unconstrained: Tuple[jax.Array, ...],
                 other_unc: Tuple[jax.Array, ...],
                 consts: Tuple[jax.Array, ...],
+                gamma: jax.Array,
             ) -> Tuple[jax.Array, ...]:
+                # gamma is a traced ARGUMENT: reading self.gamma here would
+                # bake the first-trace value into the executable and silently
+                # ignore later annealing (round-2 review)
                 def loss_c(unc: Tuple[jax.Array, ...]) -> jax.Array:
                     flat = jax.tree_util.tree_leaves((unc, other_unc))
                     return eval_jaxpr(jaxpr0, consts, *flat)[0]
@@ -229,6 +224,7 @@ class NaturalGradient:
                     mean_new, varsqrt_new = self._natgrad_values(
                         grads[2 * i], grads[2 * i + 1],
                         q_mu_value, q_sqrt_value, mu_t, sq_t, xi_transform,
+                        gamma=gamma,
                     )
                     new_unc.append(mu_t.inverse(mean_new))
                     new_unc.append(sq_t.inverse(varsqrt_new))
@@ -247,7 +243,8 @@ class NaturalGradient:
             # per-call re-trace for fresh data consts (one iterator draw per
             # step); the fresh lambda defeats make_jaxpr's trace cache
             closed = jax.make_jaxpr(lambda a, b: loss_ext(a, b))(current, other_vals)
-        new_values = step(current, other_vals, tuple(closed.consts))
+        gamma_now = jnp.asarray(self.gamma, dtype=current[0].dtype)
+        new_values = step(current, other_vals, tuple(closed.consts), gamma_now)
         for v, nv in zip(variables, new_values):
             v._unconstrained = nv
 
@@ -259,18 +256,8 @@ class NaturalGradient:
         q_mus, q_sqrts, xis = zip(*parameters)
         variables = [p for pair in zip(q_mus, q_sqrts) for p in pair]
 
-        def loss_of_unconstrained(unconstrained: Tuple[jax.Array, ...]) -> jax.Array:
-            originals = [v._unconstrained for v in variables]
-            try:
-                for v, u in zip(variables, unconstrained):
-                    v._unconstrained = u
-                return loss_fn()
-            finally:
-                for v, o in zip(variables, originals):
-                    v._unconstrained = o
-
         current = tuple(v._unconstrained for v in variables)
-        grads = jax.grad(loss_of_unconstrained)(current)
+        grads = jax.grad(functionalize(loss_fn, variables))(current)
 
         for i, (q_mu, q_sqrt, xi_transform) in enumerate(parameters):
             q_mu_grad, q_sqrt_grad = grads[2 * i], grads[2 * i + 1]
@@ -285,12 +272,13 @@ class NaturalGradient:
         mu_transform,
         sqrt_transform,
         xi_transform: XiTransform,
+        gamma=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Pure-functional core of the backward natgrad step; see
         ``_natgrad_values_with_ok`` for the step-acceptance flag."""
         mean_new, varsqrt_new, _ = self._natgrad_values_with_ok(
             q_mu_grad, q_sqrt_grad, q_mu_value, q_sqrt_value,
-            mu_transform, sqrt_transform, xi_transform,
+            mu_transform, sqrt_transform, xi_transform, gamma=gamma,
         )
         return mean_new, varsqrt_new
 
@@ -303,10 +291,14 @@ class NaturalGradient:
         mu_transform,
         sqrt_transform,
         xi_transform: XiTransform,
+        gamma=None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """As ``_natgrad_values`` but also returns the boolean acceptance
         flag (False = the step left the negative-definite cone and was
-        rejected, state unchanged)."""
+        rejected, state unchanged). ``gamma`` overrides ``self.gamma`` so
+        compiled callers can pass it as a traced argument (annealing must
+        not be baked into the executable)."""
+        gamma = self.gamma if gamma is None else gamma
         dL_dmean = mu_transform.forward(q_mu_grad)
         dL_dvarsqrt = sqrt_transform.forward(q_sqrt_grad)
 
@@ -325,8 +317,8 @@ class NaturalGradient:
             nat_dL_xi1, nat_dL_xi2 = dL_deta1, dL_deta2
 
         xi1, xi2 = xi_transform.meanvarsqrt_to_xi(q_mu_value, q_sqrt_value)
-        xi1_new = xi1 - self.gamma * nat_dL_xi1
-        xi2_new = xi2 - self.gamma * nat_dL_xi2
+        xi1_new = xi1 - gamma * nat_dL_xi1
+        xi2_new = xi2 - gamma * nat_dL_xi2
         mean_new, varsqrt_new = xi_transform.xi_to_meanvarsqrt(xi1_new, xi2_new)
         # Step rejection: a stochastic natural-gradient step can push nat2 out
         # of the negative-definite cone (especially while another optimizer is

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.optimize
 
-from ..base import Parameter
+from ..base import Parameter, functionalize
 from ..bijectors import TriangularMask
 from ..monitor import Monitor
 
@@ -264,16 +264,7 @@ class Scipy:
             self.compile_cache.move_to_end(cache_key)
             value_and_grad, unused = hit
         else:
-            def loss_fn(unconstrained: Tuple[jax.Array, ...]) -> jax.Array:
-                originals = [v._unconstrained for v in variables]
-                try:
-                    for v, u in zip(variables, unconstrained):
-                        v._unconstrained = u
-                    return closure()
-                finally:
-                    for v, o in zip(variables, originals):
-                        v._unconstrained = o
-
+            loss_fn = functionalize(closure, variables)
             value_and_grad = jax.value_and_grad(loss_fn)
             if compile:
                 value_and_grad = jax.jit(value_and_grad)
@@ -331,10 +322,18 @@ class Scipy:
 
         def _callback(x: Any, *_args: Any) -> None:
             xvec = np.asarray(getattr(x, "x", x))  # scipy may pass OptimizeResult
+            # Sync the CURRENT iterate into the live Parameters before the
+            # callback runs: Monitor tasks (ModelToTensorBoard, ...) read the
+            # model directly, and the final assignment otherwise only happens
+            # after scipy returns — every logged value would be the initial
+            # one (round-2 review; reference assigns on every evaluation).
+            decoded = codec.decode(xvec)
+            for v, val in zip(variables, decoded):
+                v.assign_unconstrained(jnp.asarray(val, dtype=v.dtype))
             if isinstance(step_callback, Monitor):
                 step_callback(step[0])
             else:
-                step_callback(step[0], variables, codec.decode(xvec))
+                step_callback(step[0], variables, decoded)
             step[0] += 1
 
         return _callback

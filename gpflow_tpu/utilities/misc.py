@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..base import Module, Parameter
+from ..base import Module, Parameter, functionalize
 from ..config import default_float, default_int
 
 __all__ = [
@@ -85,19 +85,7 @@ def training_loop(
         params = tuple(model.trainable_parameters)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
-    def loss_fn(unconstrained):
-        # functionalize the closure by temporarily swapping parameter values
-        # (same technique as optimizers.Scipy)
-        originals = [p._unconstrained for p in params]
-        try:
-            for p, u in zip(params, unconstrained):
-                p._unconstrained = u
-            return closure()
-        finally:
-            for p, o in zip(params, originals):
-                p._unconstrained = o
-
-    value_and_grad = jax.value_and_grad(loss_fn)
+    value_and_grad = jax.value_and_grad(functionalize(closure, params))
     if compile:
         value_and_grad = jax.jit(value_and_grad)
 

@@ -293,3 +293,58 @@ def test_scipy_monitor_task_called_every_iteration(model):
         options={"maxiter": 10},
     )
     assert task.current_step > 1
+
+
+def test_writer_close_and_evict(tmp_path):
+    """close_writer releases the shared per-directory SummaryWriter (file
+    handle + flush thread); without an evict path, long sweeps leak one
+    writer per trial directory for the process lifetime (round-2 review)."""
+    from gpflow_tpu.monitor import ToTensorBoard
+
+    d1, d2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    t1 = ScalarToTensorBoard(d1, lambda: 1.0, "a")
+    t2 = ScalarToTensorBoard(d2, lambda: 2.0, "b")
+    t1(0)
+    t2(0)
+    assert d1 in ToTensorBoard.writers and d2 in ToTensorBoard.writers
+    ToTensorBoard.close_writer(d1)
+    assert d1 not in ToTensorBoard.writers and d2 in ToTensorBoard.writers
+    ToTensorBoard.close_writer(d1)  # idempotent
+    # a new task for the closed dir re-opens cleanly
+    t1b = ScalarToTensorBoard(d1, lambda: 3.0, "a")
+    t1b(1)
+    ToTensorBoard.close_all_writers()
+    assert ToTensorBoard.writers == {}
+
+
+def test_image_to_tensorboard_does_not_clobber_matplotlib_backend(tmp_path):
+    import matplotlib
+
+    before = matplotlib.get_backend()
+    task = ImageToTensorBoard(str(tmp_path), lambda fig, ax: ax.plot([0, 1]), "img")
+    task(0)
+    assert matplotlib.get_backend() == before
+
+
+def test_scipy_step_callback_sees_current_parameters(model, tmp_path):
+    """The per-iteration callback must observe the CURRENT iterate in the
+    live Parameters (round-2 review: monitors logged the initial values for
+    the whole run because assignment only happened after scipy returned)."""
+    import gpflow_tpu
+
+    seen = []
+
+    def cb(step, variables, values):
+        seen.append(float(np.ravel(np.asarray(model.kernel.lengthscales.value))[0]))
+
+    gpflow_tpu.optimizers.Scipy().minimize(
+        model.training_loss, model.trainable_variables,
+        step_callback=cb, options=dict(maxiter=10),
+    )
+    assert len(seen) >= 2
+    assert len({round(v, 12) for v in seen}) > 1, (
+        "callback saw a frozen lengthscale: parameters not synced per iteration"
+    )
+    # and the final model state matches the last callback observation
+    final = float(np.ravel(np.asarray(model.kernel.lengthscales.value))[0])
+    np.testing.assert_allclose(seen[-1], final, rtol=1e-9)

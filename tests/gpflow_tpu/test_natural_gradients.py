@@ -181,3 +181,44 @@ def test_compiled_step_advances_minibatch_iterator():
     # first minimize draws twice (discovery trace + compile trace; the
     # compile draw is the one optimized against); each later call draws once
     assert seen == [0, 20, 0, 20], seen
+
+
+def test_gamma_annealing_honored_by_compiled_step():
+    """opt.gamma changed after the first compiled step must take effect
+    (round-2 review: gamma was baked into the executable at trace time)."""
+    model = _svgp(True)
+    sgpr = SGPR(
+        (X, Y),
+        kernel=kernels.SquaredExponential(lengthscales=0.8),
+        inducing_variable=Z.copy(),
+        noise_variance=0.1,
+    )
+    optimal = float(sgpr.elbo())
+
+    opt = NaturalGradient(gamma=0.01)
+    loss = lambda: model.training_loss((X, Y))  # one closure object -> cached
+    opt.minimize(loss, [(model.q_mu, model.q_sqrt)])
+    assert abs(float(model.elbo((X, Y))) - optimal) > 1.0  # tiny step: far off
+
+    opt.gamma = 1.0
+    opt.minimize(loss, [(model.q_mu, model.q_sqrt)])  # cached executable
+    # a gamma=1 step from ANY state reaches the collapsed optimum — only if
+    # the new gamma actually reached the compiled step
+    np.testing.assert_allclose(float(model.elbo((X, Y))), optimal, rtol=1e-8)
+
+
+def test_compiled_step_cache_hits_for_bound_methods():
+    """model.training_loss is a fresh bound-method object per access; the
+    cache must key by equality, not id, or every step recompiles
+    (round-2 review)."""
+    from gpflow_tpu.models import VGP
+
+    model = VGP(
+        (X, Y),
+        kernel=kernels.SquaredExponential(),
+        likelihood=likelihoods.Gaussian(0.1),
+    )
+    opt = NaturalGradient(gamma=0.3)
+    for _ in range(3):
+        opt.minimize(model.training_loss, [(model.q_mu, model.q_sqrt)])
+    assert len(opt._compiled_steps) == 1
