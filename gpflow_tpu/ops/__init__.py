@@ -1,5 +1,5 @@
 """Pallas TPU kernels and custom-VJP linear algebra for hot paths."""
-from .linalg import chol_and_inverse, triangular_inverse
+from .linalg import chol_and_inverse, sym_jitter, triangular_inverse
 from .pallas_distance import (
     PALLAS_FAMILIES,
     get_pallas_enabled,
@@ -19,5 +19,6 @@ __all__ = [
     "scaled_squared_distance",
     "set_pallas_enabled",
     "stationary_kernel_matrix",
+    "sym_jitter",
     "triangular_inverse",
 ]

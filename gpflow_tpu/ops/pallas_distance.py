@@ -355,6 +355,15 @@ def _rbf_scaled_bwd(res, g):
 
 
 def scaled_squared_distance(Xs: jax.Array, Zs: jax.Array, interpret: bool = False) -> jax.Array:
-    """||xs - zs||^2 via the fused tile kernel (= -2 log(K/var) with var=1)."""
-    E = _stationary_pallas_forward("rbf", Xs, Zs, jnp.asarray(1.0, jnp.float32), interpret=interpret)
-    return -2.0 * jnp.log(jnp.maximum(E, 1e-38))
+    """||xs - zs||^2 for pre-scaled inputs, computed DIRECTLY.
+
+    Not routed through the exp tile kernel: recovering d2 as
+    ``-2 log(exp(-d2/2))`` in f32 clamps every distance beyond ~175
+    (underflow) and drowns near-zero distances in ~1e-7 round-trip noise
+    (round-2 review). The direct cross-term form matches the tile kernel's
+    own in-kernel distance math (full-precision matmul + row/col norms).
+    """
+    del interpret  # kept for signature compatibility
+    from ..utilities.ops import square_distance
+
+    return square_distance(Xs, Zs)

@@ -69,6 +69,12 @@ def bucketize(
       ``"leading"`` in that case.
     * ``"leading"``: only axis 0 — never touches other dims; full-covariance
       outputs must then be column-unpadded by the caller.
+
+    An output leaf with NO batch axis to slice (e.g. ``fn`` reduced over the
+    batch — a mean/sum) is REJECTED with a ValueError when padding actually
+    happened: the zero-pad rows already contaminated such a result, and
+    returning it untouched would be silently wrong (round-2 review). Reduce
+    outside the wrapper, or mask the pad rows inside ``fn``.
     """
     if unpad not in ("matching", "leading"):
         raise ValueError(f"unpad must be 'matching' or 'leading', got {unpad!r}")
@@ -81,12 +87,21 @@ def bucketize(
             return out
 
         def slice_(a: Any) -> Any:
-            if not (hasattr(a, "shape") and getattr(a, "ndim", 0) >= 1):
+            if not hasattr(a, "shape"):
                 return a
+            has_batch_axis = (
+                getattr(a, "ndim", 0) >= 1
+                and (a.shape[0] == b if unpad == "leading" else any(d == b for d in a.shape))
+            )
+            if not has_batch_axis:
+                raise ValueError(
+                    f"bucketize: output of shape {tuple(getattr(a, 'shape', ()))} has no "
+                    f"axis equal to the padded batch size {b}; it was computed over "
+                    f"zero-pad rows and cannot be unpadded. Return per-row outputs and "
+                    f"reduce outside the wrapper (or mask rows >= n inside fn)."
+                )
             if unpad == "leading":
-                return a[:n] if a.shape[0] == b else a
-            if not any(d == b for d in a.shape):
-                return a
+                return a[:n]
             idx = tuple(slice(0, n) if d == b else slice(None) for d in a.shape)
             return a[idx]
 

@@ -27,7 +27,12 @@ def add_noise_cov(K: jax.Array, likelihood_variance: jax.Array) -> jax.Array:
 
 
 def add_likelihood_noise_cov(K: jax.Array, likelihood: Any, X: jax.Array) -> jax.Array:
-    """K + diag(likelihood.variance_at(X)) (reference ``model_utils.py:41-50``)."""
-    variance = likelihood.variance_at(X)  # [N, 1] broadcastable
+    """K + diag(likelihood.variance_at(X)), batched over leading dims like
+    the reference's set_diag form (``model_utils.py:41-50``): K
+    [batch..., N, N], X [batch..., N, D] -> variance [batch..., N] scales
+    the eye per batch element (a flat reshape broke batched inputs,
+    round-2 review)."""
+    variance = likelihood.variance_at(X)  # [batch..., N, 1]
+    variance = jnp.squeeze(jnp.asarray(variance), axis=-1)  # [batch..., N]
     n = K.shape[-1]
-    return K + jnp.reshape(variance, (-1,)) * jnp.eye(n, dtype=K.dtype)
+    return K + variance[..., None] * jnp.eye(n, dtype=K.dtype)

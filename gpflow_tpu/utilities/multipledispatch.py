@@ -108,7 +108,25 @@ class Dispatcher:
         return len(next(iter(self.funcs))) if self.funcs else 0
 
     def __call__(self, *args: Any, **kwargs: Any) -> Any:
-        n = self.n_args
-        types = tuple(type(a) for a in args[:n])
-        fn = self.registered_fn(*types)
-        return fn(*args, **kwargs)
+        # Signatures may have MIXED arities (multipledispatch-package
+        # semantics): try each registered arity, longest first, so a
+        # 3-type registration is reachable even when a 2-type signature
+        # registered first (round-2 review: n_args came from whichever
+        # signature happened to be first).
+        arities = sorted({len(sig) for sig in self.funcs}, reverse=True)
+        last_err: Optional[NotImplementedError] = None
+        for n in arities:
+            if n > len(args):
+                continue
+            types = tuple(type(a) for a in args[:n])
+            try:
+                fn = self.registered_fn(*types)
+            except NotImplementedError as e:
+                last_err = e
+                continue
+            return fn(*args, **kwargs)
+        if last_err is not None:
+            raise last_err
+        raise NotImplementedError(
+            f"{self.name}: no registered signature accepts {len(args)} arguments"
+        )

@@ -61,6 +61,10 @@ def _build_method(
     if name == "predict_mean":
         if posterior is not None and hasattr(posterior, "predict_mean"):
             return lambda X: posterior.predict_mean(X)
+        if posterior is not None:
+            # still serve from the precomputed cache (matmul-only) rather
+            # than dropping to the fused path's per-call Kuu Cholesky
+            return lambda X: posterior.predict_f(X)[0]
         return lambda X: model.predict_f(X)[0]
     raise ValueError(f"Unknown serving method {name!r}")
 

@@ -43,7 +43,14 @@ __all__ = [
 
 F = TypeVar("F", bound=Callable[..., Any])
 
-_state = {"enabled": os.environ.get("GPFLOW_TPU_CHECK_SHAPES", "0") not in ("0", "", "false")}
+def _env_enabled(value: str) -> bool:
+    """Truthiness of the GPFLOW_TPU_CHECK_SHAPES env value — same falsy
+    spellings as GPFLOW_TPU_PALLAS ("False" used to silently ENABLE shape
+    checking, round-2 review)."""
+    return value.lower() not in ("0", "", "false", "no", "off")
+
+
+_state = {"enabled": _env_enabled(os.environ.get("GPFLOW_TPU_CHECK_SHAPES", "0"))}
 
 
 class ShapeError(ValueError):

@@ -102,3 +102,19 @@ def test_bucketize_unpad_leading_for_coincident_dims():
     assert out_leading.shape == (5, P)
     with pytest.raises(ValueError, match="unpad"):
         bucketize(fn, unpad="nope")
+
+
+def test_bucketize_rejects_batch_reduced_outputs():
+    """A padding-contaminated reduction (no axis equal to the padded size)
+    must raise, not silently return a wrong value (round-2 review)."""
+    import pytest as _pytest
+
+    wrapped = bucketize(lambda x: jnp.mean(x))
+    # no padding (power-of-two batch): reduction passes through fine? no —
+    # unpadded calls return as-is
+    np.testing.assert_allclose(float(wrapped(jnp.ones((8, 2)))), 1.0)
+    with _pytest.raises(ValueError, match="cannot be unpadded"):
+        wrapped(jnp.ones((7, 2)))  # pads to 8 -> mean contaminated
+    # per-row outputs still work
+    ok = bucketize(lambda x: x * 2)(jnp.ones((7, 2)))
+    assert np.asarray(ok).shape == (7, 2)

@@ -160,3 +160,55 @@ def test_pca_reduce():
     assert Xr.shape == (30, 2)
     # the retained components carry most of the variance
     assert Xr.var(0).sum() > 0.8 * X.var(0).sum()
+
+
+def test_add_likelihood_noise_cov_batched():
+    """Batched K [B, N, N] / X [B, N, D] must add per-batch diagonals like
+    the reference's set_diag form (round-2 review: a flat reshape raised a
+    broadcast error)."""
+    from gpflow_tpu import likelihoods
+    from gpflow_tpu.utilities import add_likelihood_noise_cov
+
+    rngb = np.random.RandomState(0)
+    B, N, D = 3, 5, 2
+    K = np.stack([np.eye(N) for _ in range(B)])
+    X = rngb.randn(B, N, D)
+    lik = likelihoods.Gaussian(0.25)
+    out = np.asarray(add_likelihood_noise_cov(jnp.asarray(K), lik, jnp.asarray(X)))
+    assert out.shape == (B, N, N)
+    np.testing.assert_allclose(out, K + 0.25 * np.eye(N)[None], rtol=1e-12)
+    # unbatched path unchanged
+    out2 = np.asarray(add_likelihood_noise_cov(jnp.asarray(K[0]), lik, jnp.asarray(X[0])))
+    np.testing.assert_allclose(out2, K[0] + 0.25 * np.eye(N), rtol=1e-12)
+
+
+def test_dispatcher_mixed_arity():
+    """2-type and 3-type registrations must coexist (round-2 review: the
+    first-registered arity masked the others)."""
+    from gpflow_tpu.utilities import Dispatcher
+
+    d = Dispatcher("mixed")
+
+    @d.register(int, int)
+    def _two(a, b):
+        return "two"
+
+    @d.register(int, int, str)
+    def _three(a, b, c):
+        return "three"
+
+    assert d(1, 2) == "two"
+    assert d(1, 2, "x") == "three"
+    # longest-arity preference when both match
+    assert d(1, 2, "x") == "three"
+
+
+def test_checkshapes_env_false_spellings():
+    """GPFLOW_TPU_CHECK_SHAPES=False must DISABLE shape checking (same falsy
+    spellings as GPFLOW_TPU_PALLAS — round-2 review)."""
+    from gpflow_tpu.utilities.shapes import _env_enabled
+
+    for spelling in ("False", "FALSE", "no", "off", "Off", "0", ""):
+        assert _env_enabled(spelling) is False, spelling
+    for spelling in ("1", "true", "True", "yes", "on"):
+        assert _env_enabled(spelling) is True, spelling
