@@ -26,7 +26,6 @@ __all__ = [
     "Exp",
     "FillTriangular",
     "Identity",
-    "RescaleSpectral",
     "Shift",
     "Sigmoid",
     "Softplus",
@@ -319,11 +318,6 @@ class TriangularMask(Bijector):
 
     def forward_log_det_jacobian(self, x: jax.Array) -> jax.Array:
         return jnp.zeros(x.shape[:-2], dtype=x.dtype)
-
-
-@dataclasses.dataclass(frozen=True)
-class RescaleSpectral(Bijector):
-    """Placeholder for spectral-density transforms; not used by core models."""
 
 
 def positive(lower: float | None = None, base: str | None = None) -> Bijector:

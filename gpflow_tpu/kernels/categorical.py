@@ -18,9 +18,14 @@ __all__ = ["Categorical"]
 
 def latent_from_labels(Z: jax.Array, labels: jax.Array) -> jax.Array:
     """Looks up latent values for integer labels
-    (reference ``categorical.py:23-40``)."""
+    (reference ``categorical.py:23-40``). Out-of-range labels are
+    NaN-poisoned rather than silently wrapped/clamped by the JAX gather
+    (tf.gather raises; same fail-loud policy as the likelihoods)."""
     indices = labels.astype(default_int())
-    return jnp.take(Z, indices, axis=0)
+    num = Z.shape[0]
+    valid = (indices >= 0) & (indices < num)
+    out = jnp.take(Z, jnp.clip(indices, 0, num - 1), axis=0)
+    return jnp.where(valid[..., None], out, jnp.asarray(jnp.nan, out.dtype))
 
 
 def _concat_inputs_with_latents(Z: jax.Array, X: jax.Array) -> jax.Array:

@@ -1,7 +1,7 @@
 """ArcCosine and Coregion kernels (reference ``/root/reference/gpflow/kernels/misc.py``)."""
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -138,19 +138,32 @@ class Coregion(Kernel):
     def output_variance(self) -> jax.Array:
         return jnp.sum(jnp.square(self.W.value), axis=1) + self.kappa
 
+    def _indices(self, X: TensorType) -> Tuple[jax.Array, jax.Array]:
+        """(clipped int indices, per-row validity). JAX gathers wrap/clamp
+        out-of-range labels (tf.gather raises); invalid outputs are
+        NaN-poisoned instead so off-by-one label columns fail loudly —
+        same policy as the likelihoods (round-2 review)."""
+        Xi = jnp.asarray(X)[..., 0].astype(jnp.int32)
+        valid = (Xi >= 0) & (Xi < self.output_dim)
+        return jnp.clip(Xi, 0, self.output_dim - 1), valid
+
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         B = self.output_covariance()  # [O, O]
-        Xi = jnp.asarray(X)[..., 0].astype(jnp.int32)  # [batch..., N]
+        Xi, v1 = self._indices(X)  # [batch..., N]
         if X2 is None:
-            X2i = Xi
             # result[..., n, m] = B[X[n], X[m]]
-            return B[Xi[..., :, None], X2i[..., None, :]]
-        X2i = jnp.asarray(X2)[..., 0].astype(jnp.int32)  # [batch2..., N2]
+            out = B[Xi[..., :, None], Xi[..., None, :]]
+            valid = v1[..., :, None] & v1[..., None, :]
+            return jnp.where(valid, out, jnp.asarray(jnp.nan, out.dtype))
+        X2i, v2 = self._indices(X2)  # [batch2..., N2]
         # [batch..., N, batch2..., N2]
         idx1 = Xi.reshape(Xi.shape + (1,) * X2i.ndim)
         idx2 = X2i.reshape((1,) * Xi.ndim + X2i.shape)
-        return B[idx1, idx2]
+        out = B[idx1, idx2]
+        valid = v1.reshape(idx1.shape) & v2.reshape(idx2.shape)
+        return jnp.where(valid, out, jnp.asarray(jnp.nan, out.dtype))
 
     def K_diag(self, X: TensorType) -> jax.Array:
-        Xi = jnp.asarray(X)[..., 0].astype(jnp.int32)
-        return jnp.take(self.output_variance(), Xi, axis=0)
+        Xi, valid = self._indices(X)
+        out = jnp.take(self.output_variance(), Xi, axis=0)
+        return jnp.where(valid, out, jnp.asarray(jnp.nan, out.dtype))

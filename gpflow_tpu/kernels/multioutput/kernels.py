@@ -139,8 +139,7 @@ class SeparateIndependent(MultioutputKernel, Combination):
         P = len(self.kernels)
         # [batch..., N, P, (batch2...,) N2, P] block-diagonal over outputs
         K0 = Ks[0]
-        Kmoved = jnp.moveaxis(Ks, 0, -1)  # [batch..., N, (batch2...,) N2, P]
-        Kexp = jnp.expand_dims(jnp.moveaxis(Kmoved, -1, rank), -1)
+        Kexp = jnp.expand_dims(jnp.moveaxis(Ks, 0, rank), -1)
         # Kexp: [batch..., N, P, (batch2...,) N2, 1]
         eye = jnp.eye(P, dtype=K0.dtype).reshape(
             (1,) * rank + (P,) + (1,) * (K0.ndim - rank) + (P,)
@@ -197,7 +196,6 @@ class LinearCoregionalization(IndependentLatent, Combination):
             # sum_l W[p,l]^2 Kxx[l] -> [P, batch..., N, (batch2...,) N2]
             return jnp.sum(W_broadcast * KxxW, axis=1)
         WKxxW = jnp.tensordot(W, KxxW, axes=[[1], [1]])  # [P, P, batch..., N, (b2...,) N2]
-        nrest = WKxxW.ndim - 2
         if X2 is None:
             # -> [batch..., N, P, N, P]
             perm = tuple(range(2, 2 + rank)) + (0, 2 + rank, 1)

@@ -67,6 +67,10 @@ def student_t(x: jax.Array, mean: jax.Array, scale: jax.Array, df: jax.Array) ->
 
 
 def beta(x: jax.Array, alpha: jax.Array, bet: jax.Array) -> jax.Array:
+    # clip x away from {0, 1} like the reference (logdensities.py:112-121):
+    # proportion data containing exact 0.0/1.0 would otherwise give -inf
+    # density and NaN gradients (log x reaches the alpha gradient directly)
+    x = jnp.clip(x, 1e-6, 1.0 - 1e-6)
     return (alpha - 1.0) * jnp.log(x) + (bet - 1.0) * jnp.log1p(-x) - betaln(alpha, bet)
 
 

@@ -30,6 +30,24 @@ __all__ = [
 
 @dataclasses.dataclass(frozen=True)
 class Prior:
+    def __post_init__(self) -> None:
+        # Enforce the static-pytree invariant at the boundary: priors ride
+        # in jit-cached aux data, which must be HASHABLE. An array-valued
+        # hyperparameter would otherwise surface as an opaque
+        # "unhashable type: ArrayImpl" deep inside treedef hashing at the
+        # first jit (round-2 review); float() here fails clearly instead.
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if not isinstance(v, float):
+                try:
+                    object.__setattr__(self, f.name, float(v))
+                except (TypeError, ValueError) as e:
+                    raise TypeError(
+                        f"{type(self).__name__}.{f.name} must be a Python "
+                        f"scalar (priors are static jit-cache metadata); got "
+                        f"{type(v).__name__}"
+                    ) from e
+
     def log_prob(self, x: jax.Array) -> jax.Array:
         raise NotImplementedError
 

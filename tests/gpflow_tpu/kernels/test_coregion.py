@@ -178,3 +178,31 @@ def test_predict_f_samples(models):
     assert np.asarray(s1).shape == (1, Datum.N2, 1)
     assert np.all(np.isfinite(np.asarray(s0)))
     assert np.all(np.isfinite(np.asarray(s1)))
+
+
+def test_coregion_invalid_label_is_nan():
+    """Out-of-range output indices must NaN-poison (JAX gathers silently
+    clamp; tf.gather raises) — same fail-loud policy as the likelihoods."""
+    k = gpflow_tpu.kernels.Coregion(output_dim=3, rank=1)
+    Xok = np.array([[0.0], [2.0]])
+    Xbad = np.array([[0.0], [3.0], [-1.0]])
+    assert np.isfinite(np.asarray(k(Xok))).all()
+    Kb = np.asarray(k(Xbad))
+    assert np.isfinite(Kb[0, 0])
+    assert np.isnan(Kb[1, 1]) and np.isnan(Kb[2, 2]) and np.isnan(Kb[0, 1])
+    Kd = np.asarray(k(Xbad, full_cov=False))
+    assert np.isfinite(Kd[0]) and np.isnan(Kd[1]) and np.isnan(Kd[2])
+    # cross-kernel path
+    Kx = np.asarray(k(Xok, Xbad))
+    assert np.isfinite(Kx[:, 0]).all() and np.isnan(Kx[:, 1]).all()
+
+
+def test_categorical_invalid_label_is_nan():
+    import jax.numpy as jnp
+
+    from gpflow_tpu.kernels.categorical import latent_from_labels
+
+    Z = np.arange(6.0).reshape(3, 2)
+    vals = np.asarray(latent_from_labels(jnp.asarray(Z), jnp.asarray([0.0, 2.0, 3.0, -1.0])))
+    assert np.isfinite(vals[:2]).all()
+    assert np.isnan(vals[2]).all() and np.isnan(vals[3]).all()
