@@ -95,6 +95,7 @@ def test_independent_single_output(q_sqrt_form, whiten, make_kernel):
 
 @pytest.mark.parametrize("q_sqrt_form", ["diag", "full", "none"])
 @pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize("P_", [1, P], ids=["P1", f"P{P}"])
 @pytest.mark.parametrize(
     "kernel_type,iv_type",
     [
@@ -104,20 +105,20 @@ def test_independent_single_output(q_sqrt_form, whiten, make_kernel):
         ("separate", "separate"),
     ],
 )
-def test_independent_multi_output(q_sqrt_form, whiten, kernel_type, iv_type):
+def test_independent_multi_output(q_sqrt_form, whiten, kernel_type, iv_type, P_):
     if kernel_type == "shared":
-        kernel = kernels.SharedIndependent(kernels.SquaredExponential(), output_dim=P)
+        kernel = kernels.SharedIndependent(kernels.SquaredExponential(), output_dim=P_)
     else:
         kernel = kernels.SeparateIndependent(
-            [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(P)]
+            [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(P_)]
         )
     if iv_type == "shared":
         iv = SharedIndependentInducingVariables(InducingPoints(Z.copy()))
     else:
         iv = SeparateIndependentInducingVariables(
-            [InducingPoints(Z.copy() + 0.1 * i) for i in range(P)]
+            [InducingPoints(Z.copy() + 0.1 * i) for i in range(P_)]
         )
-    q_mu, q_sqrt = _q(M, P, q_sqrt_form)
+    q_mu, q_sqrt = _q(M, P_, q_sqrt_form)
     posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
     assert isinstance(posterior, IndependentPosteriorMultiOutput)
     _check_fused_vs_cache(posterior)
@@ -126,18 +127,19 @@ def test_independent_multi_output(q_sqrt_form, whiten, kernel_type, iv_type):
 
 @pytest.mark.parametrize("q_sqrt_form", ["diag", "full", "none"])
 @pytest.mark.parametrize("whiten", [True, False])
+@pytest.mark.parametrize("L_", [1, L], ids=["L1", f"L{L}"])
 @pytest.mark.parametrize("iv_type", ["shared", "separate"])
-def test_linear_coregionalization(q_sqrt_form, whiten, iv_type):
-    ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)]
-    W = rng.randn(P, L)
+def test_linear_coregionalization(q_sqrt_form, whiten, iv_type, L_):
+    ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L_)]
+    W = rng.randn(P, L_)
     kernel = kernels.LinearCoregionalization(ks, W=W)
     if iv_type == "shared":
         iv = SharedIndependentInducingVariables(InducingPoints(Z.copy()))
     else:
         iv = SeparateIndependentInducingVariables(
-            [InducingPoints(Z.copy() + 0.1 * i) for i in range(L)]
+            [InducingPoints(Z.copy() + 0.1 * i) for i in range(L_)]
         )
-    q_mu, q_sqrt = _q(M, L, q_sqrt_form)
+    q_mu, q_sqrt = _q(M, L_, q_sqrt_form)
     posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
     assert isinstance(posterior, LinearCoregionalizationPosterior)
     _check_fused_vs_cache(posterior)
