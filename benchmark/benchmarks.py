@@ -26,9 +26,23 @@ class BenchmarkSet(NamedTuple):
     maxiter: int
 
     def get_tasks(self) -> List[Task]:
+        import sys
+
+        from .datasets import is_available
+
         tasks = []
         for d in self.datasets:
             d_tags = DATASETS.tags_of(d)
+            if not is_available(d):
+                # no silent caps: REAL_DATA sets whose local file is absent
+                # are skipped with an explicit note (datasets.MissingDataFile
+                # explains how to provide the file)
+                print(
+                    f"benchmark: skipping dataset {d!r} (REAL_DATA file not in "
+                    "$GPFLOW_TPU_DATA_DIR)",
+                    file=sys.stderr,
+                )
+                continue
             for m in self.models:
                 m_tags = MODELS.tags_of(m)
                 if "LARGE" in d_tags and "all_sizes" not in m_tags:
@@ -59,6 +73,16 @@ SUITES.register(
         models=["gpr", "sgpr", "vgp", "svgp"],
         repetitions=5,
         maxiter=100,
+    ),
+)
+SUITES.register(
+    "uci",
+    BenchmarkSet(
+        "uci",
+        datasets=DATASETS.names("REAL_DATA"),
+        models=["gpr", "sgpr", "vgp", "svgp"],
+        repetitions=5,
+        maxiter=1000,
     ),
 )
 SUITES.register(

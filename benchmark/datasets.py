@@ -1,16 +1,33 @@
-"""Benchmark datasets (reference ``benchmark/datasets.py:39-80``): synthetic
-TINY sets plus generated MEDIUM/LARGE regression/classification tasks (the
-reference's UCI downloads are replaced by deterministic synthetic generators —
-this environment has no network egress)."""
+"""Benchmark datasets (reference ``benchmark/datasets.py``): synthetic TINY
+sets, generated MEDIUM/LARGE regression/classification tasks, and the
+reference's real UCI datasets served from a LOCAL data directory.
+
+The reference downloads UCI files over the network
+(``benchmark/dataset_api.py:269-290``); this environment has no egress, so the
+same dataset names (boston, naval, protein, red_wine, ... — tagged
+``REAL_DATA``) instead read pre-fetched files from ``$GPFLOW_TPU_DATA_DIR``
+(default ``~/.gpflow_tpu/data``). A missing file raises
+:class:`MissingDataFile` naming the expected path and origin URL; suites skip
+unavailable REAL_DATA sets loudly (see ``benchmarks.BenchmarkSet.get_tasks``).
+Normalisation (mean 0 / var 1) and the seeded shuffle-split match the
+reference (``dataset_api.py:226-266``)."""
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import os
+from pathlib import Path
+from typing import Callable, NamedTuple, Tuple
 
 import numpy as np
 
 from .registry import Registry
 
-__all__ = ["Dataset", "DATASETS", "get_dataset"]
+__all__ = [
+    "Dataset",
+    "DATASETS",
+    "MissingDataFile",
+    "get_dataset",
+    "is_available",
+]
 
 
 class Dataset(NamedTuple):
@@ -57,6 +74,140 @@ def _banana() -> Dataset:
     p = 1 / (1 + np.exp(-(np.sin(2 * X[:, 0]) + X[:, 1])))
     Y = (rng.rand(n) < p).astype(float)[:, None]
     return _split(X, Y, "banana")
+
+
+class MissingDataFile(RuntimeError):
+    """A REAL_DATA dataset's file is not present in the local data dir."""
+
+
+def _data_dir() -> Path:
+    return Path(
+        os.environ.get("GPFLOW_TPU_DATA_DIR", "~/.gpflow_tpu/data")
+    ).expanduser()
+
+
+def _normalise(A: np.ndarray) -> np.ndarray:
+    # reference dataset_api.py:226-233: per-column mean 0 / var 1; columns
+    # with zero spread are left centered (avoid 0/0)
+    std = A.std(axis=0, keepdims=True)
+    return (A - A.mean(axis=0, keepdims=True)) / np.where(std == 0.0, 1.0, std)
+
+
+def _shuffle_split(X: np.ndarray, Y: np.ndarray, name: str, test_fraction: float) -> Dataset:
+    # seeded shuffle + split, matching reference dataset_api.py:254-266
+    X = _normalise(np.asarray(X, dtype=float))
+    Y = _normalise(np.asarray(Y, dtype=float))
+    rng = np.random.default_rng(20220722)
+    perm = rng.permutation(len(X))
+    X, Y = X[perm], Y[perm]
+    n_test = round(test_fraction * len(X))
+    return Dataset(name, (X[n_test:], Y[n_test:]), (X[:n_test], Y[:n_test]))
+
+
+def _real_dataset(
+    name: str,
+    filename: str,
+    parse: Callable[[Path], Tuple[np.ndarray, np.ndarray]],
+    url: str,
+    size_tag: str,
+    test_fraction: float = 0.1,
+) -> None:
+    """Registers a reference UCI dataset backed by a local file.
+
+    ``parse(path) -> (X, Y)`` runs only when the file exists; a CSV sibling
+    (same stem, ``.csv``) is accepted for the Excel-format sets since this
+    image ships no Excel reader."""
+
+    def factory() -> Dataset:
+        path = _data_dir() / filename
+        csv_alt = path.with_suffix(".csv")
+        if not path.exists() and csv_alt.exists():
+            import pandas as pd
+
+            data = pd.read_csv(csv_alt).values
+            return _shuffle_split(data[:, :-1], data[:, -1:], name, test_fraction)
+        if not path.exists():
+            raise MissingDataFile(
+                f"dataset {name!r} needs {path} (no network egress here; "
+                f"fetch it from {url} and place it in $GPFLOW_TPU_DATA_DIR)"
+            )
+        X, Y = parse(path)
+        return _shuffle_split(X, Y, name, test_fraction)
+
+    factory.__name__ = name
+    factory.filename = filename  # type: ignore[attr-defined]
+    DATASETS.register(name, factory, tags=[size_tag, "regression", "REAL_DATA"])
+
+
+def is_available(name: str) -> bool:
+    """True unless ``name`` is a REAL_DATA set whose local file is absent."""
+    if "REAL_DATA" not in DATASETS.tags_of(name):
+        return True
+    fn = getattr(DATASETS.get(name), "filename", None)
+    if fn is None:
+        return True
+    p = _data_dir() / fn
+    return p.exists() or p.with_suffix(".csv").exists()
+
+
+def _parse_fwf_last_col(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    import pandas as pd
+
+    data = pd.read_fwf(path, header=None).values
+    return data[:, :-1], data[:, -1:]
+
+
+def _parse_naval(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    # whitespace table; first of the two trailing outputs is the target and
+    # dims 8/11 are constant (reference datasets.py:100-108)
+    data = np.loadtxt(path)
+    X = np.delete(data[:, :-2], [8, 11], axis=1)
+    return X, data[:, -2:-1]
+
+
+def _parse_protein(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    import pandas as pd
+
+    data = pd.read_csv(path).values
+    return data[:, 1:], data[:, :1]
+
+
+def _parse_semicolon_csv(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    import pandas as pd
+
+    data = pd.read_csv(path, delimiter=";").values
+    return data[:, :-1], data[:, -1:]
+
+
+def _parse_loadtxt(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    data = np.loadtxt(path)
+    return data[:, :-1], data[:, -1:]
+
+
+def _parse_excel(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    import pandas as pd
+
+    try:
+        data = pd.read_excel(path).values  # needs openpyxl/xlrd
+    except ImportError as e:
+        raise MissingDataFile(
+            f"{path} is an Excel file and no Excel reader is installed; "
+            f"export it as {path.with_suffix('.csv').name} instead"
+        ) from e
+    return data[:, :-1], data[:, -1:]
+
+
+_UCI = "https://archive.ics.uci.edu/ml/machine-learning-databases/"
+
+_real_dataset("boston", "housing.data", _parse_fwf_last_col, _UCI + "housing/housing.data", "MEDIUM")
+_real_dataset("concrete", "Concrete_Data.xls", _parse_excel, _UCI + "concrete/compressive/Concrete_Data.xls", "MEDIUM")
+_real_dataset("energy", "ENB2012_data.xlsx", _parse_excel, _UCI + "00242/ENB2012_data.xlsx", "MEDIUM")
+_real_dataset("naval", "uci_cbm_data.txt", _parse_naval, _UCI + "00316/UCI%20CBM%20Dataset.zip (member UCI CBM Dataset/data.txt)", "LARGE")
+_real_dataset("power", "Folds5x2_pp.xlsx", _parse_excel, _UCI + "00294/CCPP.zip (member CCPP/Folds5x2_pp.xlsx)", "LARGE")
+_real_dataset("protein", "CASP.csv", _parse_protein, _UCI + "00265/CASP.csv", "LARGE")
+_real_dataset("red_wine", "winequality-red.csv", _parse_semicolon_csv, _UCI + "wine-quality/winequality-red.csv", "MEDIUM")
+_real_dataset("white_wine", "winequality-white.csv", _parse_semicolon_csv, _UCI + "wine-quality/winequality-white.csv", "LARGE")
+_real_dataset("yacht", "yacht_hydrodynamics.data", _parse_loadtxt, _UCI + "00243/yacht_hydrodynamics.data", "MEDIUM")
 
 
 DATASETS.register("tiny_linear", _tiny_linear, tags=["TINY", "regression"])

@@ -198,3 +198,66 @@ def test_metadata_contents():
     assert md["cpu_count"] >= 1
     assert "jax_version" in md and "devices" in md and md["devices"]
     assert "git_rev" in md and len(md["git_rev"]) == 40
+
+
+# ------------------------- Real-data (local-file UCI) datasets -------------------------
+
+
+def test_real_datasets_registered_with_reference_names():
+    names = set(DATASETS.names("REAL_DATA"))
+    assert names == {
+        "boston", "concrete", "energy", "naval", "power",
+        "protein", "red_wine", "white_wine", "yacht",
+    }
+
+
+def test_missing_real_data_file_raises_with_instructions(tmp_path, monkeypatch):
+    from benchmark.datasets import MissingDataFile
+
+    monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
+    with pytest.raises(MissingDataFile, match="yacht_hydrodynamics.data"):
+        get_dataset("yacht")
+
+
+def test_real_dataset_loads_normalises_and_splits(tmp_path, monkeypatch):
+    rng = np.random.RandomState(3)
+    data = np.concatenate([rng.rand(50, 6), rng.randn(50, 1) * 7 + 3], axis=1)
+    np.savetxt(tmp_path / "yacht_hydrodynamics.data", data)
+    monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
+
+    from benchmark.datasets import is_available
+
+    assert is_available("yacht")
+    ds = get_dataset("yacht")
+    (X, Y), (Xt, Yt) = ds.train, ds.test
+    assert X.shape[1] == 6 and Y.shape[1] == 1
+    assert len(X) + len(Xt) == 50 and len(Xt) == 5  # test_fraction 0.1
+    full = np.concatenate([Y, Yt])
+    np.testing.assert_allclose(full.mean(), 0.0, atol=1e-9)
+    np.testing.assert_allclose(full.std(), 1.0, atol=1e-9)
+    # determinism of the seeded shuffle-split
+    np.testing.assert_array_equal(X, get_dataset("yacht").train[0])
+
+
+def test_semicolon_csv_parser(tmp_path, monkeypatch):
+    header = ";".join(f"c{i}" for i in range(4)) + ";quality"
+    rows = ["1.0;2.0;0.5;3.0;5", "2.0;1.0;0.25;4.0;6", "0.5;3.0;1.0;2.0;7",
+            "1.5;2.5;0.75;3.5;5", "2.5;0.5;0.1;1.0;8", "0.1;1.1;0.9;2.2;6",
+            "1.1;2.1;0.4;3.1;5", "2.2;1.2;0.2;4.2;7", "0.6;3.1;1.1;2.1;6",
+            "1.6;2.6;0.8;3.6;5"]
+    (tmp_path / "winequality-red.csv").write_text(header + "\n" + "\n".join(rows))
+    monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
+    ds = get_dataset("red_wine")
+    assert ds.train[0].shape[1] == 4
+
+
+def test_suite_skips_unavailable_real_data_loudly(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
+    tasks = get_suite("uci").get_tasks()
+    assert tasks == []  # nothing available -> nothing scheduled, never a crash
+    assert "skipping dataset" in capsys.readouterr().err
+
+    np.savetxt(tmp_path / "yacht_hydrodynamics.data", np.random.rand(30, 7))
+    tasks = get_suite("uci").get_tasks()
+    assert {t.dataset for t in tasks} == {"yacht"}
+    assert {t.model for t in tasks} == {"gpr", "sgpr", "vgp", "svgp"}
