@@ -87,10 +87,9 @@ def _data_dir() -> Path:
 
 
 def _normalise(A: np.ndarray) -> np.ndarray:
-    # reference dataset_api.py:226-233: per-column mean 0 / var 1; columns
-    # with zero spread are left centered (avoid 0/0)
-    std = A.std(axis=0, keepdims=True)
-    return (A - A.mean(axis=0, keepdims=True)) / np.where(std == 0.0, 1.0, std)
+    # reference dataset_api.py:226-230: per-column (A - mean) / (1e-6 + std);
+    # the 1e-6 floor also keeps zero-spread columns finite
+    return (A - A.mean(axis=0, keepdims=True)) / (1e-6 + A.std(axis=0, keepdims=True))
 
 
 def _shuffle_split(X: np.ndarray, Y: np.ndarray, name: str, test_fraction: float) -> Dataset:
@@ -111,31 +110,39 @@ def _real_dataset(
     url: str,
     size_tag: str,
     test_fraction: float = 0.1,
+    csv_alt_parse: Callable[[Path], Tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> None:
     """Registers a reference UCI dataset backed by a local file.
 
-    ``parse(path) -> (X, Y)`` runs only when the file exists; a CSV sibling
-    (same stem, ``.csv``) is accepted for the Excel-format sets since this
-    image ships no Excel reader."""
+    ``parse(path) -> (X, Y)`` runs only when the file exists. For the
+    Excel-format sets (this image ships no Excel reader) a CSV sibling (same
+    stem, ``.csv``) is accepted IF ``csv_alt_parse`` is given; the sibling
+    must be a faithful comma-separated export WITH the original header row —
+    ``csv_alt_parse`` preserves that dataset's column semantics. Datasets
+    whose primary file is already text never fall back (a stray ``.csv``
+    sibling would silently change column selection — advisor r2 finding)."""
 
     def factory() -> Dataset:
         path = _data_dir() / filename
         csv_alt = path.with_suffix(".csv")
-        if not path.exists() and csv_alt.exists():
-            import pandas as pd
-
-            data = pd.read_csv(csv_alt).values
-            return _shuffle_split(data[:, :-1], data[:, -1:], name, test_fraction)
+        if not path.exists() and csv_alt_parse is not None and csv_alt.exists():
+            X, Y = csv_alt_parse(csv_alt)
+            return _shuffle_split(X, Y, name, test_fraction)
         if not path.exists():
+            hint = (
+                f"; or export the sheet as {csv_alt.name} (comma-separated, "
+                f"header row kept)" if csv_alt_parse is not None else ""
+            )
             raise MissingDataFile(
                 f"dataset {name!r} needs {path} (no network egress here; "
-                f"fetch it from {url} and place it in $GPFLOW_TPU_DATA_DIR)"
+                f"fetch it from {url} and place it in $GPFLOW_TPU_DATA_DIR{hint})"
             )
         X, Y = parse(path)
         return _shuffle_split(X, Y, name, test_fraction)
 
     factory.__name__ = name
     factory.filename = filename  # type: ignore[attr-defined]
+    factory.allow_csv = csv_alt_parse is not None  # type: ignore[attr-defined]
     DATASETS.register(name, factory, tags=[size_tag, "regression", "REAL_DATA"])
 
 
@@ -143,11 +150,14 @@ def is_available(name: str) -> bool:
     """True unless ``name`` is a REAL_DATA set whose local file is absent."""
     if "REAL_DATA" not in DATASETS.tags_of(name):
         return True
-    fn = getattr(DATASETS.get(name), "filename", None)
+    factory = DATASETS.get(name)
+    fn = getattr(factory, "filename", None)
     if fn is None:
         return True
     p = _data_dir() / fn
-    return p.exists() or p.with_suffix(".csv").exists()
+    if p.exists():
+        return True
+    return bool(getattr(factory, "allow_csv", False)) and p.with_suffix(".csv").exists()
 
 
 def _parse_fwf_last_col(path: Path) -> Tuple[np.ndarray, np.ndarray]:
@@ -184,26 +194,53 @@ def _parse_loadtxt(path: Path) -> Tuple[np.ndarray, np.ndarray]:
     return data[:, :-1], data[:, -1:]
 
 
-def _parse_excel(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+def _read_excel(path: Path, **kwargs) -> np.ndarray:
     import pandas as pd
 
     try:
-        data = pd.read_excel(path).values  # needs openpyxl/xlrd
+        return pd.read_excel(path, **kwargs)  # needs openpyxl/xlrd
     except ImportError as e:
         raise MissingDataFile(
             f"{path} is an Excel file and no Excel reader is installed; "
-            f"export it as {path.with_suffix('.csv').name} instead"
+            f"export it as {path.with_suffix('.csv').name} (comma-separated, "
+            f"header row kept) instead"
         ) from e
+
+
+def _parse_excel(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    data = _read_excel(path).values
+    return data[:, :-1], data[:, -1:]
+
+
+def _parse_csv_last_col(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    # CSV sibling of an Excel sheet: comma-separated, header row present
+    import pandas as pd
+
+    data = pd.read_csv(path).values
+    return data[:, :-1], data[:, -1:]
+
+
+def _parse_energy(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    # reference benchmark/datasets.py:90-92: first 9 columns only (8 features
+    # + Y1 heating load as target; Y2 and xlsx NaN padding dropped)
+    data = _read_excel(path, usecols=np.arange(9)).dropna().values
+    return data[:, :-1], data[:, -1:]
+
+
+def _parse_energy_csv(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    import pandas as pd
+
+    data = pd.read_csv(path, usecols=np.arange(9)).dropna().values
     return data[:, :-1], data[:, -1:]
 
 
 _UCI = "https://archive.ics.uci.edu/ml/machine-learning-databases/"
 
 _real_dataset("boston", "housing.data", _parse_fwf_last_col, _UCI + "housing/housing.data", "MEDIUM")
-_real_dataset("concrete", "Concrete_Data.xls", _parse_excel, _UCI + "concrete/compressive/Concrete_Data.xls", "MEDIUM")
-_real_dataset("energy", "ENB2012_data.xlsx", _parse_excel, _UCI + "00242/ENB2012_data.xlsx", "MEDIUM")
+_real_dataset("concrete", "Concrete_Data.xls", _parse_excel, _UCI + "concrete/compressive/Concrete_Data.xls", "MEDIUM", csv_alt_parse=_parse_csv_last_col)
+_real_dataset("energy", "ENB2012_data.xlsx", _parse_energy, _UCI + "00242/ENB2012_data.xlsx", "MEDIUM", csv_alt_parse=_parse_energy_csv)
 _real_dataset("naval", "uci_cbm_data.txt", _parse_naval, _UCI + "00316/UCI%20CBM%20Dataset.zip (member UCI CBM Dataset/data.txt)", "LARGE")
-_real_dataset("power", "Folds5x2_pp.xlsx", _parse_excel, _UCI + "00294/CCPP.zip (member CCPP/Folds5x2_pp.xlsx)", "LARGE")
+_real_dataset("power", "Folds5x2_pp.xlsx", _parse_excel, _UCI + "00294/CCPP.zip (member CCPP/Folds5x2_pp.xlsx)", "LARGE", csv_alt_parse=_parse_csv_last_col)
 _real_dataset("protein", "CASP.csv", _parse_protein, _UCI + "00265/CASP.csv", "LARGE")
 _real_dataset("red_wine", "winequality-red.csv", _parse_semicolon_csv, _UCI + "wine-quality/winequality-red.csv", "MEDIUM")
 _real_dataset("white_wine", "winequality-white.csv", _parse_semicolon_csv, _UCI + "wine-quality/winequality-white.csv", "LARGE")

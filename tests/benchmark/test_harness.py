@@ -234,7 +234,8 @@ def test_real_dataset_loads_normalises_and_splits(tmp_path, monkeypatch):
     assert len(X) + len(Xt) == 50 and len(Xt) == 5  # test_fraction 0.1
     full = np.concatenate([Y, Yt])
     np.testing.assert_allclose(full.mean(), 0.0, atol=1e-9)
-    np.testing.assert_allclose(full.std(), 1.0, atol=1e-9)
+    # reference divides by (1e-6 + std), so the result's std is just shy of 1
+    np.testing.assert_allclose(full.std(), 1.0, atol=1e-5)
     # determinism of the seeded shuffle-split
     np.testing.assert_array_equal(X, get_dataset("yacht").train[0])
 
@@ -249,6 +250,65 @@ def test_semicolon_csv_parser(tmp_path, monkeypatch):
     monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
     ds = get_dataset("red_wine")
     assert ds.train[0].shape[1] == 4
+
+
+def test_normalise_matches_reference_epsilon():
+    # reference dataset_api.py:226-230: (A - mean) / (1e-6 + std), bit-exact
+    from benchmark.datasets import _normalise
+
+    A = np.array([[1.0, 5.0], [3.0, 5.0], [5.0, 5.0]])
+    expected = (A - A.mean(axis=0)) / (1e-6 + A.std(axis=0))
+    np.testing.assert_array_equal(_normalise(A), expected)
+
+
+def test_energy_parser_selects_y1_and_drops_nan(tmp_path, monkeypatch):
+    # reference benchmark/datasets.py:90-92: usecols 0..8, dropna, target Y1.
+    # Y2 is constant -> if the parser wrongly took the last column the
+    # normalised target would be all ~0; NaN padding row must be dropped.
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    cols = [f"X{i}" for i in range(1, 9)] + ["Y1", "Y2"]
+    df = pd.DataFrame(rng.rand(30, 10), columns=cols)
+    df["Y2"] = 5.0
+    df.loc[30] = [np.nan] * 10  # xlsx padding row
+    df.to_csv(tmp_path / "ENB2012_data.csv", index=False)
+    monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
+
+    ds = get_dataset("energy")
+    (X, Y), (Xt, Yt) = ds.train, ds.test
+    assert X.shape[1] == 8  # Y1 must not leak into the features
+    assert len(X) + len(Xt) == 30  # NaN row dropped
+    assert np.concatenate([Y, Yt]).std() > 0.5  # target is Y1, not const Y2
+
+
+def test_csv_fallback_rejected_for_text_datasets(tmp_path, monkeypatch):
+    # a stray naval .csv sibling must NOT be accepted (advisor r2 finding):
+    # the generic last-column parse would yield the wrong feature/target split
+    from benchmark.datasets import MissingDataFile, is_available
+
+    (tmp_path / "uci_cbm_data.csv").write_text("a,b,c\n1,2,3\n")
+    monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
+    assert not is_available("naval")
+    with pytest.raises(MissingDataFile, match="uci_cbm_data.txt"):
+        get_dataset("naval")
+
+
+def test_csv_fallback_accepted_for_excel_datasets(tmp_path, monkeypatch):
+    import pandas as pd
+
+    rng = np.random.RandomState(1)
+    df = pd.DataFrame(rng.rand(20, 9), columns=[f"c{i}" for i in range(9)])
+    df.to_csv(tmp_path / "Concrete_Data.csv", index=False)
+    monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
+
+    from benchmark.datasets import is_available
+
+    assert is_available("concrete")
+    ds = get_dataset("concrete")
+    (X, Y), (Xt, Yt) = ds.train, ds.test
+    assert X.shape[1] == 8 and Y.shape[1] == 1
+    assert len(X) + len(Xt) == 20  # header row consumed as header, not data
 
 
 def test_suite_skips_unavailable_real_data_loudly(tmp_path, monkeypatch, capsys):
