@@ -127,6 +127,30 @@ def sgpr_elbo(X, Y, Z, kern, kdiag, noise):
     )
 
 
+def sgpr_upper_bound(X, Y, Z, kern, kdiag, noise):
+    """Titsias 2014 upper bound, dense route (ref models/sgpr.py:84-147).
+
+    Uses the push-through identity A.T (I + A A.T)^-1 A = Q (I + Q)^-1 to
+    express the reference's Cholesky pipeline with dense inverses:
+      const  = -N/2 log(2 pi s2)
+      logdet = -1/2 logdet(I + Qff/s2)
+      quad   = -1/2 e.T (I + Qff/cn)^{-1} e,  e = Y/sqrt(cn), cn = s2 + c,
+      c      = tr(K) - tr(Qff)
+    Single-output Y only."""
+    assert Y.shape[1] == 1
+    N = len(X)
+    kuu = kern(Z, Z) + JITTER * np.eye(len(Z))
+    kuf = kern(Z, X)
+    qff = kuf.T @ np.linalg.inv(kuu) @ kuf
+    c = np.sum(kdiag) - np.trace(qff)
+    cn_var = noise + c
+    const = -0.5 * N * np.log(2 * np.pi * noise)
+    _, ld = np.linalg.slogdet(np.eye(N) + qff / noise)
+    e = Y[:, 0] / np.sqrt(cn_var)
+    quad = -0.5 * e @ np.linalg.inv(np.eye(N) + qff / cn_var) @ e
+    return const - 0.5 * ld + quad
+
+
 def svgp_q_moments(kuu, kuf, kdiag, q_mu, S_list, whiten):
     """Marginal q(f) moments at the data: (fmu [N,P], fvar [N,P])."""
     kuu_inv = np.linalg.inv(kuu)

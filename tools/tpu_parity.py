@@ -1,0 +1,298 @@
+"""Real-TPU float64 parity for the five BASELINE.json configs (VERDICT r2 #1).
+
+The north-star correctness bar is "ELBO/NLML parity <= 1e-6 relative,
+float64" (BASELINE.md). The CPU suite proves this against dense-NumPy
+oracles (tests/integration/test_baseline_configs.py); this tool records the
+same oracle comparisons ON THE TPU BACKEND, where XLA:TPU emulates f64
+(different rounding than CPU, ~1e-7-1e-8 abs transcendental error). Run:
+
+    cd /tmp && PYTHONPATH=/root/repo:/root/.axon_site \
+        python /root/repo/tools/tpu_parity.py [/root/repo/PARITY_TPU.json]
+
+Each config trains in float64 on the TPU, then its objective at the TRAINED
+state is compared to an independent dense-NumPy (host, f64) implementation
+from tests/oracles.py at rtol 1e-6. Reference formulas pinned:
+GPR NLML /root/reference/gpflow/models/gpr.py:91-107; SGPR ELBO
+models/sgpr.py:273-289; upper bound models/sgpr.py:84-147; SVGP ELBO
+models/svgp.py:150-181. Writes a JSON artifact with per-config relative
+errors, wall times, and device metadata; exit code 0 iff all pass.
+"""
+import json
+import os
+import pathlib
+import sys
+import time
+
+# float64 must be live: undo any f32 overrides inherited from the env
+os.environ.pop("GPFLOW_TPU_DISABLE_X64", None)
+os.environ.pop("GPFLOW_FLOAT", None)
+os.environ.pop("GPFLOW_TPU_FAST_MATMUL", None)
+os.environ.pop("GPFLOW_TPU_INV_SOLVE", None)
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import numpy as np
+import optax
+
+import gpflow_tpu
+from gpflow_tpu import kernels, likelihoods
+from gpflow_tpu.inducing_variables import (
+    InducingPoints,
+    SeparateIndependentInducingVariables,
+    SharedIndependentInducingVariables,
+)
+from gpflow_tpu.models import GPR, SGPR, SVGP
+from gpflow_tpu.optimizers import NaturalGradient, Scipy
+from tests import oracles
+
+RTOL = 1e-6
+rng = np.random.RandomState(0)
+RESULTS = []
+
+
+def record(config, quantity, actual, expected):
+    actual, expected = np.asarray(actual, float), np.asarray(expected, float)
+    denom = np.maximum(np.abs(expected), 1e-12)
+    rel = float(np.max(np.abs(actual - expected) / denom))
+    ok = rel <= RTOL
+    RESULTS.append(
+        {"config": config, "quantity": quantity, "rel_err": rel, "pass": ok,
+         "actual": actual.tolist() if actual.ndim == 0 else None,
+         "expected": expected.tolist() if expected.ndim == 0 else None}
+    )
+    print(f"{config:>28} | {quantity:<22} rel={rel:.3e} {'OK' if ok else '*** FAIL ***'}")
+
+
+def adam_train(m, loss0, steps, lr, params=None):
+    """Jitted Adam over the unconstrained leaves (same loop the CPU tests use)."""
+    params = list(m.trainable_parameters) if params is None else params
+    opt = optax.adam(lr)
+
+    def loss_fn(unc):
+        old = [p._unconstrained for p in params]
+        try:
+            for p, u in zip(params, unc):
+                p._unconstrained = u
+            return loss0()
+        finally:
+            for p, o in zip(params, old):
+                p._unconstrained = o
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    unc = tuple(p._unconstrained for p in params)
+    state = opt.init(unc)
+    for _ in range(steps):
+        _, g = vg(unc)
+        upd, state = opt.update(g, state)
+        unc = tuple(u + du for u, du in zip(unc, jax.tree_util.tree_leaves(upd)))
+    for p, u in zip(params, unc):
+        p.assign_unconstrained(u)
+
+
+def config1_gpr():
+    N = 100
+    X = rng.rand(N, 1) * 6
+    Y = np.sin(X) + 0.1 * rng.randn(N, 1)
+    m = GPR((X, Y), kernel=kernels.SquaredExponential(), noise_variance=1.0)
+    Scipy().minimize(m.training_loss, m.trainable_variables, options={"maxiter": 100})
+
+    var = float(m.kernel.variance.value)
+    ls = np.asarray(m.kernel.lengthscales.value)
+    noise = float(m.likelihood.variance.value)
+    record("1 GPR Snelson-1D", "nlml",
+           float(m.log_marginal_likelihood()),
+           oracles.gpr_nlml(X, Y, lambda a, b: oracles.rbf_np(a, b, var, ls), noise))
+
+    Xt = np.linspace(0, 6, 50)[:, None]
+    K = oracles.rbf_np(X, X, var, ls) + noise * np.eye(N)
+    Ks = oracles.rbf_np(X, Xt, var, ls)
+    Kinv = np.linalg.inv(K)
+    mean, fvar = m.predict_f(Xt)
+    record("1 GPR Snelson-1D", "posterior_mean", np.asarray(mean), Ks.T @ Kinv @ Y)
+    record("1 GPR Snelson-1D", "posterior_var",
+           np.asarray(fvar)[:, 0], var - np.sum((Kinv @ Ks) * Ks, axis=0))
+
+
+def config2_sgpr():
+    N, D, M = 500, 4, 100
+    X = rng.rand(N, D)
+    Y = np.sin(3 * X[:, :1]) + 0.3 * np.cos(X @ np.ones((D, 1))) + 0.05 * rng.randn(N, 1)
+    m = SGPR((X, Y), kernel=kernels.Matern52(lengthscales=np.ones(D)),
+             inducing_variable=X[:M].copy(), noise_variance=0.5)
+
+    # upper bound parity at the INITIAL (well-conditioned) state: the trained
+    # Kuu's conditioning costs the dense-inverse ORACLE itself ~1e-6 relative,
+    # which would mask genuine library error; the formula under test is
+    # state-independent (ref models/sgpr.py:84-147)
+    kern0 = lambda a, b: oracles.matern52_np(a, b, 1.0, np.ones(D))
+    record("2 SGPR Matern52 M=100", "upper_bound",
+           float(m.upper_bound()),
+           oracles.sgpr_upper_bound(X, Y, X[:M], kern0, np.full(N, 1.0), 0.5))
+
+    Scipy().minimize(m.training_loss, m.trainable_variables, options={"maxiter": 60})
+
+    var = float(m.kernel.variance.value)
+    ls = np.asarray(m.kernel.lengthscales.value)
+    noise = float(m.likelihood.variance.value)
+    Z = np.asarray(m.inducing_variable.Z.value)
+    kern = lambda a, b: oracles.matern52_np(a, b, var, ls)
+    record("2 SGPR Matern52 M=100", "elbo",
+           float(m.elbo()), oracles.sgpr_elbo(X, Y, Z, kern, np.full(N, var), noise))
+
+
+def config3_svgp_natgrad():
+    N = 200
+    X = rng.randn(N, 2)
+    Y = ((np.sin(2 * X[:, 0]) + X[:, 1]) > 0).astype(float)[:, None]
+    m = SVGP(kernel=kernels.SquaredExponential(), likelihood=likelihoods.Bernoulli(),
+             inducing_variable=X[:32].copy(), num_data=N)
+    natgrad = NaturalGradient(gamma=0.5)
+    for _ in range(10):
+        natgrad.minimize(lambda: -m.elbo((X, Y)), [(m.q_mu, m.q_sqrt)])
+
+    var = float(m.kernel.variance.value)
+    ls = np.asarray(m.kernel.lengthscales.value)
+    Z = np.asarray(m.inducing_variable.Z.value)
+    q_mu = np.asarray(m.q_mu.value)
+    S_list = oracles.q_sqrt_to_S(m.q_sqrt.value)
+    kuu = oracles.rbf_np(Z, Z, var, ls) + oracles.JITTER * np.eye(len(Z))
+    kuf = oracles.rbf_np(Z, X, var, ls)
+    fmu, fvar = oracles.svgp_q_moments(kuu, kuf, np.full(N, var), q_mu, S_list, True)
+    expected = oracles.gh_bernoulli_var_exp(fmu, fvar, Y) - oracles.kl_white(q_mu, S_list)
+    record("3 SVGP Bernoulli+natgrad", "elbo", float(m.elbo((X, Y))), expected)
+
+
+def config4_multioutput(setup):
+    N, D, M, P, L = 120, 2, 16, 3, 2
+    X = rng.rand(N, D) * 2
+    G = np.concatenate([np.sin(3 * X[:, :1]), np.cos(3 * X[:, 1:])], axis=1)
+    Y = G @ rng.randn(P, 2).T + 0.05 * rng.randn(N, P)
+
+    if setup == "shared":
+        kernel = kernels.SharedIndependent(kernels.SquaredExponential(), output_dim=P)
+        iv = SharedIndependentInducingVariables(InducingPoints(X[:M].copy()))
+        num_latent = P
+    else:
+        kernel = kernels.LinearCoregionalization(
+            [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)],
+            W=rng.randn(P, L))
+        iv = SeparateIndependentInducingVariables(
+            [InducingPoints(X[:M].copy() + 0.05 * i) for i in range(L)])
+        num_latent = L
+
+    m = SVGP(kernel=kernel, likelihood=likelihoods.Gaussian(0.1),
+             inducing_variable=iv, num_latent_gps=num_latent, num_data=N)
+    adam_train(m, lambda: -m.elbo((X, Y)), steps=100, lr=0.05)
+
+    noise = float(m.likelihood.variance.value)
+    q_mu = np.asarray(m.q_mu.value)
+    S_list = oracles.q_sqrt_to_S(m.q_sqrt.value)
+    kl = oracles.kl_white(q_mu, S_list)
+    if setup == "shared":
+        kvar = float(m.kernel.kernel.variance.value)
+        kls = np.asarray(m.kernel.kernel.lengthscales.value)
+        Z = np.asarray(m.inducing_variable.inducing_variable.Z.value)
+        kuu = oracles.rbf_np(Z, Z, kvar, kls) + oracles.JITTER * np.eye(M)
+        kuf = oracles.rbf_np(Z, X, kvar, kls)
+        fmu, fvar = oracles.svgp_q_moments(kuu, kuf, np.full(N, kvar), q_mu, S_list, True)
+    else:
+        W = np.asarray(m.kernel.W.value)
+        g_mu, g_var = np.zeros((N, L)), np.zeros((N, L))
+        for l, (k_l, iv_l) in enumerate(
+                zip(m.kernel.kernels, m.inducing_variable.inducing_variable_list)):
+            kvar = float(k_l.variance.value)
+            kls = np.asarray(k_l.lengthscales.value)
+            Zl = np.asarray(iv_l.Z.value)
+            kuu = oracles.rbf_np(Zl, Zl, kvar, kls) + oracles.JITTER * np.eye(M)
+            kuf = oracles.rbf_np(Zl, X, kvar, kls)
+            gm, gv = oracles.svgp_q_moments(
+                kuu, kuf, np.full(N, kvar), q_mu[:, l:l + 1], [S_list[l]], True)
+            g_mu[:, l], g_var[:, l] = gm[:, 0], gv[:, 0]
+        fmu, fvar = g_mu @ W.T, g_var @ (W * W).T
+    expected = oracles.gauss_var_exp(fmu, fvar, Y, noise) - kl
+    record(f"4 SVGP multioutput {setup}", "elbo", float(m.elbo((X, Y))), expected)
+
+
+def config5_heteroskedastic():
+    N = 150
+    X = np.linspace(0, 4, N)[:, None]
+    Y = (np.sin(2 * X[:, 0]) + (0.05 + 0.2 * X[:, 0]) * rng.randn(N))[:, None]
+    m = SVGP(
+        kernel=kernels.SeparateIndependent(
+            [kernels.SquaredExponential(), kernels.SquaredExponential()]),
+        likelihood=likelihoods.HeteroskedasticTFPConditional(),
+        inducing_variable=SeparateIndependentInducingVariables(
+            [InducingPoints(X[::10].copy()), InducingPoints(X[::10].copy())]),
+        num_latent_gps=2, num_data=N)
+    # (vs the CPU test's interleaved loop: natgrad then Adam in two blocks —
+    # avoids re-jitting per iteration; parity is asserted at whatever trained
+    # state results, so the exact optimization schedule is immaterial)
+    variational = {id(m.q_mu), id(m.q_sqrt)}
+    hyper = [p for p in m.trainable_parameters if id(p) not in variational]
+    natgrad = NaturalGradient(gamma=0.5)
+    for _ in range(20):
+        natgrad.minimize(lambda: -m.elbo((X, Y)), [(m.q_mu, m.q_sqrt)])
+    adam_train(m, lambda: -m.elbo((X, Y)), steps=40, lr=0.01, params=hyper)
+    for _ in range(20):
+        natgrad.minimize(lambda: -m.elbo((X, Y)), [(m.q_mu, m.q_sqrt)])
+
+    q_mu = np.asarray(m.q_mu.value)
+    S_list = oracles.q_sqrt_to_S(m.q_sqrt.value)
+    fmu, fvar = np.zeros((N, 2)), np.zeros((N, 2))
+    for l, (k_l, iv_l) in enumerate(
+            zip(m.kernel.kernels, m.inducing_variable.inducing_variable_list)):
+        kvar = float(k_l.variance.value)
+        kls = np.asarray(k_l.lengthscales.value)
+        Zl = np.asarray(iv_l.Z.value)
+        kuu = oracles.rbf_np(Zl, Zl, kvar, kls) + oracles.JITTER * np.eye(len(Zl))
+        kuf = oracles.rbf_np(Zl, X, kvar, kls)
+        gm, gv = oracles.svgp_q_moments(
+            kuu, kuf, np.full(N, kvar), q_mu[:, l:l + 1], [S_list[l]], True)
+        fmu[:, l], fvar[:, l] = gm[:, 0], gv[:, 0]
+    expected = oracles.gh2_heteroskedastic_var_exp(fmu, fvar, Y) - oracles.kl_white(
+        q_mu, S_list)
+    record("5 SVGP heteroskedastic", "elbo", float(m.elbo((X, Y))), expected)
+
+
+def main():
+    out = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PARITY_TPU.json"
+    backend = jax.default_backend()
+    device = str(jax.devices()[0].device_kind)
+    print(f"backend={backend} device={device} "
+          f"default_float={gpflow_tpu.default_float().__name__}")
+    assert gpflow_tpu.default_float() == np.float64, "f64 must be the default"
+
+    steps = [("config1_gpr", config1_gpr),
+             ("config2_sgpr", config2_sgpr),
+             ("config3_svgp_natgrad", config3_svgp_natgrad),
+             ("config4_mo_shared", lambda: config4_multioutput("shared")),
+             ("config4_mo_coregion", lambda: config4_multioutput("coregion")),
+             ("config5_heteroskedastic", config5_heteroskedastic)]
+    times = {}
+    for name, fn in steps:
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 2)
+
+    ok = all(r["pass"] for r in RESULTS)
+    artifact = {
+        "ok": ok,
+        "rtol": RTOL,
+        "dtype": "float64",
+        "backend": backend,
+        "device_kind": device,
+        "jax_version": jax.__version__,
+        "results": RESULTS,
+        "wall_times_s": times,
+        "note": ("objectives computed in XLA:TPU-emulated float64 at the "
+                 "trained state vs host-NumPy dense oracles (tests/oracles.py)"),
+    }
+    out.write_text(json.dumps(artifact, indent=2) + "\n")
+    print(f"wrote {out} ok={ok}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
