@@ -17,6 +17,7 @@ import numpy as np
 
 from .base import Module, Parameter, TensorType
 from .config import default_float
+from .utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = [
     "Additive",
@@ -38,6 +39,10 @@ class Function(Module):
     (reference ``functions.py:38-64``). Also used for input-dependent
     likelihood parameters (heteroskedastic noise)."""
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [batch..., N, Q]",
+    )
     def __call__(self, X: TensorType) -> jax.Array:
         raise NotImplementedError("Implement the __call__ method for this mean function")
 
@@ -57,6 +62,7 @@ class Additive(MeanFunction, Function):
         self.add_1 = first_part
         self.add_2 = second_part
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         return jnp.add(self.add_1(X), self.add_2(X))
 
@@ -66,6 +72,7 @@ class Product(MeanFunction, Function):
         self.prod_1 = first_part
         self.prod_2 = second_part
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         return jnp.multiply(self.prod_1(X), self.prod_2(X))
 
@@ -84,6 +91,7 @@ class Linear(MeanFunction, Function):
             self.A = Parameter(np.atleast_2d(np.asarray(A)), name="A")
         self.b = Parameter(b, name="b")
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         return jnp.tensordot(jnp.asarray(X), self.A.value, axes=[[-1], [0]]) + self.b
 
@@ -94,6 +102,7 @@ class Identity(Linear, Function):
     def __init__(self, input_dim: Optional[int] = None) -> None:
         self.input_dim = input_dim
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         return jnp.asarray(X)
 
@@ -123,6 +132,7 @@ class Constant(MeanFunction, Function):
         c = np.zeros(1) if c is None else c
         self.c = Parameter(c, name="c")
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         X = jnp.asarray(X)
         c = jnp.reshape(self.c.value, (1,) * (X.ndim - 1) + (-1,))
@@ -135,6 +145,7 @@ class Zero(Constant, Function):
     def __init__(self, output_dim: int = 1) -> None:
         self.output_dim = output_dim
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         X = jnp.asarray(X)
         return jnp.zeros(X.shape[:-1] + (self.output_dim,), dtype=X.dtype)
@@ -171,6 +182,7 @@ class Polynomial(MeanFunction, Function):
                 result.append((i,) + inner)
         return result
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         X = jnp.asarray(X)
         # XLA lowers float pow to exp(p*log(x)), which is NaN at x<=0 (both in
@@ -194,6 +206,7 @@ class SwitchedFunction(MeanFunction, Function):
     def __init__(self, function_list: Collection[Function]) -> None:
         self.functions = list(function_list)
 
+    @inherit_check_shapes
     def __call__(self, X: TensorType) -> jax.Array:
         X = jnp.asarray(X)
         ind = X[..., -1].astype(jnp.int32)  # [batch...]

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base import Module, Parameter, TensorType
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = [
     "ActiveDims",
@@ -66,6 +67,12 @@ class Kernel(Module, metaclass=abc.ABCMeta):
             return False
         return not bool(set(self.active_dims) & set(other.active_dims))
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return[0]: [batch..., N, I]",
+        "return[1]: [batch2..., N2, I]",
+    )
     def slice(
         self, X: TensorType, X2: Optional[TensorType] = None
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -109,13 +116,30 @@ class Kernel(Module, metaclass=abc.ABCMeta):
             )
 
     @abc.abstractmethod
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, batch2..., N2] if X2 is not None",
+        "return: [batch..., N, N] if X2 is None",
+    )
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         raise NotImplementedError
 
     @abc.abstractmethod
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [batch..., N]",
+    )
     def K_diag(self, X: TensorType) -> jax.Array:
         raise NotImplementedError
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, batch2..., N2] if full_cov and (X2 is not None)",
+        "return: [batch..., N, N] if full_cov and (X2 is None)",
+        "return: [batch..., N] if not full_cov",
+    )
     def __call__(
         self,
         X: TensorType,
@@ -173,6 +197,9 @@ class Combination(Kernel):
 
 
 class ReducingCombination(Combination):
+    # NOTE deliberately NOT @inherit_check_shapes (matches the reference,
+    # base.py:280-314): a Sum/Product may combine MULTIOUTPUT kernels whose
+    # return shapes ([N, P, N, P]) differ from the single-output contract
     def __call__(
         self,
         X: TensorType,

@@ -12,6 +12,7 @@ from ..base import Parameter, TensorType
 from ..config import default_float, default_int
 from ..utilities.misc import set_trainable
 from .base import Kernel
+from ..utilities.shapes import inherit_check_shapes
 
 __all__ = ["Categorical"]
 
@@ -71,11 +72,13 @@ class Categorical(Kernel):
     def _concat_inputs_with_latents(self, X: TensorType) -> jax.Array:
         return _concat_inputs_with_latents(self.Z, jnp.asarray(X))
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         return self.wrapped_kernel.K(
             self._concat_inputs_with_latents(X),
             self._concat_inputs_with_latents(X2) if X2 is not None else None,
         )
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         return self.wrapped_kernel.K_diag(self._concat_inputs_with_latents(X))

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from ..base import Parameter, TensorType
 from ..bijectors import positive
 from .base import Combination, Kernel
+from ..utilities.shapes import inherit_check_shapes
 
 __all__ = ["ChangePoints"]
 
@@ -62,6 +63,7 @@ class ChangePoints(Combination):
                 f"input dimension {X.shape[-1]}."
             )
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         X = jnp.asarray(X)
         self._check_1d(X)
@@ -95,6 +97,7 @@ class ChangePoints(Combination):
         kernel_stack = jnp.stack([k(X, X2_arg) for k in self.kernels], axis=-1)
         return jnp.sum(kernel_stack * starters * stoppers, axis=-1)
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         X = jnp.asarray(X)
         self._check_1d(X)

@@ -10,6 +10,7 @@ import numpy as np
 from ..base import Parameter, TensorType
 from ..config import default_float
 from .base import Kernel
+from ..utilities.shapes import inherit_check_shapes
 
 __all__ = ["Convolutional"]
 
@@ -64,6 +65,7 @@ class Convolutional(Kernel):
         out = patches.reshape(batch + (N, C * ow * oh, S))
         return out.astype(default_float())
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         Xp = self.get_patches(X)  # [batch..., N, P, S]
         W2 = self.weights.value[:, None] * self.weights.value[None, :]  # [P, P]
@@ -82,6 +84,7 @@ class Convolutional(Kernel):
         W2r = W2.reshape((1,) * rank + (1, P) + (1,) * rank2 + (1, P))
         return jnp.sum(bigK * W2r, axis=(rank + 1, rank + rank2 + 3)) / self.num_patches ** 2.0
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         Xp = self.get_patches(X)  # [batch..., N, P, S]
         rank = Xp.ndim - 3

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from ..base import Parameter, TensorType
 from ..bijectors import positive
 from .base import ActiveDims, Kernel
+from ..utilities.shapes import inherit_check_shapes
 
 __all__ = ["Linear", "Polynomial"]
 
@@ -28,6 +29,7 @@ class Linear(Kernel):
     def ard(self) -> bool:
         return self.variance.ndim > 0
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         X = jnp.asarray(X)
         if X2 is None:
@@ -35,6 +37,7 @@ class Linear(Kernel):
         X2 = jnp.asarray(X2)
         return jnp.tensordot(X * self.variance, X2, axes=[[-1], [-1]])
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         return jnp.sum(jnp.square(jnp.asarray(X)) * self.variance, axis=-1)
 
@@ -53,8 +56,10 @@ class Polynomial(Linear):
         self.degree = float(degree)
         self.offset = Parameter(offset, transform=positive(), name="offset")
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         return (super().K(X, X2) + self.offset) ** self.degree
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         return (super().K_diag(X) + self.offset) ** self.degree

@@ -11,6 +11,7 @@ from ..base import Parameter, TensorType
 from ..bijectors import positive
 from ..config import default_float
 from .base import ActiveDims, Kernel
+from ..utilities.shapes import inherit_check_shapes
 
 __all__ = ["ArcCosine", "Coregion"]
 
@@ -73,6 +74,7 @@ class ArcCosine(Kernel):
                 1.0 + 2.0 * jnp.cos(theta) ** 2
             )
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         X = jnp.asarray(X)
         X_denominator = jnp.sqrt(self._diag_weighted_product(X))  # [batch..., N]
@@ -104,6 +106,7 @@ class ArcCosine(Kernel):
             * X2_denominator ** self.order
         )
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         X_product = self._diag_weighted_product(jnp.asarray(X))
         const = (1.0 / np.pi) * self._J(jnp.zeros((), default_float()))
@@ -147,6 +150,7 @@ class Coregion(Kernel):
         valid = (Xi >= 0) & (Xi < self.output_dim)
         return jnp.clip(Xi, 0, self.output_dim - 1), valid
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         B = self.output_covariance()  # [O, O]
         Xi, v1 = self._indices(X)  # [batch..., N]
@@ -163,6 +167,7 @@ class Coregion(Kernel):
         valid = v1.reshape(idx1.shape) & v2.reshape(idx2.shape)
         return jnp.where(valid, out, jnp.asarray(jnp.nan, out.dtype))
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         Xi, valid = self._indices(X)
         out = jnp.take(self.output_variance(), Xi, axis=0)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ...base import Parameter, TensorType
+from ...utilities.shapes import check_shapes, inherit_check_shapes
 from ..base import Combination, Kernel
 
 __all__ = [
@@ -51,15 +52,38 @@ class MultioutputKernel(Kernel):
         raise NotImplementedError
 
     @abc.abstractmethod
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, P, batch2..., N2, P] if full_output_cov and (X2 is not None)",
+        "return: [P, batch..., N, batch2..., N2] if not full_output_cov and (X2 is not None)",
+        "return: [batch..., N, P, N, P] if full_output_cov and (X2 is None)",
+        "return: [P, batch..., N, N] if not full_output_cov and (X2 is None)",
+    )
     def K(
         self, X: TensorType, X2: Optional[TensorType] = None, full_output_cov: bool = True
     ) -> jax.Array:
         raise NotImplementedError
 
     @abc.abstractmethod
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [batch..., N, P, P] if full_output_cov",
+        "return: [batch..., N, P] if not full_output_cov",
+    )
     def K_diag(self, X: TensorType, full_output_cov: bool = True) -> jax.Array:
         raise NotImplementedError
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, P, batch2..., N2, P] if full_cov and full_output_cov and (X2 is not None)",
+        "return: [P, batch..., N, batch2..., N2] if full_cov and (not full_output_cov) and (X2 is not None)",
+        "return: [batch..., N, P, N, P] if full_cov and full_output_cov and (X2 is None)",
+        "return: [P, batch..., N, N] if full_cov and (not full_output_cov) and (X2 is None)",
+        "return: [batch..., N, P, P] if (not full_cov) and full_output_cov and (X2 is None)",
+        "return: [batch..., N, P] if (not full_cov) and (not full_output_cov) and (X2 is None)",
+    )
     def __call__(
         self,
         X: TensorType,
@@ -97,6 +121,7 @@ class SharedIndependent(MultioutputKernel):
     def latent_kernels(self) -> Tuple[Kernel, ...]:
         return (self.kernel,)
 
+    @inherit_check_shapes
     def K(
         self, X: TensorType, X2: Optional[TensorType] = None, full_output_cov: bool = True
     ) -> jax.Array:
@@ -106,6 +131,7 @@ class SharedIndependent(MultioutputKernel):
             return _tile_output_diag(K, self.output_dim, rank)
         return jnp.broadcast_to(K[None, ...], (self.output_dim,) + K.shape)
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType, full_output_cov: bool = True) -> jax.Array:
         K = self.kernel.K_diag(X)  # [batch..., N]
         Ks = jnp.broadcast_to(K[..., None], K.shape + (self.output_dim,))
@@ -129,6 +155,7 @@ class SeparateIndependent(MultioutputKernel, Combination):
     def latent_kernels(self) -> Tuple[Kernel, ...]:
         return tuple(self.kernels)
 
+    @inherit_check_shapes
     def K(
         self, X: TensorType, X2: Optional[TensorType] = None, full_output_cov: bool = True
     ) -> jax.Array:
@@ -146,6 +173,7 @@ class SeparateIndependent(MultioutputKernel, Combination):
         )
         return Kexp * eye
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType, full_output_cov: bool = False) -> jax.Array:
         stacked = jnp.stack([k.K_diag(X) for k in self.kernels], axis=-1)  # [batch..., N, P]
         if full_output_cov:
@@ -159,6 +187,11 @@ class IndependentLatent(MultioutputKernel):
     (reference ``multioutput/kernels.py:274-295``)."""
 
     @abc.abstractmethod
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [L, batch..., N, batch2..., N2]",
+    )
     def Kgg(self, X: TensorType, X2: TensorType) -> jax.Array:
         raise NotImplementedError
 
@@ -179,9 +212,11 @@ class LinearCoregionalization(IndependentLatent, Combination):
     def latent_kernels(self) -> Tuple[Kernel, ...]:
         return tuple(self.kernels)
 
+    @inherit_check_shapes
     def Kgg(self, X: TensorType, X2: TensorType) -> jax.Array:
         return jnp.stack([k.K(X, X2) for k in self.kernels], axis=0)
 
+    @inherit_check_shapes
     def K(
         self, X: TensorType, X2: Optional[TensorType] = None, full_output_cov: bool = True
     ) -> jax.Array:
@@ -204,6 +239,7 @@ class LinearCoregionalization(IndependentLatent, Combination):
             perm = tuple(range(2, 2 + rank)) + (0,) + tuple(2 + rank + i for i in range(rank2)) + (1,)
         return jnp.transpose(WKxxW, perm)
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType, full_output_cov: bool = True) -> jax.Array:
         K = jnp.stack([k.K_diag(X) for k in self.kernels], axis=-1)  # [batch..., N, L]
         W = self.W.value

@@ -11,6 +11,7 @@ from ..base import Parameter, TensorType
 from ..bijectors import positive
 from ..utilities.ops import difference_matrix
 from .base import ActiveDims, Kernel
+from ..utilities.shapes import inherit_check_shapes
 from .stationaries import IsotropicStationary
 
 __all__ = ["Periodic"]
@@ -35,16 +36,18 @@ class Periodic(Kernel):
         self.base_kernel._validate_ard_active_dims(self.period)
 
     @property
-    def active_dims(self):
+    def active_dims(self) -> object:
         return self.base_kernel.active_dims
 
     @active_dims.setter
     def active_dims(self, value: ActiveDims) -> None:
         self.base_kernel.active_dims = value
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         return self.base_kernel.K_diag(X)
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         X = jnp.asarray(X)
         r = np.pi * difference_matrix(X, None if X2 is None else jnp.asarray(X2)) / self.period

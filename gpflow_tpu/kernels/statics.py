@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from ..base import Parameter, TensorType
 from ..bijectors import positive
 from .base import ActiveDims, Kernel
+from ..utilities.shapes import inherit_check_shapes
 
 __all__ = ["Bias", "Constant", "Static", "White"]
 
@@ -23,6 +24,7 @@ class Static(Kernel):
         super().__init__(active_dims)
         self.variance = Parameter(variance, transform=positive(), name="variance")
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         return jnp.full(jnp.shape(X)[:-1], jnp.squeeze(self.variance.value))
 
@@ -30,6 +32,7 @@ class Static(Kernel):
 class White(Static):
     """k(x_n, x_m) = delta(n, m) sigma^2 (reference ``statics.py:46-65``)."""
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         X = jnp.asarray(X)
         if X2 is None:
@@ -43,6 +46,7 @@ class White(Static):
 class Constant(Static):
     """k(x, y) = sigma^2 (reference ``statics.py:68-91``)."""
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         X = jnp.asarray(X)
         if X2 is None:

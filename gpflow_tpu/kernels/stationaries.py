@@ -15,6 +15,7 @@ import numpy as np
 from ..base import Parameter, TensorType
 from ..bijectors import positive
 from ..utilities.ops import difference_matrix, square_distance
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from .base import ActiveDims, Kernel
 
 __all__ = [
@@ -50,9 +51,14 @@ class Stationary(Kernel):
     def ard(self) -> bool:
         return self.lengthscales.ndim > 0
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [batch..., N, D]",
+    )
     def scale(self, X: Optional[TensorType]) -> Optional[jax.Array]:
         return X / self.lengthscales if X is not None else X
 
+    @inherit_check_shapes
     def K_diag(self, X: TensorType) -> jax.Array:
         return jnp.full(jnp.shape(X)[:-1], jnp.squeeze(self.variance.value))
 
@@ -65,6 +71,7 @@ class IsotropicStationary(Stationary):
     ``stationaries.py:114`` for gradient stability at r=0).
     """
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         family = _PALLAS_EXACT_TYPES.get(type(self))  # exact type: a subclass
         # overriding K_r/K_r2 must never be silently routed past its override
@@ -83,12 +90,22 @@ class IsotropicStationary(Stationary):
         r2 = self.scaled_squared_euclid_dist(X, X2)
         return self.K_r2(r2)
 
+    @check_shapes(
+        "r2: [batch...]",
+        "return: [batch...]",
+    )
     def K_r2(self, r2: jax.Array) -> jax.Array:
         if hasattr(self, "K_r"):
             r = jnp.sqrt(jnp.maximum(r2, 1e-36))
             return self.K_r(r)
         raise NotImplementedError
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, batch2..., N2] if X2 is not None",
+        "return: [batch..., N, N] if X2 is None",
+    )
     def scaled_squared_euclid_dist(
         self, X: TensorType, X2: Optional[TensorType] = None
     ) -> jax.Array:
@@ -110,9 +127,16 @@ class AnisotropicStationary(Stationary):
         if self.ard:
             self.lengthscales = Parameter(self.lengthscales.numpy(), name="lengthscales")
 
+    @inherit_check_shapes
     def K(self, X: TensorType, X2: Optional[TensorType] = None) -> jax.Array:
         return self.K_d(self.scaled_difference_matrix(X, X2))
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, batch2..., N2, D] if X2 is not None",
+        "return: [batch..., N, N, D] if X2 is None",
+    )
     def scaled_difference_matrix(
         self, X: TensorType, X2: Optional[TensorType] = None
     ) -> jax.Array:

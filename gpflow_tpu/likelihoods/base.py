@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..base import MeanAndVariance, Module, TensorType
 from ..quadrature import GaussianQuadrature, NDiagGHQuadrature, ndiag_mc
-from ..utilities.shapes import check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = [
     "DEFAULT_NUM_GAUSS_HERMITE_POINTS",
@@ -57,6 +57,11 @@ class Likelihood(Module, abc.ABC):
         return self._log_prob(X, F, Y)
 
     @abc.abstractmethod
+    @check_shapes(
+        "F: [batch..., Q]",
+        "Y: [batch_y..., R]",
+        "return: [batch...]",
+    )
     def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         raise NotImplementedError
 
@@ -68,6 +73,10 @@ class Likelihood(Module, abc.ABC):
         """E[Y | X, F] -> [batch..., observation_dim]."""
         return self._conditional_mean(X, F)
 
+    @check_shapes(
+        "F: [batch..., Q]",
+        "return: [batch..., R]",
+    )
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         raise NotImplementedError
 
@@ -79,6 +88,10 @@ class Likelihood(Module, abc.ABC):
         """var[Y | X, F] -> [batch..., observation_dim]."""
         return self._conditional_variance(X, F)
 
+    @check_shapes(
+        "F: [batch..., Q]",
+        "return: [batch..., R]",
+    )
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         raise NotImplementedError
 
@@ -95,6 +108,12 @@ class Likelihood(Module, abc.ABC):
         return self._predict_mean_and_var(X, Fmu, Fvar)
 
     @abc.abstractmethod
+    @check_shapes(
+        "Fmu: [batch..., Q]",
+        "Fvar: [batch..., Q]",
+        "return[0]: [batch..., R]",
+        "return[1]: [batch..., R]",
+    )
     def _predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType
     ) -> MeanAndVariance:
@@ -113,6 +132,12 @@ class Likelihood(Module, abc.ABC):
         return self._predict_log_density(X, Fmu, Fvar, Y)
 
     @abc.abstractmethod
+    @check_shapes(
+        "Fmu: [batch..., Q]",
+        "Fvar: [batch..., Q]",
+        "Y: [batch_y..., R]",
+        "return: [batch...]",
+    )
     def _predict_log_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -131,6 +156,12 @@ class Likelihood(Module, abc.ABC):
         return self._variational_expectations(X, Fmu, Fvar, Y)
 
     @abc.abstractmethod
+    @check_shapes(
+        "Fmu: [batch..., Q]",
+        "Fvar: [batch..., Q]",
+        "Y: [batch_y..., R]",
+        "return: [batch...]",
+    )
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -167,6 +198,7 @@ class QuadratureLikelihood(Likelihood, abc.ABC):
     def _quadrature_reduction(self, quadrature_result: jax.Array) -> jax.Array:
         return jnp.squeeze(quadrature_result, axis=-1)
 
+    @inherit_check_shapes
     def _predict_log_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -174,6 +206,7 @@ class QuadratureLikelihood(Likelihood, abc.ABC):
             self.quadrature.logspace(self._quadrature_log_prob, Fmu, Fvar, X=X, Y=Y)
         )
 
+    @inherit_check_shapes
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -181,6 +214,7 @@ class QuadratureLikelihood(Likelihood, abc.ABC):
             self.quadrature(self._quadrature_log_prob, Fmu, Fvar, X=X, Y=Y)
         )
 
+    @inherit_check_shapes
     def _predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType
     ) -> MeanAndVariance:
@@ -207,10 +241,17 @@ class ScalarLikelihood(QuadratureLikelihood, abc.ABC):
     def __init__(self, **kwargs: Any) -> None:
         super().__init__(input_dim=None, latent_dim=None, observation_dim=None, **kwargs)
 
+    @inherit_check_shapes
     def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return jnp.sum(self._scalar_log_prob(X, F, Y), axis=-1)
 
     @abc.abstractmethod
+    @check_shapes(
+        "X: [broadcast batch..., N, D]",
+        "F: [broadcast batch..., N, P]",
+        "Y: [broadcast batch..., N, P]",
+        "return: [batch..., N, P]",
+    )
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         raise NotImplementedError
 
@@ -291,9 +332,17 @@ class SwitchedLikelihood(ScalarLikelihood):
         var = jnp.concatenate(var_list, axis=1)
         return mu, var
 
+    @check_shapes(
+        "F: [batch..., Q]",
+        "return: [batch..., R]",
+    )
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         raise NotImplementedError
 
+    @check_shapes(
+        "F: [batch..., Q]",
+        "return: [batch..., R]",
+    )
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         raise NotImplementedError
 
@@ -319,6 +368,7 @@ class MonteCarloLikelihood(Likelihood):
             logspace, epsilon, **Ys,
         )
 
+    @inherit_check_shapes
     def _predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, epsilon: Optional[TensorType] = None
     ) -> MeanAndVariance:
@@ -334,6 +384,7 @@ class MonteCarloLikelihood(Likelihood):
         V_y = E_y2 - jnp.square(E_y)
         return E_y, V_y
 
+    @inherit_check_shapes
     def _predict_log_density(
         self,
         X: TensorType,
@@ -350,6 +401,7 @@ class MonteCarloLikelihood(Likelihood):
             axis=-1,
         )
 
+    @inherit_check_shapes
     def _variational_expectations(
         self,
         X: TensorType,

@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 from .base import MonteCarloLikelihood
+from ..utilities.shapes import inherit_check_shapes
 from .scalar_continuous import Gaussian
 
 __all__ = ["GaussianMC"]

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base import MeanAndVariance, Module, Parameter, TensorType
+from ..utilities.shapes import inherit_check_shapes
 from ..bijectors import Sigmoid
 from ..config import default_float, default_int
 from ..priors import Beta as BetaPrior
@@ -25,6 +26,7 @@ class Softmax(MonteCarloLikelihood):
         super().__init__(input_dim=None, latent_dim=num_classes, observation_dim=None, **kwargs)
         self.num_classes = self.latent_dim
 
+    @inherit_check_shapes
     def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         F = jnp.asarray(F)
         labels = jnp.asarray(Y)[..., 0].astype(default_int())
@@ -39,9 +41,11 @@ class Softmax(MonteCarloLikelihood):
         picked = jnp.take_along_axis(log_p, safe[..., None], axis=-1)[..., 0]
         return jnp.where(valid, picked, jnp.asarray(jnp.nan, picked.dtype))
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return jax.nn.softmax(jnp.asarray(F), axis=-1)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         p = self.conditional_mean(X, F)
         return p - p ** 2
@@ -127,6 +131,7 @@ class MultiClass(Likelihood):
             raise NotImplementedError("Only RobustMax invlink is supported")
         self.invlink = invlink
 
+    @inherit_check_shapes
     def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         F = jnp.asarray(F)
         Y = jnp.asarray(Y)
@@ -135,6 +140,7 @@ class MultiClass(Likelihood):
         p = jnp.where(hits, 1.0 - eps, self.invlink.eps_k1)
         return jnp.sum(jnp.log(p), axis=-1)
 
+    @inherit_check_shapes
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -144,6 +150,7 @@ class MultiClass(Likelihood):
         ve = p * jnp.log(1.0 - eps) + (1.0 - p) * jnp.log(self.invlink.eps_k1)
         return jnp.sum(ve, axis=-1)
 
+    @inherit_check_shapes
     def _predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType
     ) -> MeanAndVariance:
@@ -157,6 +164,7 @@ class MultiClass(Likelihood):
         ps = jnp.stack(ps, axis=-1)  # [N, K]
         return ps, ps - jnp.square(ps)
 
+    @inherit_check_shapes
     def _predict_log_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -170,9 +178,11 @@ class MultiClass(Likelihood):
         eps = self.invlink.epsilon.value
         return p * (1.0 - eps) + (1.0 - p) * self.invlink.eps_k1
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.invlink(F)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         p = self.conditional_mean(X, F)
         return p - jnp.square(p)

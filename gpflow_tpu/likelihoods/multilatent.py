@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from .. import logdensities
 from ..base import TensorType
 from ..bijectors import Bijector, positive
+from ..utilities.shapes import inherit_check_shapes
 from .base import QuadratureLikelihood
 
 __all__ = [
@@ -82,12 +83,15 @@ class MultiLatentTFPConditional(MultiLatentLikelihood):
         super().__init__(latent_dim, **kwargs)
         self.conditional_distribution = conditional_distribution
 
+    @inherit_check_shapes
     def _log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return jnp.squeeze(self.conditional_distribution(F).log_prob(Y), -1)
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.conditional_distribution(F).mean()
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.conditional_distribution(F).variance()
 

@@ -12,6 +12,7 @@ from jax.scipy.special import gammaln
 
 from .. import logdensities
 from ..base import MeanAndVariance, TensorType
+from ..utilities.shapes import inherit_check_shapes
 from ..config import default_likelihood_positive_minimum
 from ..utilities.parameter_or_function import (
     ConstantOrFunction,
@@ -75,25 +76,31 @@ class Gaussian(ScalarLikelihood):
         variance = self._variance(X)
         return jnp.broadcast_to(variance, X.shape[:-1] + (1,))
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return logdensities.gaussian(Y, F, self._variance(X))
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return jnp.asarray(F)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         return jnp.broadcast_to(self._variance(X), jnp.shape(F))
 
+    @inherit_check_shapes
     def _predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType
     ) -> MeanAndVariance:
         return jnp.asarray(Fmu), Fvar + self._variance(X)
 
+    @inherit_check_shapes
     def _predict_log_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
         return jnp.sum(logdensities.gaussian(Y, Fmu, Fvar + self._variance(X)), axis=-1)
 
+    @inherit_check_shapes
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -114,15 +121,19 @@ class Exponential(ScalarLikelihood):
         super().__init__(**kwargs)
         self.invlink = invlink
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return logdensities.exponential(Y, self.invlink(F))
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.invlink(F)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         return jnp.square(self.invlink(F))
 
+    @inherit_check_shapes
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -149,12 +160,15 @@ class StudentT(ScalarLikelihood):
     def _scale(self, X: TensorType) -> jax.Array:
         return evaluate_parameter_or_function(self.scale, X, lower_bound=self.scale_lower_bound)
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return logdensities.student_t(Y, F, self._scale(X), self.df)
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return jnp.asarray(F)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         var = (self._scale(X) ** 2) * (self.df / (self.df - 2.0))
         return jnp.broadcast_to(var, jnp.shape(F))
@@ -179,16 +193,20 @@ class Gamma(ScalarLikelihood):
     def _shape(self, X: TensorType) -> jax.Array:
         return evaluate_parameter_or_function(self.shape, X, lower_bound=self.shape_lower_bound)
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return logdensities.gamma(Y, self._shape(X), self.invlink(F))
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return self._shape(X) * self.invlink(F)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         scale = self.invlink(F)
         return self._shape(X) * (scale ** 2)
 
+    @inherit_check_shapes
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -223,6 +241,7 @@ class Beta(ScalarLikelihood):
     def _scale(self, X: TensorType) -> jax.Array:
         return evaluate_parameter_or_function(self.scale, X, lower_bound=self.scale_lower_bound)
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         mean = self.invlink(F)
         scale = self._scale(X)
@@ -230,9 +249,11 @@ class Beta(ScalarLikelihood):
         beta = scale - alpha
         return logdensities.beta(Y, alpha, beta)
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.invlink(F)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         mean = self.invlink(F)
         var = (mean - jnp.square(mean)) / (self._scale(X) + 1.0)

@@ -11,6 +11,7 @@ from jax.scipy.special import gammaln
 
 from .. import logdensities
 from ..base import MeanAndVariance, Parameter, TensorType
+from ..utilities.shapes import inherit_check_shapes
 from ..bijectors import positive
 from ..config import default_float, default_int
 from .base import ScalarLikelihood
@@ -33,15 +34,19 @@ class Poisson(ScalarLikelihood):
         self.invlink = invlink
         self.binsize = float(binsize)
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return logdensities.poisson(Y, self.invlink(F) * self.binsize)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.invlink(F) * self.binsize
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.invlink(F) * self.binsize
 
+    @inherit_check_shapes
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
@@ -66,9 +71,11 @@ class Bernoulli(ScalarLikelihood):
         super().__init__(**kwargs)
         self.invlink = invlink
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return logdensities.bernoulli(Y, self.invlink(F))
 
+    @inherit_check_shapes
     def _predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType
     ) -> MeanAndVariance:
@@ -77,15 +84,18 @@ class Bernoulli(ScalarLikelihood):
             return p, p - jnp.square(p)
         return super()._predict_mean_and_var(X, Fmu, Fvar)
 
+    @inherit_check_shapes
     def _predict_log_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
         p = self.predict_mean_and_var(X, Fmu, Fvar)[0]
         return jnp.sum(logdensities.bernoulli(Y, p), axis=-1)
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         return self.invlink(F)
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         p = self.conditional_mean(X, F)
         return p - (p ** 2)
@@ -101,6 +111,7 @@ class Ordinal(ScalarLikelihood):
         self.num_bins = int(np.asarray(bin_edges).size) + 1
         self.sigma = Parameter(1.0, transform=positive(), name="sigma")
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         Y = jnp.asarray(Y).astype(default_int())
         dtype = jnp.asarray(F).dtype
@@ -134,11 +145,13 @@ class Ordinal(ScalarLikelihood):
             scaled_bins_right - F.reshape(-1, 1) / self.sigma
         )
 
+    @inherit_check_shapes
     def _conditional_mean(self, X: TensorType, F: TensorType) -> jax.Array:
         phi = self._make_phi(F)
         Ys = jnp.arange(self.num_bins, dtype=phi.dtype).reshape(-1, 1)
         return jnp.reshape(phi @ Ys, jnp.shape(F))
 
+    @inherit_check_shapes
     def _conditional_variance(self, X: TensorType, F: TensorType) -> jax.Array:
         phi = self._make_phi(F)
         Ys = jnp.arange(self.num_bins, dtype=phi.dtype).reshape(-1, 1)

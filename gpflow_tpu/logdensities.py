@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln, betaln
 
+from .utilities.shapes import check_shapes
+
 __all__ = [
     "bernoulli",
     "beta",
@@ -22,28 +24,61 @@ __all__ = [
 ]
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "mu: [broadcast shape...]",
+    "var: [broadcast shape...]",
+    "return: [shape...]",
+)
 def gaussian(x: jax.Array, mu: jax.Array, var: jax.Array) -> jax.Array:
     """log N(x | mu, var) (reference ``logdensities.py:29-35``)."""
     return -0.5 * (jnp.log(2.0 * jnp.pi) + jnp.log(var) + jnp.square(mu - x) / var)
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "mu: [broadcast shape...]",
+    "var: [broadcast shape...]",
+    "return: [shape...]",
+)
 def lognormal(x: jax.Array, mu: jax.Array, var: jax.Array) -> jax.Array:
     lnx = jnp.log(x)
     return gaussian(lnx, mu, var) - lnx
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "p: [broadcast shape...]",
+    "return: [shape...]",
+)
 def bernoulli(x: jax.Array, p: jax.Array) -> jax.Array:
     return jnp.log(jnp.where(x > 0.5, p, 1.0 - p))
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "lam: [broadcast shape...]",
+    "return: [shape...]",
+)
 def poisson(x: jax.Array, lam: jax.Array) -> jax.Array:
     return x * jnp.log(lam) - lam - gammaln(x + 1.0)
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "scale: [broadcast shape...]",
+    "return: [shape...]",
+)
 def exponential(x: jax.Array, scale: jax.Array) -> jax.Array:
     return -x / scale - jnp.log(scale)
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "shape: [broadcast shape...]",
+    "scale: [broadcast shape...]",
+    "return: [shape...]",
+)
 def gamma(x: jax.Array, shape: jax.Array, scale: jax.Array) -> jax.Array:
     return (
         -shape * jnp.log(scale)
@@ -53,6 +88,13 @@ def gamma(x: jax.Array, shape: jax.Array, scale: jax.Array) -> jax.Array:
     )
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "mean: [broadcast shape...]",
+    "scale: [broadcast shape...]",
+    "df: [broadcast shape...]",
+    "return: [shape...]",
+)
 def student_t(x: jax.Array, mean: jax.Array, scale: jax.Array, df: jax.Array) -> jax.Array:
     """log Student-t density (reference ``logdensities.py:80-95``)."""
     df = jnp.asarray(df, dtype=x.dtype)
@@ -66,6 +108,12 @@ def student_t(x: jax.Array, mean: jax.Array, scale: jax.Array, df: jax.Array) ->
     )
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "alpha: [broadcast shape...]",
+    "bet: [broadcast shape...]",
+    "return: [shape...]",
+)
 def beta(x: jax.Array, alpha: jax.Array, bet: jax.Array) -> jax.Array:
     # clip x away from {0, 1} like the reference (logdensities.py:112-121):
     # proportion data containing exact 0.0/1.0 would otherwise give -inf
@@ -74,10 +122,22 @@ def beta(x: jax.Array, alpha: jax.Array, bet: jax.Array) -> jax.Array:
     return (alpha - 1.0) * jnp.log(x) + (bet - 1.0) * jnp.log1p(-x) - betaln(alpha, bet)
 
 
+@check_shapes(
+    "x: [broadcast shape...]",
+    "mu: [broadcast shape...]",
+    "sigma: [broadcast shape...]",
+    "return: [shape...]",
+)
 def laplace(x: jax.Array, mu: jax.Array, sigma: jax.Array) -> jax.Array:
     return -jnp.abs(mu - x) / sigma - jnp.log(2.0 * sigma)
 
 
+@check_shapes(
+    "x: [D, broadcast R]",
+    "mu: [D, broadcast R]",
+    "L: [D, D]",
+    "return: [R]",
+)
 def multivariate_normal(x: jax.Array, mu: jax.Array, L: jax.Array) -> jax.Array:
     """Log density of N(x | mu, LL^T) given a Cholesky factor ``L``.
 

@@ -18,6 +18,7 @@ import numpy as np
 from jax.scipy.linalg import solve_triangular
 
 from ..base import InputData, MeanAndVariance, Parameter, RegressionData, TensorType
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..config import default_float
 from ..covariances import Kuf
 from ..utilities import add_noise_cov, assert_params_false
@@ -144,6 +145,7 @@ class CGLB(SGPR):
 
         return -ub
 
+    @inherit_check_shapes
     def predict_f(
         self,
         Xnew: InputData,

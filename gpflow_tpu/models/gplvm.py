@@ -10,6 +10,7 @@ from jax.scipy.linalg import solve_triangular
 
 from .. import kernels as kernels_module
 from ..base import InputData, MeanAndVariance, OutputData, Parameter, RegressionData, TensorType
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..bijectors import positive
 from ..config import default_float, default_jitter
 from ..covariances import Kuf, Kuu
@@ -154,9 +155,11 @@ class BayesianGPLVM(GPModel, InternalDataTrainingLossMixin):
                     f"{expected}, got {tuple(arr.shape)}"
                 )
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.elbo()
 
+    @check_shapes("return: []")
     def elbo(self) -> jax.Array:
         """Titsias-style collapsed bound with psi statistics + X-prior KL
         (reference ``gplvm.py:159-216``)."""
@@ -205,6 +208,7 @@ class BayesianGPLVM(GPModel, InternalDataTrainingLossMixin):
         bound -= KL
         return bound
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base import InputData, MeanAndVariance, Parameter, RegressionData
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..conditionals import conditional
 from ..config import default_float, default_jitter
 from ..functions import MeanFunction
@@ -43,15 +44,18 @@ class GPMC(GPModel, InternalDataTrainingLossMixin):
         self.V = Parameter(np.zeros((self.num_data, self.num_latent_gps)), name="V")
         self.V.prior = Normal(0.0, 1.0)
 
+    @check_shapes("return: []")
     def log_posterior_density(self) -> jax.Array:
         return self.log_likelihood() + self.log_prior_density()
 
     def _training_loss(self) -> jax.Array:
         return -self.log_posterior_density()
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.log_likelihood()
 
+    @check_shapes("return: []")
     def log_likelihood(self) -> jax.Array:
         """log p(Y | V, theta) (reference ``gpmc.py:91-106``)."""
         X_data, Y_data = self.data
@@ -62,6 +66,7 @@ class GPMC(GPModel, InternalDataTrainingLossMixin):
         F = L @ self.V.value + self.mean_function(X_data)
         return jnp.sum(self.likelihood.log_prob(X_data, F, Y_data))
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from .. import posteriors
 from ..base import InputData, MeanAndVariance, RegressionData, TensorData
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..conditionals.util import base_conditional
 from ..functions import MeanFunction
 from ..kernels import Kernel
@@ -54,9 +55,11 @@ class GPR_deprecated(GPModel, InternalDataTrainingLossMixin):
         )
         self.data = data_input_to_tensor(data)
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.log_marginal_likelihood()
 
+    @check_shapes("return: []")
     def log_marginal_likelihood(self) -> jax.Array:
         """log p(Y | theta) via Cholesky of K + sigma^2 I
         (reference ``gpr.py:91-107``) — the O(N^3) hot path."""
@@ -71,6 +74,7 @@ class GPR_deprecated(GPModel, InternalDataTrainingLossMixin):
         log_prob = multivariate_normal(Y, m, L)
         return jnp.sum(log_prob)
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -110,6 +114,7 @@ class GPR_with_posterior(GPR_deprecated):
             precompute_cache=precompute_cache,
         )
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base import InputData, MeanAndVariance, Parameter, RegressionData
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..conditionals import conditional
 from ..functions import MeanFunction
 from ..kernels import Kernel
@@ -45,15 +46,18 @@ class SGPMC(GPModel, InternalDataTrainingLossMixin):
         )
         self.V.prior = Normal(0.0, 1.0)
 
+    @check_shapes("return: []")
     def log_posterior_density(self) -> jax.Array:
         return self.log_likelihood_lower_bound() + self.log_prior_density()
 
     def _training_loss(self) -> jax.Array:
         return -self.log_posterior_density()
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.log_likelihood_lower_bound()
 
+    @check_shapes("return: []")
     def log_likelihood_lower_bound(self) -> jax.Array:
         """Optimal density for v, q*(v), up to a constant
         (reference ``sgpmc.py:104-112``)."""
@@ -61,6 +65,7 @@ class SGPMC(GPModel, InternalDataTrainingLossMixin):
         fmean, fvar = self.predict_f(X_data, full_cov=False)
         return jnp.sum(self.likelihood.variational_expectations(X_data, fmean, fvar, Y_data))
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

@@ -15,6 +15,7 @@ from jax.scipy.linalg import solve_triangular
 
 from .. import posteriors
 from ..base import InputData, MeanAndVariance, RegressionData, TensorData
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..config import default_float, default_jitter
 from ..covariances import Kuf, Kuu
 from ..functions import MeanFunction
@@ -58,6 +59,7 @@ class SGPRBase_deprecated(GPModel, InternalDataTrainingLossMixin):
         self.num_data = X_data.shape[0]
         self.inducing_variable = inducingpoint_wrapper(inducing_variable)
 
+    @check_shapes("return: []")
     def upper_bound(self) -> jax.Array:
         """Titsias-2014 upper bound on the marginal likelihood
         (reference ``sgpr.py:84-147``)."""
@@ -113,6 +115,7 @@ class SGPR_deprecated(SGPRBase_deprecated):
         AAT: jax.Array
         L: jax.Array
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.elbo()
 
@@ -175,6 +178,7 @@ class SGPR_deprecated(SGPRBase_deprecated):
 
         return -0.5 * (err_inner_prod - c_inner_prod)
 
+    @check_shapes("return: []")
     def elbo(self) -> jax.Array:
         """Collapsed evidence lower bound (reference ``sgpr.py:273-289``)."""
         common = self._common_calculation()
@@ -185,6 +189,7 @@ class SGPR_deprecated(SGPRBase_deprecated):
         quad = self.quad_term(common)
         return const + logdet + quad
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -280,6 +285,7 @@ class GPRFITC(SGPRBase_deprecated):
 
         return err, nu, Luu, L, alpha, beta, gamma
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.fitc_log_marginal_likelihood()
 
@@ -300,6 +306,7 @@ class GPRFITC(SGPRBase_deprecated):
 
         return mahalanobisTerm + logNormalizingTerm * self.num_latent_gps
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -346,6 +353,7 @@ class SGPR_with_posterior(SGPR_deprecated):
             precompute_cache=precompute_cache,
         )
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

@@ -16,6 +16,7 @@ import numpy as np
 
 from .. import kullback_leiblers, posteriors
 from ..base import InputData, MeanAndVariance, Parameter, RegressionData
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..bijectors import positive, triangular
 from ..conditionals import conditional
 from ..config import default_float
@@ -90,9 +91,11 @@ class SVGP_deprecated(GPModel, ExternalDataTrainingLossMixin):
             whiten=self.whiten,
         )
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self, data: RegressionData) -> jax.Array:
         return self.elbo(data)
 
+    @check_shapes("return: []")
     def elbo(self, data: RegressionData) -> jax.Array:
         """ELBO = scale * sum(var_exp) - KL (reference ``svgp.py:150-181``)."""
         X, Y = data
@@ -107,6 +110,7 @@ class SVGP_deprecated(GPModel, ExternalDataTrainingLossMixin):
             scale = jnp.asarray(1.0, dtype=kl.dtype)
         return jnp.sum(var_exp) * scale - kl
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -140,6 +144,7 @@ class SVGP_with_posterior(SVGP_deprecated):
             precompute_cache=precompute_cache,
         )
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

@@ -17,6 +17,7 @@ from jax.scipy.linalg import solve_triangular
 
 from .. import posteriors
 from ..base import InputData, MeanAndVariance, Parameter, RegressionData
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..bijectors import positive, triangular
 from ..conditionals import conditional
 from ..config import default_float, default_jitter
@@ -64,9 +65,11 @@ class VGP_deprecated(GPModel, InternalDataTrainingLossMixin):
         q_sqrt = np.stack([np.eye(self.num_data) for _ in range(self.num_latent_gps)])
         self.q_sqrt = Parameter(q_sqrt, transform=triangular(), name="q_sqrt")
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.elbo()
 
+    @check_shapes("return: []")
     def elbo(self) -> jax.Array:
         """E_q[log p(Y|F)] - KL[q(F) || p(F)] in the whitened parametrization
         (reference ``vgp.py:108-143``)."""
@@ -86,6 +89,7 @@ class VGP_deprecated(GPModel, InternalDataTrainingLossMixin):
         var_exp = self.likelihood.variational_expectations(X_data, fmean, fvar, Y_data)
         return jnp.sum(var_exp) - KL
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -120,6 +124,7 @@ class VGP_with_posterior(VGP_deprecated):
             precompute_cache=precompute_cache,
         )
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -183,9 +188,11 @@ class VGPOpperArchambeau(GPModel, InternalDataTrainingLossMixin):
             np.ones((self.num_data, self.num_latent_gps)), transform=positive(), name="q_lambda"
         )
 
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.elbo()
 
+    @check_shapes("return: []")
     def elbo(self) -> jax.Array:
         """q(f) = N(f | K alpha + mean, [K^-1 + diag(lambda^2)]^-1)
         (reference ``vgp.py:310-360``)."""
@@ -221,6 +228,7 @@ class VGPOpperArchambeau(GPModel, InternalDataTrainingLossMixin):
         v_exp = self.likelihood.variational_expectations(X_data, f_mean, f_var, Y_data)
         return jnp.sum(v_exp) - KL
 
+    @inherit_check_shapes
     def predict_f(
         self, Xnew: InputData, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:

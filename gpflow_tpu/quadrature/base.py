@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
+from ..utilities.shapes import check_shapes
+
 __all__ = ["GaussianQuadrature"]
 
 
@@ -18,9 +20,19 @@ class GaussianQuadrature(abc.ABC):
     quadrature points. Subclasses define the points/weights."""
 
     @abc.abstractmethod
+    @check_shapes(
+        "mean: [batch..., dim]",
+        "var: [batch..., dim]",
+        "return[0]: [N_quad, batch..., dim]",
+        "return[1]: [N_quad, broadcast ones...]",
+    )
     def _build_X_W(self, mean: jax.Array, var: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Returns X: [N_quad, ..., dim], W: [N_quad, broadcast-ones, 1]."""
 
+    @check_shapes(
+        "mean: [batch..., dim]",
+        "var: [batch..., dim]",
+    )
     def __call__(
         self,
         fun: Union[Callable[..., jax.Array], Iterable],
@@ -39,6 +51,10 @@ class GaussianQuadrature(abc.ABC):
             return [jnp.sum(f(X, *args, **kwargs) * W, axis=0) for f in fun]
         return jnp.sum(fun(X, *args, **kwargs) * W, axis=0)
 
+    @check_shapes(
+        "mean: [batch..., dim]",
+        "var: [batch..., dim]",
+    )
     def logspace(
         self,
         fun: Union[Callable[..., jax.Array], Iterable],

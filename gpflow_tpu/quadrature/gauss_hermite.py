@@ -2,12 +2,13 @@
 ``/root/reference/gpflow/quadrature/gauss_hermite.py:30-154``)."""
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utilities.shapes import inherit_check_shapes
 from .base import GaussianQuadrature
 
 __all__ = [
@@ -20,14 +21,16 @@ __all__ = [
 ]
 
 
-def list_to_flat_grid(xs) -> np.ndarray:
+def list_to_flat_grid(xs: Sequence[np.ndarray]) -> np.ndarray:
     """Flatten a list of d rank-1 arrays (lengths N1..Nd) into the
     [N1*...*Nd, d] grid of all combinations (reference
     ``gauss_hermite.py:49-60``; same 'xy' meshgrid point ordering)."""
     return np.reshape(np.stack(np.meshgrid(*xs), axis=-1), (-1, len(xs)))
 
 
-def reshape_Z_dZ(zs, dzs) -> Tuple[np.ndarray, np.ndarray]:
+def reshape_Z_dZ(
+    zs: Sequence[np.ndarray], dzs: Sequence[np.ndarray]
+) -> Tuple[np.ndarray, np.ndarray]:
     """Combine per-dimension points/weights into grid points Z
     [N_product, d] and product weights dZ [N_product, 1] (reference
     ``gauss_hermite.py:62-77``)."""
@@ -36,7 +39,7 @@ def reshape_Z_dZ(zs, dzs) -> Tuple[np.ndarray, np.ndarray]:
     return Z, dZ
 
 
-def repeat_as_list(x, n: int):
+def repeat_as_list(x: np.ndarray, n: int) -> List[np.ndarray]:
     """List of ``n`` references to ``x`` (reference ``gauss_hermite.py:80-90``)."""
     return [x for _ in range(n)]
 
@@ -76,6 +79,7 @@ class NDiagGHQuadrature(GaussianQuadrature):
         self.Z = np.asarray(Z)
         self.dZ = np.asarray(dZ)
 
+    @inherit_check_shapes
     def _build_X_W(self, mean: jax.Array, var: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """mean/var: [b1, ..., bN, dim] ->
         X: [n_gh_total, b1, ..., bN, dim], W: [n_gh_total, 1, ..., 1]."""

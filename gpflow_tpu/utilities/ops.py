@@ -8,13 +8,14 @@ when enabled (see ``gpflow_tpu/ops/pallas_distance.py``).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import default_float
+from .shapes import check_shapes
 
 __all__ = [
     "broadcasting_elementwise",
@@ -52,13 +53,21 @@ def leading_transpose(tensor: jax.Array, perm: Sequence[int], leading_dim: int =
     return jnp.transpose(tensor, pre + lead + post)
 
 
-def broadcasting_elementwise(op, a: jax.Array, b: jax.Array) -> jax.Array:
+def broadcasting_elementwise(
+    op: Callable[[jax.Array, jax.Array], jax.Array], a: jax.Array, b: jax.Array
+) -> jax.Array:
     """Applies binary op to all pairs: result[i, j] = op(a[i], b[j])
     (reference ``ops.py:87-102``)."""
     flatres = op(jnp.reshape(a, (-1, 1)), jnp.reshape(b, (1, -1)))
     return jnp.reshape(flatres, a.shape + b.shape)
 
 
+@check_shapes(
+    "X: [batch..., N, D]",
+    "X2: [batch2..., N2, D]",
+    "return: [batch..., N, batch2..., N2] if X2 is not None",
+    "return: [batch..., N, N] if X2 is None",
+)
 def square_distance(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
     """Squared pairwise distance ||x - x2||^2, batched
     (reference ``ops.py:105-128``).
@@ -80,6 +89,12 @@ def square_distance(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
     return dist
 
 
+@check_shapes(
+    "X: [batch..., N, D]",
+    "X2: [batch2..., N2, D]",
+    "return: [batch..., N, batch2..., N2, D] if X2 is not None",
+    "return: [batch..., N, N, D] if X2 is None",
+)
 def difference_matrix(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
     """Pairwise difference X[..., n, :] - X2[..., m, :] (reference
     ``ops.py:131-150``): [batch..., N, D] x [batch2..., M, D] ->
@@ -96,6 +111,10 @@ def difference_matrix(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
     return jnp.reshape(diff, Xshape[:-1] + X2shape[:-1] + (Xshape[-1],))
 
 
+@check_shapes(
+    "X: [N, D]",
+    "return: [N, Q]",
+)
 def pca_reduce(X: jax.Array, latent_dim: int) -> jax.Array:
     """PCA projection to ``latent_dim`` (reference ``ops.py:153-174``);
     used to initialize GPLVM latents."""

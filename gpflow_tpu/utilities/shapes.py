@@ -19,17 +19,19 @@ Spec syntax (subset of the reference package's):
 * ``name...`` matches zero or more leading dims (at most one per spec)
 * integer literals match exactly; ``.`` matches any single dim
 * ``None``-valued arguments are skipped
-* a spec may be guarded on a boolean argument, as in the reference package:
-  ``"Knn: [batch..., N, N] if full_cov"`` / ``"Knn: [batch..., N] if not
-  full_cov"`` — the spec only applies when the named argument is truthy
-  (resp. falsy) at call time
+* a spec may be guarded on a condition over arguments, as in the reference
+  package: ``"Knn: [batch..., N, N] if full_cov"``, ``"return: [batch..., N,
+  N] if full_cov and (X2 is None)"``, ``"return: [batch..., N] if not
+  full_cov"`` — the guard grammar is ``and``/``or``/``not``/parentheses over
+  atoms ``<arg>`` (truthiness), ``<arg> is None`` and ``<arg> is not None``
 """
 from __future__ import annotations
 
 import functools
 import inspect
 import os
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, TypeVar
+import re
+from typing import Any, Callable, Dict, FrozenSet, List, Optional, Sequence, Tuple, TypeVar
 
 __all__ = [
     "ShapeError",
@@ -65,20 +67,98 @@ def get_enable_check_shapes() -> bool:
     return _state["enabled"]
 
 
-def _parse_spec(spec: str) -> Tuple[str, List[str], Optional[Tuple[str, bool]]]:
+Guard = Tuple[FrozenSet[str], Callable[[Dict[str, Any]], bool]]
+
+
+def _compile_guard(guard: str) -> Guard:
+    """Compiles a guard like ``full_cov and (X2 is None)`` into (referenced
+    argument names, predicate over the bound-arguments dict). Tiny recursive-
+    descent parser — no ``eval``, and array-valued arguments are only ever
+    tested with ``is [not] None``, never for truthiness."""
+    tokens = re.findall(r"\(|\)|[A-Za-z_][A-Za-z_0-9]*", guard)
+    if "".join(re.findall(r"[^\s()A-Za-z_0-9]", guard)):
+        raise ValueError(f"Bad characters in shape-spec guard {guard!r}")
+    names: set = set()
+    pos = [0]
+
+    def peek() -> Optional[str]:
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def advance() -> str:
+        if pos[0] >= len(tokens):
+            raise ValueError(f"Truncated shape-spec guard {guard!r}")
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_or() -> Callable[[Dict[str, Any]], bool]:
+        node = parse_and()
+        while peek() == "or":
+            advance()
+            lhs, rhs = node, parse_and()
+            node = lambda a, lhs=lhs, rhs=rhs: lhs(a) or rhs(a)
+        return node
+
+    def parse_and() -> Callable[[Dict[str, Any]], bool]:
+        node = parse_unary()
+        while peek() == "and":
+            advance()
+            lhs, rhs = node, parse_unary()
+            node = lambda a, lhs=lhs, rhs=rhs: lhs(a) and rhs(a)
+        return node
+
+    def parse_unary() -> Callable[[Dict[str, Any]], bool]:
+        t = peek()
+        if t == "not":
+            advance()
+            inner = parse_unary()
+            return lambda a, inner=inner: not inner(a)
+        if t == "(":
+            advance()
+            inner = parse_or()
+            if peek() != ")":
+                raise ValueError(f"Unbalanced parens in guard {guard!r}")
+            advance()
+            return inner
+        return parse_atom()
+
+    def parse_atom() -> Callable[[Dict[str, Any]], bool]:
+        name = peek()
+        if name is None or name in ("and", "or", "not", "is", "None", ")", "("):
+            raise ValueError(f"Bad shape-spec guard {guard!r}")
+        advance()
+        names.add(name)
+        if peek() == "is":
+            advance()
+            negate = False
+            if peek() == "not":
+                advance()
+                negate = True
+            if advance() != "None":
+                raise ValueError(f"Only `is [not] None` comparisons allowed: {guard!r}")
+            if negate:
+                return lambda a, name=name: a.get(name) is not None
+            return lambda a, name=name: a.get(name) is None
+        # bare name: truthiness of a (boolean) flag argument
+        return lambda a, name=name: bool(a.get(name))
+
+    fn = parse_or()
+    if pos[0] != len(tokens):
+        raise ValueError(f"Trailing tokens in shape-spec guard {guard!r}")
+    return frozenset(names), fn
+
+
+def _parse_spec(spec: str) -> Tuple[str, List[str], Optional[Guard]]:
     name, _, dims = spec.partition(":")
     dims = dims.strip()
-    cond: Optional[Tuple[str, bool]] = None
+    cond: Optional[Guard] = None
     if "]" in dims and not dims.endswith("]"):
         dims, _, guard = dims.rpartition("]")
         dims += "]"
         guard = guard.strip()
-        if guard.startswith("if not "):
-            cond = (guard[len("if not ") :].strip(), False)
-        elif guard.startswith("if "):
-            cond = (guard[len("if ") :].strip(), True)
-        else:
+        if not guard.startswith("if "):
             raise ValueError(f"Bad shape-spec guard {guard!r} in {spec!r}")
+        cond = _compile_guard(guard[len("if ") :])
     if not (dims.startswith("[") and dims.endswith("]")):
         raise ValueError(f"Bad shape spec {spec!r}")
     inner = dims[1:-1].strip()
@@ -115,7 +195,9 @@ def _match(
             )
         var_name = tokens[i][:-3]
         var_dims = tuple(shape[len(head) : len(head) + n_var])
-        if var_name:
+        if var_name.startswith("broadcast "):
+            pass  # broadcastable variadic group: consume dims, don't pin
+        elif var_name:
             prev = bindings.get(var_name + "...")
             if prev is not None and prev != var_dims:
                 raise ShapeError(
@@ -205,12 +287,14 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
         # a typo'd guard argument would otherwise read as always-falsy and
         # silently flip which spec applies — fail at decoration instead
         for _name, _tokens, cond in parsed:
-            if cond is not None and cond[0] not in sig.parameters:
-                raise ValueError(
-                    f"check_shapes guard references unknown argument "
-                    f"{cond[0]!r} of {fn.__qualname__} "
-                    f"(known: {list(sig.parameters)})"
-                )
+            if cond is not None:
+                unknown = cond[0] - set(sig.parameters)
+                if unknown:
+                    raise ValueError(
+                        f"check_shapes guard references unknown argument(s) "
+                        f"{sorted(unknown)} of {fn.__qualname__} "
+                        f"(known: {list(sig.parameters)})"
+                    )
 
         @functools.wraps(fn)
         def wrapper(*args: Any, **kwargs: Any) -> Any:
@@ -222,11 +306,10 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
                 return fn(*args, **kwargs)
             bound.apply_defaults()
 
-            def active(cond: Optional[Tuple[str, bool]]) -> bool:
+            def active(cond: Optional[Guard]) -> bool:
                 if cond is None:
                     return True
-                arg, expected = cond
-                return bool(bound.arguments.get(arg)) == expected
+                return cond[1](bound.arguments)
 
             bindings: Dict[str, Any] = {}
             for name, tokens, cond in arg_specs:
@@ -260,19 +343,26 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
 
 
 def inherit_check_shapes(fn: F) -> F:
-    """Marker for methods inheriting the base method's contract (resolved at
-    call time through the MRO when checking is enabled)."""
+    """Marker for methods inheriting the base method's contract (resolved
+    through the MRO when checking is enabled, then cached per class)."""
+    cache: Dict[type, Callable[..., Any]] = {}
 
     @functools.wraps(fn)
     def wrapper(self: Any, *args: Any, **kwargs: Any) -> Any:
         if not _state["enabled"]:
             return fn(self, *args, **kwargs)
-        for base in type(self).__mro__[1:]:
-            parent = getattr(base, fn.__name__, None)
-            specs = getattr(parent, "__check_shapes__", None)
-            if specs is not None:
-                checked = check_shapes(*specs)(fn)
-                return checked(self, *args, **kwargs)
-        return fn(self, *args, **kwargs)
+        cls = type(self)
+        checked = cache.get(cls)
+        if checked is None:
+            checked = fn
+            for base in cls.__mro__[1:]:
+                parent = getattr(base, fn.__name__, None)
+                specs = getattr(parent, "__check_shapes__", None)
+                if specs is not None:
+                    checked = check_shapes(*specs)(fn)
+                    break
+            cache[cls] = checked
+        return checked(self, *args, **kwargs)
 
+    wrapper.__inherits_check_shapes__ = True  # type: ignore[attr-defined]
     return wrapper  # type: ignore[return-value]

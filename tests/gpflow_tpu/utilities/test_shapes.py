@@ -138,8 +138,47 @@ def test_guarded_specs_select_on_flag():
         set_enable_check_shapes(prev)
 
 
+def test_guard_grammar_is_none_and_conjunction():
+    """Reference-style guards (kernels/base.py:170-214): `X2 is [not] None`
+    atoms combined with and/or/not/parens."""
+
+    @check_shapes(
+        "X: [N, D]",
+        "X2: [N2, D]",
+        "return: [N, N2] if full_cov and (X2 is not None)",
+        "return: [N, N] if full_cov and (X2 is None)",
+        "return: [N] if not full_cov",
+    )
+    def k(X, X2=None, full_cov=True):
+        if not full_cov:
+            return np.ones(X.shape[0])
+        n2 = X.shape[0] if X2 is None else X2.shape[0]
+        return np.ones((X.shape[0], n2))
+
+    k(np.ones((3, 2)))
+    k(np.ones((3, 2)), np.ones((5, 2)))
+    k(np.ones((3, 2)), full_cov=False)
+
+    @check_shapes(
+        "X: [N, D]",
+        "return: [N, N] if full_cov and (X2 is None)",
+    )
+    def bad(X, X2=None, full_cov=True):
+        return np.ones((X.shape[0], X.shape[0] + 1))
+
+    with pytest.raises(ShapeError):
+        bad(np.ones((3, 2)))
+    bad(np.ones((3, 2)), X2=np.ones((5, 2)))  # guard off -> unchecked
+
+
+def test_guard_grammar_rejects_malformed():
+    for guard in ("full_cov ==", "X2 is", "x &", "(full_cov", "full_cov)"):
+        with pytest.raises(ValueError):
+            check_shapes(f"X: [N] if {guard}")(lambda X, X2=None, full_cov=True, x=1: X)
+
+
 def test_guard_typo_raises_at_decoration():
-    with pytest.raises(ValueError, match="unknown argument 'full_covv'"):
+    with pytest.raises(ValueError, match=r"unknown argument\(s\) \['full_covv'\]"):
         @check_shapes("K: [N, N] if full_covv")
         def f(K, full_cov=False):
             return K
