@@ -229,7 +229,11 @@ def bench_natgrad_nonconjugate(results: dict) -> None:
         model, optimizer=optax.adam(1e-2), mesh=make_mesh(),
         natgrad_gamma=0.1, natgrad_fused=True,
     )
-    timed_steps = 50
+    # 250 scanned steps per device dispatch: at ~2.5 ms/step the dispatch
+    # carries ~0.6 s of device work, so host/tunnel dispatch latency (the
+    # round-2 "noisy metric" caveat: 402 steps/s quiet vs 222 loaded at 50
+    # steps/dispatch) is amortized to noise level
+    timed_steps = 250
     batches = trainer.shard_stacked(
         (
             np.stack([Xn[i * Bn % (len(Xn) - Bn):][:Bn] for i in range(timed_steps)]),
@@ -240,7 +244,7 @@ def bench_natgrad_nonconjugate(results: dict) -> None:
     for _ in range(2):  # two warm-up dispatches (donated-layout recompile)
         losses = trainer.run_steps(batches, presharded=True)
         float(np.asarray(losses)[-1])
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
         losses = trainer.run_steps(batches, presharded=True)
