@@ -67,8 +67,8 @@ def shared_independent_conditional(
 
 def separate_independent_conditional(
     Xnew: TensorType,
-    inducing_variable,
-    kernel,
+    inducing_variable: InducingVariables,
+    kernel: Kernel,
     f: TensorType,
     *,
     full_cov: bool = False,
@@ -99,7 +99,7 @@ conditional.add(
 
 def fallback_independent_latent_conditional(
     Xnew: TensorType,
-    inducing_variable,
+    inducing_variable: InducingVariables,
     kernel: IndependentLatent,
     f: TensorType,
     *,
@@ -148,7 +148,7 @@ def inducing_point_conditional(
 
 def coregionalization_conditional(
     Xnew: TensorType,
-    inducing_variable,
+    inducing_variable: InducingVariables,
     kernel: LinearCoregionalization,
     f: TensorType,
     *,

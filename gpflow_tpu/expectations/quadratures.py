@@ -21,7 +21,9 @@ NoneType: Type[None] = type(None)
 
 
 def get_eval_func(
-    obj, inducing_variable: Optional[InducingVariables], slice_=None
+    obj: object,
+    inducing_variable: Optional[InducingVariables],
+    slice_: object = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Returns the function of interest (kernel or mean) for the expectation
     (reference ``quadratures.py:39-62``)."""

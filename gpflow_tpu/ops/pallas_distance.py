@@ -54,7 +54,7 @@ def get_pallas_enabled() -> Optional[bool]:
     return _state["enabled"]
 
 
-def pallas_available(dtype) -> bool:
+def pallas_available(dtype: object) -> bool:
     # the kernel computes in f32 internally: float64 must NEVER route here
     # (silent precision loss), regardless of any force-enable flag
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):

@@ -22,13 +22,17 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from jax.sharding import Mesh
+
 from ..base import Module
 from .mesh import DEFAULT_AXIS, make_mesh, shard_batch
 
 __all__ = ["shard_internal_data", "sharded_predict_f"]
 
 
-def shard_internal_data(model: Module, mesh=None, axis_name: str = DEFAULT_AXIS) -> Module:
+def shard_internal_data(
+    model: Module, mesh: Optional[Mesh] = None, axis_name: str = DEFAULT_AXIS
+) -> Module:
     """Row-shards an internal-data model's training set over the mesh,
     in place; returns the model.
 
@@ -67,7 +71,7 @@ _PREDICT_JITS: dict = {}
 def sharded_predict_f(
     model: Any,
     Xnew: Any,
-    mesh=None,
+    mesh: Optional[Mesh] = None,
     axis_name: str = DEFAULT_AXIS,
     **predict_kwargs: Any,
 ) -> Tuple[jax.Array, jax.Array]:

@@ -128,7 +128,7 @@ class PrecomputedValue:
     axis_dynamic: Tuple[bool, ...]
 
     @staticmethod
-    def shape_of(value: "PrecomputedValue"):
+    def shape_of(value: "PrecomputedValue") -> Tuple[Optional[int], ...]:
         """Shape with dynamic axes reported as unknown (``None``), as in the
         reference's ``get_precomputed_value_shape`` (``posteriors.py:172-177``)."""
         return tuple(
@@ -150,7 +150,7 @@ from .utilities.shapes import register_get_shape  # noqa: E402
 
 
 @register_get_shape(PrecomputedValue)
-def get_precomputed_value_shape(shaped: PrecomputedValue):
+def get_precomputed_value_shape(shaped: PrecomputedValue) -> Tuple[Optional[int], ...]:
     """Shape extractor for the shape-contract system (reference
     ``posteriors.py:172-177``): dynamic axes report as unknown."""
     return PrecomputedValue.shape_of(shaped)

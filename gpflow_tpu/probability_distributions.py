@@ -2,6 +2,8 @@
 ``/root/reference/gpflow/probability_distributions.py:52-105``)."""
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import jax
 
 from .base import Module, TensorType
@@ -24,7 +26,7 @@ class ProbabilityDistribution(Module):
     """
 
     @property
-    def shape(self):
+    def shape(self) -> Optional[Tuple[int, ...]]:
         """[N, D]-style shape of the distribution (reference
         ``probability_distributions.py:32-42``); N = data points, D = input
         dims. Concrete subclasses derive it from ``mu``."""
@@ -41,7 +43,7 @@ class Gaussian(ProbabilityDistribution):
         self.cov = cov
 
     @property
-    def shape(self):
+    def shape(self) -> Optional[Tuple[int, ...]]:
         return self.mu.shape
 
 
@@ -53,7 +55,7 @@ class DiagonalGaussian(ProbabilityDistribution):
         self.cov = cov
 
     @property
-    def shape(self):
+    def shape(self) -> Optional[Tuple[int, ...]]:
         return self.mu.shape
 
 
@@ -79,5 +81,5 @@ class MarkovGaussian(ProbabilityDistribution):
         self.cov = cov
 
     @property
-    def shape(self):
+    def shape(self) -> Optional[Tuple[int, ...]]:
         return self.mu.shape
