@@ -643,3 +643,57 @@ def test_sharded_training_fuzz_matches_single_device(seed):
         np.testing.assert_allclose(
             np.asarray(p.value), np.asarray(q.value), rtol=1e-6, atol=1e-9
         )
+
+
+def test_shard_internal_data_matrix_free_cglb_matches_unsharded():
+    """Matrix-free CGLB with N row-sharded (VERDICT r2 #5, the SURVEY §5
+    'sharded N×N exact-GP path' end-state): the chunked v @ K(x, xc) matvec
+    contracts over the sharded data axis (per-device partial products +
+    psum). Loss must be identical to single-device and the compiled matvec
+    must contain a cross-device collective."""
+    from gpflow_tpu.models import CGLB
+    from gpflow_tpu.parallel import shard_internal_data
+
+    def build():
+        return CGLB(
+            (X, Y), kernel=kernels.SquaredExponential(lengthscales=np.ones(D)),
+            inducing_variable=X[:M].copy(), cg_tolerance=0.1, max_cg_iters=20,
+            matrix_free_chunk=32,
+        )
+
+    ref, sharded = build(), build()
+    shard_internal_data(sharded)
+    assert len(sharded.data[0].sharding.device_set) == 8
+
+    l_ref = float(ref.training_loss_closure(compile=True)())
+    l_sh = float(sharded.training_loss_closure(compile=True)())
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-10)
+
+    # the matvec itself (not just the SGPR-common terms) must distribute:
+    # isolate the K-operator and check its HLO for a collective
+    def matvec_norm(m):
+        mv = m._kmat_operator()
+        v = jnp.ones((1, m.data[0].shape[0]), dtype=m.data[0].dtype)
+        return jnp.sum(mv(v) ** 2)
+
+    hlo = jax.jit(matvec_norm).lower(sharded).compile().as_text()
+    assert "all-reduce" in hlo or "all-gather" in hlo, (
+        "sharded matrix-free matvec compiled without cross-device collectives"
+    )
+    # full objective too
+    hlo_obj = jax.jit(lambda m: m._training_loss()).lower(sharded).compile().as_text()
+    assert "all-reduce" in hlo_obj
+
+
+def test_sharded_predict_f_posterior_matches_local():
+    """sharded_predict_f over a CACHED posterior (the serving path in
+    dryrun_multichip path 7) matches the local posterior predictions."""
+    from gpflow_tpu.parallel import sharded_predict_f
+
+    model = _svgp()
+    posterior = model.posterior()
+    Xt = rng.randn(64, D)
+    mean_l, var_l = posterior.predict_f(Xt)
+    mean_s, var_s = sharded_predict_f(posterior, Xt)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_l), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_l), rtol=1e-10, atol=1e-12)
