@@ -247,6 +247,22 @@ _real_dataset("white_wine", "winequality-white.csv", _parse_semicolon_csv, _UCI 
 _real_dataset("yacht", "yacht_hydrodynamics.data", _parse_loadtxt, _UCI + "00243/yacht_hydrodynamics.data", "MEDIUM")
 
 
+def _diabetes() -> Dataset:
+    """Efron et al. diabetes (N=442, D=10) — the one REAL regression dataset
+    shipped offline in this image (sklearn bundles it; the reference's UCI
+    files need network egress, absent here). NOT part of the reference's
+    dataset list; registered REAL_DATA so the ``uci`` suite exercises the
+    real-data path end-to-end and produces committable results
+    (BENCH_UCI.md) while the canonical files are unavailable."""
+    from sklearn.datasets import load_diabetes
+
+    raw = load_diabetes()
+    return _shuffle_split(raw.data, raw.target.reshape(-1, 1), "diabetes", 0.1)
+
+
+DATASETS.register("diabetes", _diabetes, tags=["MEDIUM", "regression", "REAL_DATA"])
+
+
 DATASETS.register("tiny_linear", _tiny_linear, tags=["TINY", "regression"])
 DATASETS.register("tiny_sine", _tiny_sine, tags=["TINY", "regression"])
 DATASETS.register(

@@ -78,6 +78,7 @@ def export_serving(
     platforms: Sequence[str] = ("cpu", "tpu"),
     batch_symbol: str = "batch",
     batch_size: Optional[int] = None,
+    bucket_sizes: Optional[Sequence[int]] = None,
 ) -> Dict[str, str]:
     """Exports jitted predict methods to a self-contained StableHLO artifact.
 
@@ -91,34 +92,59 @@ def export_serving(
     :param batch_size: export with a FIXED batch size instead of a symbolic
         one. Use when a compute path cannot trace shape-polymorphically;
         pair the loaded artifact with ``bucketize`` to serve arbitrary N.
-    :returns: mapping method name -> written file path.
+    :param bucket_sizes: BUCKETED export: one fixed-shape lowering per
+        bucket size. Fixed shapes trace the fused Pallas covariance kernel
+        fine, so (TPU-only exports) the artifact keeps the fast compute path
+        the symbolic-batch export must forgo — ~3x throughput at serving
+        scale (PERFORMANCE.md "Serving artifacts"). The loader picks the
+        smallest bucket >= N, zero-pads, and slices the outputs back;
+        requests beyond the largest bucket are served in max-bucket chunks.
+    :returns: mapping method name (``name@bucket`` for bucketed exports) ->
+        written file path.
     """
     from ..config import default_float
     from ..ops import get_pallas_enabled, set_pallas_enabled
 
     dtype = jnp.dtype(dtype if dtype is not None else default_float())
     os.makedirs(path, exist_ok=True)
-    if batch_size is None:
-        shape: Any = jax_export.symbolic_shape(f"{batch_symbol}, {input_dim}")
+    if bucket_sizes is not None:
+        if batch_size is not None:
+            raise ValueError("pass either batch_size or bucket_sizes, not both")
+        buckets = sorted(int(b) for b in bucket_sizes)
+        if not buckets or any(b <= 0 for b in buckets):
+            raise ValueError(f"bucket_sizes must be positive, got {bucket_sizes}")
+        shapes = [(b, input_dim) for b in buckets]
+    elif batch_size is None:
+        shapes = [jax_export.symbolic_shape(f"{batch_symbol}, {input_dim}")]
+        buckets = None
     else:
-        shape = (int(batch_size), input_dim)
-    arg = jax.ShapeDtypeStruct(shape, dtype)
+        shapes = [(int(batch_size), input_dim)]
+        buckets = None
 
-    # the exported program must be portable and shape-polymorphic: force the
-    # plain XLA compute path (the Pallas covariance kernel lowers only for
-    # TPU and its MXU tile padding cannot trace with a symbolic batch)
+    # A symbolic-batch export must be portable and shape-polymorphic, so it
+    # forces the plain XLA compute path (the Pallas covariance kernel lowers
+    # only for TPU and its MXU tile padding cannot trace with a symbolic
+    # batch). FIXED-shape exports targeting only TPU keep Pallas on — that
+    # is the point of bucketed exports.
+    fixed_shapes = bucket_sizes is not None or batch_size is not None
+    keep_pallas = fixed_shapes and set(platforms) == {"tpu"}
     prev_pallas = get_pallas_enabled()
-    set_pallas_enabled(False)
+    if not keep_pallas:
+        set_pallas_enabled(False)
     posterior = model.posterior() if hasattr(model, "posterior") else None
     written: Dict[str, str] = {}
     try:
         for name in methods:
             fn = _build_method(model, name, posterior)
-            exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
-            fname = os.path.join(path, f"{name}.stablehlo")
-            with open(fname, "wb") as f:
-                f.write(exp.serialize())
-            written[name] = fname
+            jitted = jax.jit(fn)
+            for shape in shapes:
+                arg = jax.ShapeDtypeStruct(shape, dtype)
+                exp = jax_export.export(jitted, platforms=tuple(platforms))(arg)
+                key = f"{name}@{shape[0]}" if buckets is not None else name
+                fname = os.path.join(path, f"{key}.stablehlo")
+                with open(fname, "wb") as f:
+                    f.write(exp.serialize())
+                written[key] = fname
     finally:
         set_pallas_enabled(prev_pallas)
 
@@ -130,6 +156,7 @@ def export_serving(
                 "dtype": str(dtype),
                 "platforms": list(platforms),
                 "batch_size": batch_size,
+                "bucket_sizes": buckets,
                 "model_class": type(model).__name__,
             },
             f,
@@ -140,23 +167,77 @@ def export_serving(
 
 class ServedModel:
     """Deserialized serving artifact: one callable per exported method.
-    Self-contained — parameters live inside the StableHLO as constants."""
+    Self-contained — parameters live inside the StableHLO as constants.
+
+    For bucketed artifacts (``export_serving(..., bucket_sizes=...)``) each
+    method call picks the smallest bucket >= N, zero-pads the inputs,
+    dispatches the fixed-shape program, and slices the outputs back to N;
+    N beyond the largest bucket is served in max-bucket chunks."""
 
     def __init__(self, path: str) -> None:
         with open(os.path.join(path, _METADATA_FILE)) as f:
             self.metadata = json.load(f)
         self._methods: Dict[str, Any] = {}
+        buckets = self.metadata.get("bucket_sizes")
         for name in self.metadata["methods"]:
-            with open(os.path.join(path, f"{name}.stablehlo"), "rb") as f:
-                exported = jax_export.deserialize(f.read())
-            self._methods[name] = exported
-            setattr(self, name, self._make_caller(exported))
+            if buckets is not None:
+                table = {}
+                for b in buckets:
+                    with open(os.path.join(path, f"{name}@{b}.stablehlo"), "rb") as f:
+                        table[int(b)] = jax_export.deserialize(f.read())
+                self._methods[name] = table
+                setattr(self, name, self._make_bucketed_caller(table))
+            else:
+                with open(os.path.join(path, f"{name}.stablehlo"), "rb") as f:
+                    exported = jax_export.deserialize(f.read())
+                self._methods[name] = exported
+                setattr(self, name, self._make_caller(exported))
 
     def _make_caller(self, exported: Any) -> Callable[[Any], Any]:
         dtype = jnp.dtype(self.metadata["dtype"])
+        # jit the deserialized program once: Exported.call alone re-enters
+        # the export calling convention on every invocation (~1.5 ms/call of
+        # pure dispatch overhead at serving batch sizes)
+        jitted = jax.jit(exported.call)
 
         def call(X: Any) -> Any:
-            return exported.call(jnp.asarray(X, dtype=dtype))
+            return jitted(jnp.asarray(X, dtype=dtype))
+
+        return call
+
+    def _make_bucketed_caller(self, table: Dict[int, Any]) -> Callable[[Any], Any]:
+        dtype = jnp.dtype(self.metadata["dtype"])
+        buckets = sorted(table)
+        max_bucket = buckets[-1]
+        jitted = {b: jax.jit(table[b].call) for b in buckets}
+
+        def call_padded(X: jax.Array) -> Any:
+            n = X.shape[0]
+            bucket = next(b for b in buckets if b >= n)
+            pad = bucket - n
+            Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
+            out = jitted[bucket](Xp)
+            if not pad:
+                return out
+            if isinstance(out, (tuple, list)):
+                return type(out)(o[:n] for o in out)
+            return out[:n]
+
+        def call(X: Any) -> Any:
+            X = jnp.asarray(X, dtype=dtype)
+            n = X.shape[0]
+            if n <= max_bucket:
+                return call_padded(X)
+            parts = [
+                call_padded(X[i : i + max_bucket]) for i in range(0, n, max_bucket)
+            ]
+            first = parts[0]
+            if isinstance(first, (tuple, list)):
+                return type(first)(
+                    jnp.concatenate([p[i] for p in parts], axis=0)
+                    for i in range(len(first))
+                )
+            return jnp.concatenate(parts, axis=0)
 
         return call
 

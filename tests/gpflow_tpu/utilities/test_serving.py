@@ -102,3 +102,36 @@ def test_export_restores_pallas_setting(tmp_path):
         assert pd._state["enabled"] is True
     finally:
         set_pallas_enabled(None)
+
+
+def test_bucketed_export_pads_slices_and_chunks(tmp_path):
+    """Bucketed artifacts (VERDICT r2 #6): one fixed-shape lowering per
+    bucket; the loader pads to the smallest bucket >= N, slices outputs
+    back, and serves N > max bucket in chunks — all matching the model."""
+    m = _svgp()
+    written = export_serving(m, str(tmp_path), input_dim=D, bucket_sizes=[4, 8])
+    assert set(written) == {
+        "predict_f@4", "predict_f@8", "predict_y@4", "predict_y@8",
+    }
+    served = load_serving(str(tmp_path))
+    assert served.metadata["bucket_sizes"] == [4, 8]
+
+    for n in (1, 3, 4, 5, 8, 11, 23):  # inside buckets, exact, chunked
+        Xt = rng.randn(n, D)
+        mu_s, var_s = served.predict_f(Xt)
+        mu_m, var_m = m.predict_f(Xt)
+        assert np.asarray(mu_s).shape == (n, 1)
+        np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_m), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_m), atol=1e-9)
+        muy_s, vary_s = served.predict_y(Xt)
+        muy_m, vary_m = m.predict_y(Xt)
+        np.testing.assert_allclose(np.asarray(muy_s), np.asarray(muy_m), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(vary_s), np.asarray(vary_m), atol=1e-9)
+
+
+def test_bucketed_export_validation(tmp_path):
+    m = _svgp()
+    with pytest.raises(ValueError, match="not both"):
+        export_serving(m, str(tmp_path), input_dim=D, batch_size=4, bucket_sizes=[4])
+    with pytest.raises(ValueError, match="positive"):
+        export_serving(m, str(tmp_path), input_dim=D, bucket_sizes=[0, 4])
