@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..base import Parameter, capture_parameter_reads, functionalize
+from ..utilities.shapes import check_shapes
 
 __all__ = [
     "NaturalGradient",
@@ -383,6 +384,10 @@ def swap_dimensions(
     return wrapper
 
 
+@check_shapes(
+    "M: [D, N, N]",
+    "return: [D, N, N]",
+)
 def _inverse_lower_triangular(M: jax.Array) -> jax.Array:
     """Batched inverse of lower-triangular matrices [D, N, N]
     (reference ``natgrad.py:500-516``)."""
@@ -404,6 +409,12 @@ from ..ops.linalg import sym_jitter as _sym_jitter  # noqa: E402 - shared helper
 
 
 @swap_dimensions
+@check_shapes(
+    "nat1: [D, N, 1]",
+    "nat2: [D, N, N]",
+    "return[0]: [D, N, 1]",
+    "return[1]: [D, N, N]",
+)
 def natural_to_meanvarsqrt(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
     var_sqrt_inv = jnp.linalg.cholesky(_sym_jitter(-2 * nat2))
     var_sqrt = _inverse_lower_triangular(var_sqrt_inv)
@@ -414,6 +425,12 @@ def natural_to_meanvarsqrt(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array,
 
 
 @swap_dimensions
+@check_shapes(
+    "mu: [D, N, 1]",
+    "s_sqrt: [D, N, N]",
+    "return[0]: [D, N, 1]",
+    "return[1]: [D, N, N]",
+)
 def meanvarsqrt_to_natural(mu: jax.Array, s_sqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
     s_sqrt_inv = _inverse_lower_triangular(s_sqrt)
     s_inv = _mm(jnp.swapaxes(s_sqrt_inv, -1, -2), s_sqrt_inv)
@@ -421,6 +438,12 @@ def meanvarsqrt_to_natural(mu: jax.Array, s_sqrt: jax.Array) -> Tuple[jax.Array,
 
 
 @swap_dimensions
+@check_shapes(
+    "nat1: [D, N, 1]",
+    "nat2: [D, N, N]",
+    "return[0]: [D, N, 1]",
+    "return[1]: [D, N, N]",
+)
 def natural_to_expectation(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return meanvarsqrt_to_expectation(
         *natural_to_meanvarsqrt(nat1, nat2, swap=False), swap=False
@@ -428,6 +451,12 @@ def natural_to_expectation(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array,
 
 
 @swap_dimensions
+@check_shapes(
+    "eta1: [D, N, 1]",
+    "eta2: [D, N, N]",
+    "return[0]: [D, N, 1]",
+    "return[1]: [D, N, N]",
+)
 def expectation_to_natural(eta1: jax.Array, eta2: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return meanvarsqrt_to_natural(
         *expectation_to_meanvarsqrt(eta1, eta2, swap=False), swap=False
@@ -435,12 +464,24 @@ def expectation_to_natural(eta1: jax.Array, eta2: jax.Array) -> Tuple[jax.Array,
 
 
 @swap_dimensions
+@check_shapes(
+    "eta1: [D, N, 1]",
+    "eta2: [D, N, N]",
+    "return[0]: [D, N, 1]",
+    "return[1]: [D, N, N]",
+)
 def expectation_to_meanvarsqrt(eta1: jax.Array, eta2: jax.Array) -> Tuple[jax.Array, jax.Array]:
     var = eta2 - _mm(eta1, jnp.swapaxes(eta1, -1, -2))
     return eta1, jnp.linalg.cholesky(_sym_jitter(var))
 
 
 @swap_dimensions
+@check_shapes(
+    "m: [D, N, 1]",
+    "v_sqrt: [D, N, N]",
+    "return[0]: [D, N, 1]",
+    "return[1]: [D, N, N]",
+)
 def meanvarsqrt_to_expectation(m: jax.Array, v_sqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
     v = _mm(v_sqrt, jnp.swapaxes(v_sqrt, -1, -2))
     return m, v + _mm(m, jnp.swapaxes(m, -1, -2))

@@ -58,7 +58,7 @@ from .inducing_variables import (
 from .kernels import Kernel
 from .likelihoods import Gaussian
 from .utilities import Dispatcher, add_likelihood_noise_cov, assert_params_false
-from .utilities.shapes import check_shapes
+from .utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = [
     "AbstractPosterior",
@@ -210,6 +210,14 @@ class AbstractPosterior(Module, ABC):
         return self._add_mean_function(Xnew, mean), cov
 
     @abstractmethod
+    @check_shapes(
+        "Xnew: [batch..., N, D]",
+        "return[0]: [batch..., N, P]",
+        "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+        "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+        "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+        "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+    )
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -234,6 +242,14 @@ class AbstractPosterior(Module, ABC):
         return self._add_mean_function(Xnew, mean), cov
 
     @abstractmethod
+    @check_shapes(
+        "Xnew: [batch..., N, D]",
+        "return[0]: [batch..., N, P]",
+        "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+        "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+        "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+        "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+    )
     def _conditional_with_precompute(
         self,
         cache: Tuple[jax.Array, ...],
@@ -294,6 +310,7 @@ class GPRPosterior(AbstractPosterior):
         if precompute_cache is not None:
             self.update_cache(precompute_cache)
 
+    @inherit_check_shapes
     def _conditional_with_precompute(
         self,
         cache: Tuple[jax.Array, ...],
@@ -344,6 +361,7 @@ class GPRPosterior(AbstractPosterior):
         )
         return (err_v, Lm_v, PrecomputedValue(alpha, (False, False)))
 
+    @inherit_check_shapes
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -374,6 +392,7 @@ class SGPRPosterior(AbstractPosterior):
         if precompute_cache is not None:
             self.update_cache(precompute_cache)
 
+    @inherit_check_shapes
     def _conditional_with_precompute(
         self,
         cache: Tuple[jax.Array, ...],
@@ -450,6 +469,7 @@ class SGPRPosterior(AbstractPosterior):
         mean = jnp.matmul(jnp.swapaxes(Kus, -1, -2), alpha)
         return self._add_mean_function(Xnew, mean)
 
+    @inherit_check_shapes
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -478,6 +498,7 @@ class VGPPosterior(AbstractPosterior):
         if precompute_cache is not None:
             self.update_cache(precompute_cache)
 
+    @inherit_check_shapes
     def _conditional_with_precompute(
         self,
         cache: Tuple[jax.Array, ...],
@@ -508,6 +529,7 @@ class VGPPosterior(AbstractPosterior):
         Lm = jnp.linalg.cholesky(Kmm)
         return (PrecomputedValue(Lm, (False, False)),)
 
+    @inherit_check_shapes
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -635,6 +657,7 @@ class IndependentPosterior(BasePosterior):
             Kff = self.kernel(Xnew, full_cov=full_cov)
         return Kff
 
+    @inherit_check_shapes
     def _conditional_with_precompute(
         self,
         cache: Tuple[jax.Array, ...],
@@ -681,6 +704,7 @@ class IndependentPosterior(BasePosterior):
 class IndependentPosteriorSingleOutput(IndependentPosterior):
     """reference ``posteriors.py:825-841``."""
 
+    @inherit_check_shapes
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -696,6 +720,7 @@ class IndependentPosteriorSingleOutput(IndependentPosterior):
 class IndependentPosteriorMultiOutput(IndependentPosterior):
     """reference ``posteriors.py:844-887``."""
 
+    @inherit_check_shapes
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -743,6 +768,7 @@ class LinearCoregionalizationPosterior(IndependentPosteriorMultiOutput):
 class FullyCorrelatedPosterior(BasePosterior):
     """reference ``posteriors.py:909-1012``."""
 
+    @inherit_check_shapes
     def _conditional_with_precompute(
         self,
         cache: Tuple[jax.Array, ...],
@@ -796,6 +822,7 @@ class FullyCorrelatedPosterior(BasePosterior):
 
         return mean, cov
 
+    @inherit_check_shapes
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
@@ -846,6 +873,7 @@ class FallbackIndependentLatentPosterior(FullyCorrelatedPosterior):
             )
         return super()._precompute()
 
+    @inherit_check_shapes
     def _conditional_fused(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
     ) -> MeanAndVariance:
