@@ -263,6 +263,30 @@ def _diabetes() -> Dataset:
 DATASETS.register("diabetes", _diabetes, tags=["MEDIUM", "regression", "REAL_DATA"])
 
 
+def _breast_cancer() -> Dataset:
+    """Wisconsin breast cancer (N=569, D=30, binary) — the REAL classification
+    dataset shipped offline in this image (sklearn bundles it). Labels stay
+    0/1 (only X is normalised); exercises the Bernoulli VGP/SVGP path on real
+    data. Like ``diabetes``, not in the reference's list — registered so the
+    real-data suite has a classification column while the canonical UCI files
+    are unavailable offline."""
+    from sklearn.datasets import load_breast_cancer
+
+    raw = load_breast_cancer()
+    X = _normalise(np.asarray(raw.data, dtype=float))
+    Y = np.asarray(raw.target, dtype=float).reshape(-1, 1)
+    rng = np.random.default_rng(20220722)
+    perm = rng.permutation(len(X))
+    X, Y = X[perm], Y[perm]
+    n_test = round(0.1 * len(X))
+    return Dataset("breast_cancer", (X[n_test:], Y[n_test:]), (X[:n_test], Y[:n_test]))
+
+
+DATASETS.register(
+    "breast_cancer", _breast_cancer, tags=["MEDIUM", "classification", "REAL_DATA"]
+)
+
+
 DATASETS.register("tiny_linear", _tiny_linear, tags=["TINY", "regression"])
 DATASETS.register("tiny_sine", _tiny_sine, tags=["TINY", "regression"])
 DATASETS.register(
