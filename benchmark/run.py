@@ -213,6 +213,13 @@ def main() -> None:
         help="per-(task, rep) wall-clock cap in seconds (subprocess mode)",
     )
     parser.add_argument(
+        "--repetitions",
+        type=int,
+        default=None,
+        help="override the suite's per-task repetition count (recorded in "
+        "metadata.json; useful on slow/shared hardware)",
+    )
+    parser.add_argument(
         "--plot",
         nargs="*",
         default=None,
@@ -236,7 +243,8 @@ def main() -> None:
     rows = []
     for task in tasks:
         task_index = all_tasks.index(task)
-        for rep in range(task.repetitions):
+        repetitions = args.repetitions or task.repetitions
+        for rep in range(repetitions):
             print(f"[benchmark] {task.dataset}/{task.model} rep {rep}", flush=True)
             if args.isolation == "subprocess":
                 row = _run_task_isolated(
@@ -260,7 +268,10 @@ def main() -> None:
         writer.writerows(rows)
 
     with open(os.path.join(args.dest, "metadata.json"), "w") as f:
-        json.dump(_gather_metadata(args.suite, len(tasks)), f, indent=2)
+        metadata = _gather_metadata(args.suite, len(tasks))
+        if args.repetitions is not None:
+            metadata["repetitions_override"] = args.repetitions
+        json.dump(metadata, f, indent=2)
     print(f"[benchmark] wrote {out}")
 
     if args.plot is not None:

@@ -205,9 +205,12 @@ def test_metadata_contents():
 
 def test_real_datasets_registered_with_reference_names():
     names = set(DATASETS.names("REAL_DATA"))
+    # the reference's nine UCI file-backed sets, plus the two sklearn-bundled
+    # real sets that are loadable offline (datasets.py: diabetes, breast_cancer)
     assert names == {
         "boston", "concrete", "energy", "naval", "power",
         "protein", "red_wine", "white_wine", "yacht",
+        "diabetes", "breast_cancer",
     }
 
 
@@ -314,10 +317,14 @@ def test_csv_fallback_accepted_for_excel_datasets(tmp_path, monkeypatch):
 def test_suite_skips_unavailable_real_data_loudly(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
     tasks = get_suite("uci").get_tasks()
-    assert tasks == []  # nothing available -> nothing scheduled, never a crash
+    # no file-backed set is available -> none scheduled, never a crash; the
+    # sklearn-bundled offline sets (diabetes, breast_cancer) are always there
+    assert {t.dataset for t in tasks} == {"diabetes", "breast_cancer"}
     assert "skipping dataset" in capsys.readouterr().err
 
     np.savetxt(tmp_path / "yacht_hydrodynamics.data", np.random.rand(30, 7))
     tasks = get_suite("uci").get_tasks()
-    assert {t.dataset for t in tasks} == {"yacht"}
-    assert {t.model for t in tasks} == {"gpr", "sgpr", "vgp", "svgp"}
+    assert {t.dataset for t in tasks} == {"yacht", "diabetes", "breast_cancer"}
+    assert {t.model for t in tasks if t.dataset == "yacht"} == {
+        "gpr", "sgpr", "vgp", "svgp",
+    }

@@ -23,6 +23,34 @@ def test_benchmark_integration_suite(tmp_path, monkeypatch):
     assert (tmp_path / "metadata.json").exists()
 
 
+def test_benchmark_repetitions_override(tmp_path, monkeypatch):
+    """--repetitions overrides the suite's per-task count and is recorded in
+    metadata.json (for honest runs on slow/shared hardware)."""
+    import json
+
+    import benchmark.run as run_mod
+
+    monkeypatch.setattr(
+        run_mod, "_collect_metrics",
+        lambda task, rep: {"suite_task": f"{task.dataset}/{task.model}",
+                           "dataset": task.dataset, "model": task.model,
+                           "repetition": rep},
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run", "integration_test", str(tmp_path), "--isolation", "inprocess",
+         "--repetitions", "3"],
+    )
+    run_mod.main()
+    with open(tmp_path / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    # 2 datasets x 2 models x 3 (overridden) repetitions
+    assert len(rows) == 12
+    assert {r["repetition"] for r in rows} == {"0", "1", "2"}
+    with open(tmp_path / "metadata.json") as f:
+        assert json.load(f)["repetitions_override"] == 3
+
+
 def test_benchmark_sharding():
     from benchmark.benchmarks import get_suite
     from benchmark.sharding import shard_tasks
