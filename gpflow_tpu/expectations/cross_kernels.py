@@ -9,6 +9,7 @@ from jax.scipy.linalg import cho_solve, solve_triangular
 from .. import kernels
 from ..inducing_variables import InducingPoints
 from ..probability_distributions import DiagonalGaussian, Gaussian
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import expectation
 
@@ -20,6 +21,7 @@ from .expectations import expectation
     kernels.Linear,
     InducingPoints,
 )
+@check_shapes("p: [N, D]", "feat1: [M1, D, P]", "feat2: [M2, D, P]", "return: [N, M1, M2]")
 def _expectation_gaussian_sqe_inducingpoints__linear_inducingpoints(
     p, sqexp_kern, feat1, lin_kern, feat2, nghp=None
 ):
@@ -91,6 +93,7 @@ def _expectation_gaussian_sqe_inducingpoints__linear_inducingpoints(
     kernels.SquaredExponential,
     InducingPoints,
 )
+@check_shapes("p: [N, D]", "feat1: [M1, D, P]", "feat2: [M2, D, P]", "return: [N, M1, M2]")
 def _expectation_gaussian_linear_inducingpoints__sqe_inducingpoints(
     p, lin_kern, feat1, sqexp_kern, feat2, nghp=None
 ):

@@ -11,6 +11,7 @@ from .. import kernels
 from .. import functions as mfn
 from ..inducing_variables import InducingPoints
 from ..probability_distributions import DiagonalGaussian, Gaussian, MarkovGaussian
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import expectation
 
@@ -18,6 +19,7 @@ NoneType: Type[None] = type(None)
 
 
 @dispatch.expectation.register(Gaussian, kernels.Linear, NoneType, NoneType, NoneType)
+@check_shapes("p: [N, D]", "return: [N]")
 def _expectation_gaussian_linear(p, kernel, _, __, ___, nghp=None):
     """<diag(K(X, X))>_p(X) -> [N] (reference ``linears.py:30-54``)."""
     Xmu, _ = kernel.slice(p.mu, None)
@@ -28,6 +30,7 @@ def _expectation_gaussian_linear(p, kernel, _, __, ___, nghp=None):
 
 
 @dispatch.expectation.register(Gaussian, kernels.Linear, InducingPoints, NoneType, NoneType)
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, M]")
 def _expectation_gaussian_linear_inducingpoints(p, kernel, inducing_variable, _, __, nghp=None):
     """<K(X, Z)>_p(X) -> [N, M] (reference ``linears.py:57-79``)."""
     Z, Xmu = kernel.slice(inducing_variable.Z.value, p.mu)
@@ -35,6 +38,7 @@ def _expectation_gaussian_linear_inducingpoints(p, kernel, inducing_variable, _,
 
 
 @dispatch.expectation.register(Gaussian, kernels.Linear, InducingPoints, mfn.Identity, NoneType)
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, M, D]")
 def _expectation_gaussian_linear_inducingpoints__identity(
     p, kernel, inducing_variable, mean, _, nghp=None
 ):
@@ -49,6 +53,7 @@ def _expectation_gaussian_linear_inducingpoints__identity(
 @dispatch.expectation.register(
     MarkovGaussian, kernels.Linear, InducingPoints, mfn.Identity, NoneType
 )
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, M, D]")
 def _expectation_markov_linear_inducingpoints__identity(
     p, kernel, inducing_variable, mean, _, nghp=None
 ):
@@ -64,6 +69,7 @@ def _expectation_markov_linear_inducingpoints__identity(
 @dispatch.expectation.register(
     (Gaussian, DiagonalGaussian), kernels.Linear, InducingPoints, kernels.Linear, InducingPoints
 )
+@check_shapes("p: [N, D]", "feat1: [M, D, P]", "feat2: [M, D, P]", "return: [N, M, M]")
 def _expectation_gaussian_linear_inducingpoints__linear_inducingpoints(
     p, kern1, feat1, kern2, feat2, nghp=None
 ):

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from .. import functions as mfn
 from ..probability_distributions import Gaussian
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import expectation
 
@@ -16,35 +17,41 @@ NoneType: Type[None] = type(None)
 
 
 @dispatch.expectation.register(Gaussian, (mfn.Linear, mfn.Constant), NoneType, NoneType, NoneType)
+@check_shapes("p: [N, D]", "return: [N, Q]")
 def _expectation_gaussian_linear(p, mean, _, __, ___, nghp=None):
     """<m(X)>_p(X) for Linear/Identity/Constant means -> [N, Q]."""
     return mean(p.mu)
 
 
 @dispatch.expectation.register(Gaussian, mfn.Constant, NoneType, mfn.Constant, NoneType)
+@check_shapes("p: [N, D]", "return: [N, Q1, Q2]")
 def _expectation_gaussian_constant__constant(p, mean1, _, mean2, __, nghp=None):
     return mean1(p.mu)[:, :, None] * mean2(p.mu)[:, None, :]
 
 
 @dispatch.expectation.register(Gaussian, mfn.Constant, NoneType, mfn.MeanFunction, NoneType)
+@check_shapes("p: [N, D]", "return: [N, Q1, Q2]")
 def _expectation_gaussian_constant__meanfunction(p, mean1, _, mean2, __, nghp=None):
     e_mean2 = expectation(p, mean2)
     return mean1(p.mu)[:, :, None] * e_mean2[:, None, :]
 
 
 @dispatch.expectation.register(Gaussian, mfn.MeanFunction, NoneType, mfn.Constant, NoneType)
+@check_shapes("p: [N, D]", "return: [N, Q1, Q2]")
 def _expectation_gaussian_meanfunction__constant(p, mean1, _, mean2, __, nghp=None):
     e_mean1 = expectation(p, mean1)
     return e_mean1[:, :, None] * mean2(p.mu)[:, None, :]
 
 
 @dispatch.expectation.register(Gaussian, mfn.Identity, NoneType, mfn.Identity, NoneType)
+@check_shapes("p: [N, D]", "return: [N, D, D]")
 def _expectation_gaussian_identity__identity(p, mean1, _, mean2, __, nghp=None):
     """<x x^T>_p -> [N, D, D]."""
     return p.cov + (p.mu[:, :, None] * p.mu[:, None, :])
 
 
 @dispatch.expectation.register(Gaussian, mfn.Identity, NoneType, mfn.Linear, NoneType)
+@check_shapes("p: [N, D]", "return: [N, D, Q]")
 def _expectation_gaussian_identity__linear(p, mean1, _, mean2, __, nghp=None):
     """<x (Ax + b)^T>_p -> [N, D, Q]."""
     N = p.mu.shape[0]
@@ -57,6 +64,7 @@ def _expectation_gaussian_identity__linear(p, mean1, _, mean2, __, nghp=None):
 
 
 @dispatch.expectation.register(Gaussian, mfn.Linear, NoneType, mfn.Identity, NoneType)
+@check_shapes("p: [N, D]", "return: [N, Q, D]")
 def _expectation_gaussian_linear__identity(p, mean1, _, mean2, __, nghp=None):
     """<(Ax + b) x^T>_p -> [N, Q, D]."""
     N = p.mu.shape[0]
@@ -71,6 +79,7 @@ def _expectation_gaussian_linear__identity(p, mean1, _, mean2, __, nghp=None):
 
 
 @dispatch.expectation.register(Gaussian, mfn.Linear, NoneType, mfn.Linear, NoneType)
+@check_shapes("p: [N, D]", "return: [N, Q1, Q2]")
 def _expectation_gaussian_linear__linear(p, mean1, _, mean2, __, nghp=None):
     """<m1(x)^T m2(x)>_p for Linear means -> [N, Q1, Q2]."""
     A1 = jnp.asarray(mean1.A)

@@ -11,6 +11,7 @@ from .. import kernels
 from .. import functions as mfn
 from ..inducing_variables import InducingPoints, InducingVariables
 from ..probability_distributions import DiagonalGaussian, Gaussian, MarkovGaussian
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import expectation
 
@@ -20,6 +21,7 @@ NoneType: Type[None] = type(None)
 @dispatch.expectation.register(
     (Gaussian, MarkovGaussian), mfn.Identity, NoneType, kernels.Linear, InducingPoints
 )
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, D, M]")
 def _expectation_gaussian__linear_inducingpoints(p, mean, _, kernel, inducing_variable, nghp=None):
     """<x_n K(x_n, Z)>_p as transpose of <K(Z, x_n) x_n^T>_p -> [N, D, M]."""
     return jnp.swapaxes(expectation(p, (kernel, inducing_variable), mean), -1, -2)
@@ -28,6 +30,7 @@ def _expectation_gaussian__linear_inducingpoints(p, mean, _, kernel, inducing_va
 @dispatch.expectation.register(
     (Gaussian, MarkovGaussian), kernels.Kernel, InducingVariables, mfn.MeanFunction, NoneType
 )
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, M, Q]")
 def _expectation_gaussian_kernel_inducingvariables__meanfunction(
     p, kernel, inducing_variable, mean, _, nghp=None
 ):
@@ -36,6 +39,7 @@ def _expectation_gaussian_kernel_inducingvariables__meanfunction(
 
 
 @dispatch.expectation.register(Gaussian, mfn.Constant, NoneType, kernels.Kernel, InducingPoints)
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, Q, M]")
 def _expectation_gaussian_constant__kernel_inducingpoints(
     p, constant_mean, _, kernel, inducing_variable, nghp=None
 ):
@@ -46,6 +50,7 @@ def _expectation_gaussian_constant__kernel_inducingpoints(
 
 
 @dispatch.expectation.register(Gaussian, mfn.Linear, NoneType, kernels.Kernel, InducingPoints)
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, Q, M]")
 def _expectation_gaussian_linear__kernel_inducingpoints(
     p, linear_mean, _, kernel, inducing_variable, nghp=None
 ):

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from .. import kernels
 from ..inducing_variables import InducingPoints
 from ..probability_distributions import DiagonalGaussian
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import expectation
 
@@ -17,6 +18,7 @@ NoneType: Type[None] = type(None)
 
 
 @dispatch.expectation.register(DiagonalGaussian, kernels.Product, NoneType, NoneType, NoneType)
+@check_shapes("p: [N, D]", "return: [N]")
 def _expectation_diagonal_product(p, kernel, _, __, ___, nghp=None):
     if not kernel.on_separate_dimensions:
         raise NotImplementedError("Product currently needs to be defined on separate dimensions.")
@@ -25,6 +27,7 @@ def _expectation_diagonal_product(p, kernel, _, __, ___, nghp=None):
 
 
 @dispatch.expectation.register(DiagonalGaussian, kernels.Product, InducingPoints, NoneType, NoneType)
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, M]")
 def _expectation_diagonal_product_inducingpoints(p, kernel, inducing_variable, __, ___, nghp=None):
     if not kernel.on_separate_dimensions:
         raise NotImplementedError("Product currently needs to be defined on separate dimensions.")
@@ -35,6 +38,7 @@ def _expectation_diagonal_product_inducingpoints(p, kernel, inducing_variable, _
 @dispatch.expectation.register(
     DiagonalGaussian, kernels.Product, InducingPoints, kernels.Product, InducingPoints
 )
+@check_shapes("p: [N, D]", "feat1: [M, D, P]", "feat2: [M, D, P]", "return: [N, M, M]")
 def _expectation_diagonal_product_inducingpoints__product_inducingpoints(
     p, kern1, feat1, kern2, feat2, nghp=None
 ):

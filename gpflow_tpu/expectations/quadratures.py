@@ -14,6 +14,7 @@ from ..covariances import Kuf
 from ..inducing_variables import InducingVariables
 from ..probability_distributions import DiagonalGaussian, Gaussian, MarkovGaussian
 from ..quadrature import mvnquad
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import quadrature_expectation
 
@@ -48,6 +49,7 @@ def get_eval_func(
     object,
     (InducingVariables, NoneType),
 )
+@check_shapes("p: [N, D]", "inducing_variable1: [M1, D, P]", "inducing_variable2: [M2, D, P]", "return: [N, ...]")
 def _quadrature_expectation_gaussian(
     p, obj1, inducing_variable1, obj2, inducing_variable2, nghp=None
 ):
@@ -89,6 +91,7 @@ def _quadrature_expectation_gaussian(
 @dispatch.quadrature_expectation.register(
     MarkovGaussian, object, (InducingVariables, NoneType), object, (InducingVariables, NoneType)
 )
+@check_shapes("p: [N, D]", "return: [N, ...]")
 def _quadrature_expectation_markov(
     p, obj1, inducing_variable1, obj2, inducing_variable2, nghp=None
 ):

@@ -14,6 +14,7 @@ from .. import functions as mfn
 from ..inducing_variables import InducingPoints
 from ..probability_distributions import DiagonalGaussian, Gaussian, MarkovGaussian
 from ..utilities.ops import square_distance
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import expectation
 
@@ -28,6 +29,7 @@ def _ard_lengthscales(kernel, D):
 
 
 @dispatch.expectation.register(Gaussian, kernels.SquaredExponential, NoneType, NoneType, NoneType)
+@check_shapes("p: [N, D]", "return: [N]")
 def _expectation_gaussian_sqe(p, kernel, _, __, ___, nghp=None):
     """psi0 = <diag(K(X, X))>_p(X) = N sigma^2 (reference ``:31-46``)."""
     return kernel(p.mu, full_cov=False)
@@ -36,6 +38,7 @@ def _expectation_gaussian_sqe(p, kernel, _, __, ___, nghp=None):
 @dispatch.expectation.register(
     Gaussian, kernels.SquaredExponential, InducingPoints, NoneType, NoneType
 )
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, M]")
 def _expectation_gaussian_sqe_inducingpoints(p, kernel, inducing_variable, _, __, nghp=None):
     """psi1 = <K(X, Z)>_p(X): per-datum Mahalanobis through chol(L^2 + Xcov)
     + determinant ratio (reference ``:49-96``). Returns [N, M]."""
@@ -63,6 +66,7 @@ def _expectation_gaussian_sqe_inducingpoints(p, kernel, inducing_variable, _, __
 @dispatch.expectation.register(
     Gaussian, mfn.Identity, NoneType, kernels.SquaredExponential, InducingPoints
 )
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, D, M]")
 def _expectation_gaussian__sqe_inducingpoints(p, mean, _, kernel, inducing_variable, nghp=None):
     """exKxz[n] = <x_n K(x_n, Z)>_p(x_n) -> [N, D, M] (reference ``:99-150``)."""
     Xmu, Xcov = p.mu, p.cov
@@ -95,6 +99,7 @@ def _expectation_gaussian__sqe_inducingpoints(p, mean, _, kernel, inducing_varia
 @dispatch.expectation.register(
     MarkovGaussian, mfn.Identity, NoneType, kernels.SquaredExponential, InducingPoints
 )
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, D, M]")
 def _expectation_markov__sqe_inducingpoints(p, mean, _, kernel, inducing_variable, nghp=None):
     """<x_{n+1} K(x_n, Z)>_p for time series -> [N, D, M] (reference ``:153-204``)."""
     Xmu, Xcov = p.mu, p.cov
@@ -131,6 +136,7 @@ def _expectation_markov__sqe_inducingpoints(p, mean, _, kernel, inducing_variabl
     kernels.SquaredExponential,
     InducingPoints,
 )
+@check_shapes("p: [N, D]", "feat1: [M, D, P]", "feat2: [M, D, P]", "return: [N, M, M]")
 def _expectation_gaussian_sqe_inducingpoints__sqe_inducingpoints(
     p, kern1, feat1, kern2, feat2, nghp=None
 ):

@@ -12,6 +12,7 @@ from .. import kernels
 from .. import functions as mfn
 from ..inducing_variables import InducingPoints
 from ..probability_distributions import DiagonalGaussian, Gaussian, MarkovGaussian
+from ..utilities.shapes import check_shapes
 from . import dispatch
 from .expectations import expectation
 
@@ -19,12 +20,14 @@ NoneType: Type[None] = type(None)
 
 
 @dispatch.expectation.register(Gaussian, kernels.Sum, NoneType, NoneType, NoneType)
+@check_shapes("p: [N, D]", "return: [N]")
 def _expectation_gaussian_sum(p, kernel, _, __, ___, nghp=None):
     exps = [expectation(p, k, nghp=nghp) for k in kernel.kernels]
     return reduce(jnp.add, exps)
 
 
 @dispatch.expectation.register(Gaussian, kernels.Sum, InducingPoints, NoneType, NoneType)
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, M]")
 def _expectation_gaussian_sum_inducingpoints(p, kernel, inducing_variable, _, __, nghp=None):
     exps = [expectation(p, (k, inducing_variable), nghp=nghp) for k in kernel.kernels]
     return reduce(jnp.add, exps)
@@ -33,6 +36,7 @@ def _expectation_gaussian_sum_inducingpoints(p, kernel, inducing_variable, _, __
 @dispatch.expectation.register(
     Gaussian, (mfn.Linear, mfn.Identity, mfn.Constant), NoneType, kernels.Sum, InducingPoints
 )
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, Q, M]")
 def _expectation_gaussian_linear__sum_inducingpoints(
     p, mean, _, kernel, inducing_variable, nghp=None
 ):
@@ -41,6 +45,7 @@ def _expectation_gaussian_linear__sum_inducingpoints(
 
 
 @dispatch.expectation.register(MarkovGaussian, mfn.Identity, NoneType, kernels.Sum, InducingPoints)
+@check_shapes("p: [N, D]", "inducing_variable: [M, D, P]", "return: [N, D, M]")
 def _expectation_markov__sum_inducingpoints(p, mean, _, kernel, inducing_variable, nghp=None):
     exps = [expectation(p, mean, (k, inducing_variable), nghp=nghp) for k in kernel.kernels]
     return reduce(jnp.add, exps)
@@ -49,6 +54,7 @@ def _expectation_markov__sum_inducingpoints(p, mean, _, kernel, inducing_variabl
 @dispatch.expectation.register(
     (Gaussian, DiagonalGaussian), kernels.Sum, InducingPoints, kernels.Sum, InducingPoints
 )
+@check_shapes("p: [N, D]", "feat1: [M1, D, P]", "feat2: [M2, D, P]", "return: [N, M1, M2]")
 def _expectation_gaussian_sum_inducingpoints__sum_inducingpoints(
     p, kern1, feat1, kern2, feat2, nghp=None
 ):

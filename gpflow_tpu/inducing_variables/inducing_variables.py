@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..base import Module, Parameter, TensorData, TensorType
 from ..bijectors import positive
+from ..utilities.shapes import check_shapes
 
 __all__ = ["InducingPoints", "InducingPointsBase", "InducingVariables", "Multiscale"]
 
@@ -36,8 +37,10 @@ class InducingVariables(Module, abc.ABC):
 
 
 class InducingPointsBase(InducingVariables):
+    @check_shapes("Z: [M, D]")
     def __init__(self, Z: TensorData, name: Optional[str] = None):
-        """:param Z: [M, D] initial positions of the inducing points."""
+        """:param Z: [M, D] initial positions of the inducing points
+        (reference ``inducing_variables.py:64-74``)."""
         if not isinstance(Z, Parameter):
             Z = Parameter(Z, name="Z")
         self.Z = Z
@@ -62,11 +65,14 @@ class Multiscale(InducingPointsBase):
     """Multi-scale inducing variables (Walder et al., NIPS 2009;
     reference ``inducing_variables.py:97-126``)."""
 
+    @check_shapes("Z: [M, D]", "scales: [M, D]")
     def __init__(self, Z: TensorData, scales: TensorData):
         super().__init__(Z)
         self.scales = Parameter(scales, transform=positive(), name="scales")
 
     @staticmethod
+    @check_shapes("A: [N, D]", "B: [M, D]", "sc: [bcast..., M, D]", "return: [N, M]")
     def _cust_square_dist(A: TensorType, B: TensorType, sc: TensorType) -> jax.Array:
-        """Squared distance with per-datapoint length scales: [N, M]."""
+        """Squared distance with per-datapoint length scales: [N, M]
+        (reference ``inducing_variables.py:113-126``)."""
         return jnp.sum(jnp.square((jnp.asarray(A)[:, None, :] - jnp.asarray(B)[None, :, :]) / sc), 2)

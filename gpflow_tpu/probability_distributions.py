@@ -82,4 +82,11 @@ class MarkovGaussian(ProbabilityDistribution):
 
     @property
     def shape(self) -> Optional[Tuple[int, ...]]:
-        return self.mu.shape
+        # (N, D), NOT mu's (N+1, D) — matches the reference's contract shape
+        # (``probability_distributions.py:98-105``) so shared specs bind N
+        # consistently across Markov and plain Gaussians
+        shape = self.mu.shape
+        if not shape:
+            return None
+        n_plus_1, d = shape
+        return (n_plus_1 - 1, d)

@@ -264,3 +264,46 @@ def test_kuu_fallbace_separate_alias():
     )
 
     assert Kuu_fallbace_separate is Kuu_fallback_separate
+
+
+def test_expectation_contracts_fire_on_bad_shapes():
+    """The layer-3 expectation/inducing contracts added in round 3 must
+    reject rank-wrong inputs (VERDICT r2 'next' #3 acceptance test)."""
+    import jax.numpy as jnp
+
+    import gpflow_tpu
+    from gpflow_tpu.expectations import expectation
+    from gpflow_tpu.probability_distributions import Gaussian
+    from gpflow_tpu.utilities.shapes import ShapeError, set_enable_check_shapes
+
+    set_enable_check_shapes(True)
+    try:
+        N, D, M = 4, 2, 3
+        mu = jnp.zeros((N, D))
+        cov = jnp.tile(jnp.eye(D), (N, 1, 1))
+        kernel = gpflow_tpu.kernels.SquaredExponential()
+        # inducing points in the WRONG input dimension: psi1 spec binds D
+        # across p [N, D] and inducing_variable [M, D, P]
+        bad_iv = gpflow_tpu.inducing_variables.InducingPoints(np.zeros((M, D + 1)))
+        with pytest.raises(ShapeError):
+            expectation(Gaussian(mu, cov), (kernel, bad_iv))
+        # rank-wrong Z rejected at construction ([M, D] contract)
+        with pytest.raises(ShapeError):
+            gpflow_tpu.inducing_variables.InducingPoints(np.zeros((M,)))
+        # Multiscale scales must match Z's shape
+        with pytest.raises(ShapeError):
+            gpflow_tpu.inducing_variables.Multiscale(
+                np.zeros((M, D)), scales=np.ones((M, D + 1))
+            )
+    finally:
+        set_enable_check_shapes(False)
+
+
+def test_markov_gaussian_contract_shape_is_n_not_n_plus_1():
+    # matches reference probability_distributions.py:98-105: the contract
+    # shape of a MarkovGaussian is (N, D) although mu holds N+1 rows
+    from gpflow_tpu.probability_distributions import MarkovGaussian
+
+    mu = np.zeros((6, 2))
+    cov = np.zeros((2, 6, 2, 2))
+    assert MarkovGaussian(mu, cov).shape == (5, 2)
