@@ -160,3 +160,43 @@ def test_sample_mvn_moments():
     np.testing.assert_allclose(samples.mean(0), mean[0], atol=0.05)
     emp_cov = np.cov(samples.T)
     np.testing.assert_allclose(emp_cov, cov, atol=0.15, rtol=0.1)
+
+
+def test_inv_solve_context_manager_overrides_env(monkeypatch):
+    """The programmatic inv_solve switch (round-3 de-footgunning of the
+    process-global env var) selects the same fast path as the env var and
+    restores the previous state on exit."""
+    from gpflow_tpu.conditionals.util import _use_inv_solve, inv_solve, set_inv_solve
+
+    monkeypatch.delenv("GPFLOW_TPU_INV_SOLVE", raising=False)
+    assert _use_inv_solve() is False
+    with inv_solve():
+        assert _use_inv_solve() is True
+        with inv_solve(False):  # nesting restores the outer setting
+            assert _use_inv_solve() is False
+        assert _use_inv_solve() is True
+    assert _use_inv_solve() is False
+
+    # explicit setting beats the env var in both directions
+    monkeypatch.setenv("GPFLOW_TPU_INV_SOLVE", "1")
+    with inv_solve(False):
+        assert _use_inv_solve() is False
+    assert _use_inv_solve() is True
+    set_inv_solve(None)
+
+    # numeric agreement through the public conditional
+    M, Nn, R = 8, 24, 2
+    from gpflow_tpu import kernels
+
+    X = rng.randn(M, 2)
+    k = kernels.SquaredExponential()
+    Kmm = np.asarray(k(X)) + 1e-6 * np.eye(M)
+    Kmn = rng.randn(M, Nn) * 0.3
+    Knn = np.ones((Nn,)) * 1.1
+    f = rng.randn(M, R)
+    monkeypatch.delenv("GPFLOW_TPU_INV_SOLVE", raising=False)
+    mean_ref, var_ref = base_conditional(Kmn, Kmm, Knn, f)
+    with inv_solve():
+        mean_fast, var_fast = base_conditional(Kmn, Kmm, Knn, f)
+    np.testing.assert_allclose(np.asarray(mean_fast), np.asarray(mean_ref), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_fast), np.asarray(var_ref), rtol=1e-8)
