@@ -1,0 +1,113 @@
+"""Render a benchmark results directory (``results.csv`` + ``metadata.json``
+from ``benchmark.run``) as a markdown report: one table row per
+(dataset, model) with mean +/- std over repetitions for each metric.
+
+Usage: ``python -m benchmark.report <results_dir> [-o OUT.md] [--title T]``
+
+The reference keeps benchmark results outside its repo and renders plots
+(reference ``benchmark/plot.py``); this markdown renderer exists so that
+committed result artifacts (e.g. BENCH_UCI.md) are reproducible from the raw
+csv with one command.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import math
+import os
+from typing import Dict, List, Sequence
+
+__all__ = ["render_report"]
+
+_METRICS = [
+    ("training_time", "s", 2),
+    ("n_training_iterations", "", 0),
+    ("prediction_time", "s", 4),
+    ("posterior_prediction_time", "s", 4),
+    ("nlpd", "", 3),
+    ("mae", "", 3),
+    ("rmse", "", 3),
+]
+
+
+def _mean_std(values: Sequence[float]) -> str:
+    mean = sum(values) / len(values)
+    if len(values) == 1:
+        return f"{mean:.6g}"
+    var = sum((v - mean) ** 2 for v in values) / (len(values) - 1)
+    return f"{mean:.6g} ± {math.sqrt(var):.2g}"
+
+
+def render_report(results_dir: str, title: str = "Benchmark results") -> str:
+    with open(os.path.join(results_dir, "results.csv")) as f:
+        rows = list(csv.DictReader(f))
+    metadata: Dict = {}
+    meta_path = os.path.join(results_dir, "metadata.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+
+    ok = [r for r in rows if r.get("status", "ok") == "ok"]
+    bad = [r for r in rows if r.get("status", "ok") != "ok"]
+
+    by_task: Dict[str, List[Dict]] = {}
+    for r in ok:
+        by_task.setdefault(f"{r['dataset']}/{r['model']}", []).append(r)
+
+    lines = [f"# {title}", ""]
+    if metadata:
+        lines += [
+            f"- suite: `{metadata.get('suite')}`, tasks: {metadata.get('num_tasks')}"
+            + (
+                f", repetitions overridden to {metadata['repetitions_override']}"
+                if "repetitions_override" in metadata
+                else ""
+            ),
+            f"- device: {metadata.get('device_kind')} ({', '.join(metadata.get('devices', []))})",
+            f"- git: `{metadata.get('git_rev', '?')[:12]}`, jax {metadata.get('jax_version')}, "
+            f"{metadata.get('timestamp')}",
+            "",
+        ]
+    header = ["task", "reps"] + [
+        (f"{name} [{unit}]" if unit else name) for name, unit, _ in _METRICS
+    ]
+    lines.append("| " + " | ".join(header) + " |")
+    lines.append("|" + "---|" * len(header))
+    for task in sorted(by_task):
+        reps = by_task[task]
+        cells = [task, str(len(reps))]
+        for name, _, _ in _METRICS:
+            vals = [float(r[name]) for r in reps if r.get(name) not in (None, "")]
+            cells.append(_mean_std(vals) if vals else "—")
+        lines.append("| " + " | ".join(cells) + " |")
+    lines.append("")
+    if bad:
+        lines.append("## Failed / timed-out repetitions")
+        lines.append("")
+        for r in bad:
+            lines.append(
+                f"- `{r.get('suite_task')}` rep {r.get('repetition')}: "
+                f"{r.get('status')} — {str(r.get('error', ''))[:200]}"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("results_dir")
+    parser.add_argument("-o", "--out", default=None, help="write markdown here")
+    parser.add_argument("--title", default="Benchmark results")
+    args = parser.parse_args()
+    md = render_report(args.results_dir, args.title)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(md + "\n")
+        print(f"wrote {args.out}")
+    else:
+        print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -328,3 +328,34 @@ def test_suite_skips_unavailable_real_data_loudly(tmp_path, monkeypatch, capsys)
     assert {t.model for t in tasks if t.dataset == "yacht"} == {
         "gpr", "sgpr", "vgp", "svgp",
     }
+
+
+def test_report_renders_markdown(tmp_path):
+    import csv as _csv
+    import json as _json
+
+    from benchmark.report import render_report
+
+    rows = [
+        {"suite_task": "d/m", "dataset": "d", "model": "m", "repetition": r,
+         "status": "ok", "training_time": 1.0 + r, "n_training_iterations": 10,
+         "prediction_time": 0.1, "posterior_prediction_time": 0.05,
+         "nlpd": -0.5, "mae": 0.2, "rmse": 0.3}
+        for r in (0, 1)
+    ] + [{"suite_task": "d/m2", "dataset": "d", "model": "m2", "repetition": 0,
+          "status": "timeout", "error": "exceeded 10s"}]
+    with open(tmp_path / "results.csv", "w", newline="") as f:
+        fieldnames = sorted({k for r in rows for k in r})
+        w = _csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        w.writerows(rows)
+    with open(tmp_path / "metadata.json", "w") as f:
+        _json.dump({"suite": "uci", "num_tasks": 2, "device_kind": "TPU v5",
+                    "devices": ["TPU 0"], "git_rev": "a" * 40,
+                    "jax_version": "0", "timestamp": "t",
+                    "repetitions_override": 2}, f)
+    md = render_report(str(tmp_path), "T")
+    assert "| d/m | 2 |" in md
+    assert "1.5 ±" in md  # mean over reps with std
+    assert "repetitions overridden to 2" in md
+    assert "Failed / timed-out" in md and "exceeded 10s" in md
