@@ -33,9 +33,14 @@ def _sample_conditional_coregionalization(
     key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Samples in g-space (L latent GPs) then mixes with W — cheaper than
-    sampling the P-output covariance."""
-    if full_cov:
-        raise NotImplementedError("full_cov not yet implemented")
+    sampling the P-output covariance.
+
+    ``full_cov=True`` is supported (the reference raises
+    ``NotImplementedError`` there, ``multioutput/sample_conditionals.py:53``):
+    the L latent GPs are independent, so each latent's [N, N] posterior is
+    sampled as one N-dimensional MVN and the joint-over-N structure survives
+    the linear mixing f = g Wᵀ exactly.
+    """
     if full_output_cov:
         raise NotImplementedError("full_output_cov not yet implemented")
 
@@ -43,10 +48,19 @@ def _sample_conditional_coregionalization(
         object, SeparateIndependentInducingVariables, SeparateIndependent, object
     )
     g_mu, g_var = ind_conditional(
-        Xnew, inducing_variable, kernel, f, white=white, q_sqrt=q_sqrt
-    )  # [..., N, L] each
-    g_sample = sample_mvn(g_mu, g_var, full_cov, num_samples=num_samples, key=key)
-    f_mu, f_var = mix_latent_gp(kernel.W.value, g_mu, g_var, full_cov, full_output_cov)
+        Xnew, inducing_variable, kernel, f, white=white, q_sqrt=q_sqrt, full_cov=full_cov
+    )  # g_mu: [..., N, L]; g_var: [..., N, L] or [..., L, N, N] (full_cov)
+    if full_cov:
+        # Per-latent N-dim MVNs: treat L as the sample_mvn batch dim and N as
+        # the event dim, then restore the [..., N, L] layout.
+        g_mu_t = jnp.swapaxes(g_mu, -1, -2)  # [..., L, N]
+        g_sample = sample_mvn(g_mu_t, g_var, True, num_samples=num_samples, key=key)
+        g_sample = jnp.swapaxes(g_sample, -1, -2)  # [..., (S,) N, L]
+        g_var_mix = jnp.moveaxis(g_var, -3, 0)  # [L, ..., N, N] for mix_latent_gp
+    else:
+        g_sample = sample_mvn(g_mu, g_var, False, num_samples=num_samples, key=key)
+        g_var_mix = g_var
+    f_mu, f_var = mix_latent_gp(kernel.W.value, g_mu, g_var_mix, full_cov, full_output_cov)
     f_sample = jnp.tensordot(g_sample, kernel.W.value, [[-1], [-1]])
     return f_sample, f_mu, f_var
 

@@ -747,6 +747,11 @@ class IndependentPosteriorMultiOutput(IndependentPosterior):
                 Kmns, Kmms, Knns, self.q_mu,
                 q_sqrt=self.q_sqrt, full_cov=full_cov, white=self.whiten,
             )
+            if full_cov:
+                # separate_independent_conditional_implementation returns
+                # [P, batch..., N, N]; the fused contract (and the shared/shared
+                # base_conditional branch above) are batch-leading.
+                fvar = jnp.moveaxis(fvar, 0, -3)
         return self._post_process_mean_and_cov(fmean, fvar, full_cov, full_output_cov)
 
 
@@ -761,6 +766,9 @@ class LinearCoregionalizationPosterior(IndependentPosteriorMultiOutput):
         self, mean: jax.Array, cov: jax.Array, full_cov: bool, full_output_cov: bool
     ) -> MeanAndVariance:
         cov = expand_independent_outputs(cov, full_cov, full_output_cov=False)
+        if full_cov:
+            # mix_latent_gp wants the latent axis leading: [L, batch..., N, N].
+            cov = jnp.moveaxis(cov, -3, 0)
         mean, cov = mix_latent_gp(self.kernel.W.value, mean, cov, full_cov, full_output_cov)
         return mean, cov
 

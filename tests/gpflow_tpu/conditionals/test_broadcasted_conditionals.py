@@ -47,9 +47,8 @@ def test_conditional_broadcasting(full_cov, white, conditional_type):
             W=Data.W,
         )
 
-    if conditional_type == "mixing" and full_cov:
-        pytest.skip("mixing + full_cov not implemented (matches reference skip)")
-
+    # Note: mixing + full_cov is implemented here (the reference skips it —
+    # its sample_conditional raises NotImplementedError for that combination).
     num_samples = 5
 
     def sample_fn(X):

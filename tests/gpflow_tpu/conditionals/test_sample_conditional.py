@@ -153,3 +153,38 @@ def test_sample_conditional_mixedkernel_vs_separate_then_mix():
     np.testing.assert_array_almost_equal(
         np.cov(np.asarray(value), rowvar=False), np.cov(value2, rowvar=False), decimal=1
     )
+
+
+def test_sample_conditional_coregionalization_full_cov_moments():
+    """mixing + full_cov: sample moments must match (f_mu, f_var) — this path
+    is a TPU-build extension (the reference raises NotImplementedError,
+    ``multioutput/sample_conditionals.py:53``)."""
+    ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)]
+    W = rng.randn(P, L)
+    kernel = kernels.LinearCoregionalization(ks, W=W)
+    iv = SharedIndependentInducingVariables(InducingPoints(rng.randn(M, D)))
+    q_mu = rng.randn(M, L)
+    q_sqrt = np.tril(0.2 * rng.randn(L, M, M) + np.eye(M))
+    X = rng.randn(6, D)
+    S = 20000
+
+    samples, mean, cov = sample_conditional(
+        X, iv, kernel, q_mu, q_sqrt=q_sqrt, white=True, full_cov=True,
+        num_samples=S, key=jax.random.PRNGKey(2),
+    )
+    s = np.asarray(samples)
+    assert s.shape == (S, 6, P)
+    assert np.asarray(cov).shape == (P, 6, 6)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.06)
+    for p in range(P):
+        emp_cov = np.cov(s[:, :, p].T)
+        np.testing.assert_allclose(emp_cov, np.asarray(cov)[p], atol=0.08)
+    # The joint structure across N must be the mixed per-latent full covs,
+    # not merely the marginals: compare against the diag-only path's variance.
+    _, _, var_diag = sample_conditional(
+        X, iv, kernel, q_mu, q_sqrt=q_sqrt, white=True, full_cov=False,
+        num_samples=2, key=jax.random.PRNGKey(3),
+    )
+    np.testing.assert_allclose(
+        np.einsum("pnn->np", np.asarray(cov)), np.asarray(var_diag), rtol=1e-6
+    )
