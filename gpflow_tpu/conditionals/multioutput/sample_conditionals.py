@@ -35,14 +35,15 @@ def _sample_conditional_coregionalization(
     """Samples in g-space (L latent GPs) then mixes with W — cheaper than
     sampling the P-output covariance.
 
-    ``full_cov=True`` is supported (the reference raises
-    ``NotImplementedError`` there, ``multioutput/sample_conditionals.py:53``):
-    the L latent GPs are independent, so each latent's [N, N] posterior is
-    sampled as one N-dimensional MVN and the joint-over-N structure survives
-    the linear mixing f = g Wᵀ exactly.
+    ``full_cov`` and ``full_output_cov`` are both supported (the reference
+    raises ``NotImplementedError`` for either flag,
+    ``multioutput/sample_conditionals.py:53``): the L latent GPs are
+    independent, so each latent's [N, N] posterior is sampled as one
+    N-dimensional MVN and both the joint-over-N and the across-output
+    correlation structure survive the linear mixing f = g Wᵀ exactly —
+    ``full_output_cov`` only changes the *returned moment* layout
+    (``mix_latent_gp`` handles all four combinations), never the samples.
     """
-    if full_output_cov:
-        raise NotImplementedError("full_output_cov not yet implemented")
 
     ind_conditional = conditional.dispatch_or_raise(
         object, SeparateIndependentInducingVariables, SeparateIndependent, object

@@ -188,3 +188,47 @@ def test_sample_conditional_coregionalization_full_cov_moments():
     np.testing.assert_allclose(
         np.einsum("pnn->np", np.asarray(cov)), np.asarray(var_diag), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("full_cov", [False, True])
+def test_sample_conditional_coregionalization_full_output_cov(full_cov):
+    """mixing + full_output_cov (reference raises NotImplementedError): the
+    returned across-output moments must match the W-mixed diag-path variance,
+    and sample moments must agree."""
+    ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)]
+    W = rng.randn(P, L)
+    kernel = kernels.LinearCoregionalization(ks, W=W)
+    iv = SharedIndependentInducingVariables(InducingPoints(rng.randn(M, D)))
+    q_mu = rng.randn(M, L)
+    q_sqrt = np.tril(0.2 * rng.randn(L, M, M) + np.eye(M))
+    X = rng.randn(5, D)
+    S = 20000
+
+    samples, mean, cov = sample_conditional(
+        X, iv, kernel, q_mu, q_sqrt=q_sqrt, white=True,
+        full_cov=full_cov, full_output_cov=True,
+        num_samples=S, key=jax.random.PRNGKey(4),
+    )
+    s = np.asarray(samples)
+    cov = np.asarray(cov)
+    assert s.shape == (S, 5, P)
+    if full_cov:
+        assert cov.shape == (5, P, 5, P)
+        marg = np.einsum("npnq->npq", cov)
+    else:
+        assert cov.shape == (5, P, P)
+        marg = cov
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.06)
+    # empirical across-output covariance at each input point vs returned [P, P]
+    for n in range(5):
+        emp = np.cov(s[:, n, :].T)
+        np.testing.assert_allclose(emp, marg[n], atol=0.08)
+    # moments must be the W-mixed per-latent vars: cross-check vs the diag path
+    _, _, var_diag = sample_conditional(
+        X, iv, kernel, q_mu, q_sqrt=q_sqrt, white=True,
+        full_cov=False, full_output_cov=False,
+        num_samples=2, key=jax.random.PRNGKey(5),
+    )
+    np.testing.assert_allclose(
+        np.einsum("npp->np", marg), np.asarray(var_diag), rtol=1e-6
+    )
