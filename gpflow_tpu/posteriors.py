@@ -860,26 +860,45 @@ class FullyCorrelatedPosterior(BasePosterior):
 
 
 class FallbackIndependentLatentPosterior(FullyCorrelatedPosterior):
-    """reference ``posteriors.py:1015-1036``."""
+    """reference ``posteriors.py:1015-1036``.
 
-    def _precompute(self) -> Tuple[PrecomputedValue, ...]:
-        # The inherited FullyCorrelatedPosterior cache assumes a single
-        # flattened [MP, MP] Kuu; with L>1 independent latents Kuu is
-        # [L, M, M] and the cached matmuls are shape-incompatible — same
-        # limitation as the reference (its posterior tests use L=1 only).
-        # Raise HERE with a clear message instead of letting update_cache
-        # succeed and predict_f die later on an opaque shape error. Pure
-        # metadata check — building Kuu just to read L would double the
-        # O(L M^2 D) kernel work of every cache refresh.
-        L = self.kernel.num_latent_gps
-        if L > 1:
-            raise NotImplementedError(
-                "FallbackIndependentLatentPosterior supports the precomputed "
-                f"cache only for a single latent GP (got L={L}); "
-                "use fused_predict_f, or the efficient LinearCoregionalization "
-                "route (SharedIndependentInducingVariables)."
-            )
-        return super()._precompute()
+    TPU extension: the precomputed cache works for any number of latent GPs.
+    The prior and q(u) are both block-diagonal across latents (Kuu is
+    [L, M, M], q_sqrt is per-latent), so ``BasePosterior._precompute``'s
+    batched path yields per-latent (alpha [L, M, 1], Qinv [L, M, M]) and the
+    cached conditional sums per-latent quadratic forms through the
+    interdomain Kuf [M, L, N, P]. The reference's cache inherits the
+    flattened [MP, MP] FullyCorrelatedPosterior algebra and only works for
+    L=1 (its posterior tests use a single latent,
+    ``tests/gpflow/posteriors/test_posteriors.py:446-448``).
+    """
+
+    @inherit_check_shapes
+    def _conditional_with_precompute(
+        self,
+        cache: Tuple[jax.Array, ...],
+        Xnew: TensorType,
+        full_cov: bool = False,
+        full_output_cov: bool = False,
+    ) -> MeanAndVariance:
+        alpha, Qinv = cache  # alpha: [L, M, 1], Qinv: [L, M, M]
+
+        Kuf_val = Kuf(self.X_data, self.kernel, Xnew)  # [M, L, N, P]
+        assert Kuf_val.ndim == 4
+        Kff = self.kernel(Xnew, full_cov=full_cov, full_output_cov=full_output_cov)
+
+        mean = jnp.einsum("mlnp,lm->np", Kuf_val, alpha[..., 0])
+        # T1[l, o, n, p] = sum_m Qinv[l, m, o] Kuf[m, l, n, p]
+        proj = jnp.einsum("lmo,mlnp->lonp", Qinv, Kuf_val)
+        if full_cov and full_output_cov:
+            cov = Kff - jnp.einsum("lonp,olqr->npqr", proj, Kuf_val)  # [N, P, N, P]
+        elif full_cov:
+            cov = Kff - jnp.einsum("lonp,olqp->pnq", proj, Kuf_val)  # [P, N, N]
+        elif full_output_cov:
+            cov = Kff - jnp.einsum("lonp,olnr->npr", proj, Kuf_val)  # [N, P, P]
+        else:
+            cov = Kff - jnp.einsum("lonp,olnp->np", proj, Kuf_val)  # [N, P]
+        return mean, cov
 
     @inherit_check_shapes
     def _conditional_fused(

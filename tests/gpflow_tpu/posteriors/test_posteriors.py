@@ -149,9 +149,9 @@ def test_linear_coregionalization(q_sqrt_form, whiten, iv_type, L_):
 @pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
 @pytest.mark.parametrize("whiten", [True, False])
 def test_fallback_independent_latent(q_sqrt_form, whiten):
-    # The cached fallback path inherits FullyCorrelatedPosterior and (like the
-    # reference, tests/gpflow/posteriors/test_posteriors.py:446-448) supports a
-    # single latent GP; use L=1 for the fused==cached comparison.
+    # L=1 fused==cached comparison (the reference's only supported case,
+    # tests/gpflow/posteriors/test_posteriors.py:446-448); L>1 is covered by
+    # test_fallback_independent_latent_multilatent_cache below.
     ks = [kernels.SquaredExponential()]
     W = rng.randn(P, 1)
     kernel = kernels.LinearCoregionalization(ks, W=W)
@@ -167,18 +167,26 @@ def test_fallback_independent_latent(q_sqrt_form, whiten):
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_c), atol=1e-8)
 
 
-def test_fallback_independent_latent_multilatent_cache_raises():
-    """L>1 fallback: the precomputed cache is single-latent-only (same
-    limitation as the reference); update_cache must fail with a clear
-    NotImplementedError instead of a downstream shape error."""
+@pytest.mark.parametrize("q_sqrt_form", ["diag", "full"])
+@pytest.mark.parametrize("whiten", [True, False])
+def test_fallback_independent_latent_multilatent_cache(q_sqrt_form, whiten):
+    """L>1 fallback cache: fused == cached on every (full_cov,
+    full_output_cov) combination. TPU extension — the reference's cache
+    only supports a single latent GP."""
     ks = [kernels.SquaredExponential(lengthscales=0.5 + i) for i in range(L)]
     W = rng.randn(P, L)
     kernel = kernels.LinearCoregionalization(ks, W=W)
     iv = FallbackSharedIndependentInducingVariables(InducingPoints(Z.copy()))
-    q_mu, q_sqrt = _q(M, L, "full")
-    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, True, precompute_cache=None)
-    with pytest.raises(NotImplementedError, match="single latent"):
-        posterior.update_cache(PrecomputeCacheType.TENSOR)
+    q_mu, q_sqrt = _q(M, L, q_sqrt_form)
+    posterior = create_posterior(kernel, iv, q_mu, q_sqrt, whiten, precompute_cache=None)
+    assert isinstance(posterior, FallbackIndependentLatentPosterior)
+    posterior.update_cache(PrecomputeCacheType.TENSOR)
+    for full_cov in (False, True):
+        for foc in (False, True):
+            m_f, v_f = posterior.fused_predict_f(Xnew, full_cov=full_cov, full_output_cov=foc)
+            m_c, v_c = posterior.predict_f(Xnew, full_cov=full_cov, full_output_cov=foc)
+            np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_c), atol=1e-8)
+            np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_c), atol=1e-8)
 
 
 @pytest.mark.parametrize("whiten", [True, False])
