@@ -39,6 +39,7 @@ __all__ = [
     "PriorOn",
     "RegressionData",
     "TensorData",
+    "Transform",
     "TensorLike",
     "TensorType",
 ]
@@ -52,6 +53,7 @@ TensorType = Union[np.ndarray, jax.Array, "Parameter"]
 TensorLike: Tuple[type, ...] = (object,)
 AnyNDArray = np.ndarray
 TensorData = Union[np.ndarray, jax.Array, "Parameter"]
+Transform = Union[Bijector]  # import-level parity with reference ``base.py:45``
 InputData = TensorType
 OutputData = TensorType
 RegressionData = Tuple[InputData, OutputData]

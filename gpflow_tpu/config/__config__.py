@@ -20,8 +20,12 @@ from typing import Any, Generator, Mapping, Optional, Union
 
 import numpy as np
 
+# import-level parity with reference ``config/__config__.py:177``
+Float = Union[float]
+
 __all__ = [
     "Config",
+    "Float",
     "as_context",
     "config",
     "default_float",

@@ -2,7 +2,7 @@
 ``/root/reference/gpflow/expectations/quadratures.py``)."""
 from __future__ import annotations
 
-from typing import Callable, Optional, Type, Union
+from typing import Any, Callable, Optional, Type, Union
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +19,10 @@ from . import dispatch
 from .expectations import quadrature_expectation
 
 NoneType: Type[None] = type(None)
+
+# import-level parity with reference ``quadratures.py:31-35``
+register = dispatch.quadrature_expectation.register
+EllipsisType = Any  # the reference's own placeholder for `...` slices
 
 
 def get_eval_func(

@@ -8,16 +8,18 @@ calls never retrace (the jit analog of the reference's ``tf.function`` with
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Iterator, Tuple, Union
+from typing import Any, Callable, Iterator, Tuple, TypeVar, Union
 
 import jax
 import jax.numpy as jnp
 
-from ..base import RegressionData
+from ..base import InputData, OutputData, RegressionData
 
-__all__ = ["ExternalDataTrainingLossMixin", "InternalDataTrainingLossMixin"]
+__all__ = ["Data", "ExternalDataTrainingLossMixin", "InternalDataTrainingLossMixin"]
 
 LossClosure = Callable[[], jax.Array]
+# import-level parity with reference ``training_mixins.py:40``
+Data = TypeVar("Data", RegressionData, InputData, OutputData)
 
 
 class InternalDataTrainingLossMixin:

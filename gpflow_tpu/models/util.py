@@ -12,6 +12,10 @@ from ..config import default_float
 from ..inducing_variables import InducingPoints, InducingVariables
 from .training_mixins import ExternalDataTrainingLossMixin, InternalDataTrainingLossMixin
 
+# import-level parity with reference ``models/util.py:27-28``
+InducingVariablesLike = Union[InducingVariables, jax.Array, np.ndarray]
+InducingPointsLike = Union[InducingPoints, jax.Array, np.ndarray]
+
 __all__ = [
     "data_input_to_tensor",
     "inducingpoint_wrapper",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import abc
 import functools
-from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,11 @@ from jax.scipy.linalg import solve_triangular
 
 from ..base import Parameter, capture_parameter_reads, functionalize
 from ..utilities.shapes import check_shapes
+
+import numpy as _np
+
+# import-level parity with reference ``natgrad.py:25``
+Scalar = Union[float, jax.Array, _np.ndarray]
 
 __all__ = [
     "NaturalGradient",
@@ -113,6 +118,11 @@ class NaturalGradient:
         self.xi_transform = xi_transform if xi_transform is not None else XiNat()
         self.compile = compile
         self._compiled_steps: dict = {}
+
+    def get_config(self) -> Dict[str, Any]:
+        """Serialization config (reference ``natgrad.py:369-372``; there it is
+        the keras-optimizer hook — here a plain dict for checkpoint metadata)."""
+        return {"name": type(self).__name__, "gamma": float(self.gamma)}
 
     def minimize(self, loss_fn: LossClosure, var_list: Sequence[NatGradParameters]) -> None:
         """Performs one natural-gradient step on each (q_mu, q_sqrt[, xi])

@@ -130,6 +130,7 @@ def _find_unused_inputs(fn: Callable[..., Any], example: Tuple[Any, ...]) -> Lis
 
 
 LossClosure = Callable[[], jax.Array]
+Variables = Sequence[Parameter]  # deprecated alias, import-level parity (ref ``scipy.py:41``)
 StepCallback = Callable[[int, Sequence[Parameter], Sequence[np.ndarray]], None]
 
 

@@ -11,9 +11,13 @@ specific). Ties broken by registration order.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple, Type
+from typing import Any, Callable, Dict, Optional, Tuple, Type, Union
 
-__all__ = ["Dispatcher"]
+__all__ = ["AnyCallable", "Dispatcher", "Types"]
+
+# import-level parity with reference ``utilities/multipledispatch.py:24-26``
+AnyCallable = Callable[..., Any]
+Types = Union[Type[Any], Tuple[Type[Any], ...]]
 
 
 def _mro_distance(obj_type: Type[Any], target: Type[Any]) -> Optional[int]:

@@ -13,9 +13,15 @@ import jax.numpy as jnp
 from ..base import Parameter, TensorData
 from ..bijectors import positive
 
-__all__ = ["ConstantOrFunction", "evaluate_parameter_or_function", "prepare_parameter_or_function"]
+__all__ = [
+    "ConstantOrFunction",
+    "ParameterOrFunction",
+    "evaluate_parameter_or_function",
+    "prepare_parameter_or_function",
+]
 
 ConstantOrFunction = Union[Parameter, "Function"]  # noqa: F821 - forward ref
+ParameterOrFunction = Union[Parameter, "Function"]  # noqa: F821 - ref ``parameter_or_function.py:24``
 
 
 def prepare_parameter_or_function(

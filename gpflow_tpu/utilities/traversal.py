@@ -36,6 +36,15 @@ LeafComponent = Union[Parameter, jax.Array]
 Path = str
 M = TypeVar("M", bound=Module)
 
+# import-level parity with reference ``traversal.py:43-49`` (the TF-variable
+# legs of the unions collapse onto Parameter/arrays in the pytree system)
+LeafVariable = Union[Parameter, jax.Array]
+HashableTensor = Parameter
+TraverseInput = TypeVar("TraverseInput", Parameter, Module)
+State = TypeVar("State")
+Accumulator = Tuple[Path, Any]
+TraverseUpdateCallable = Callable[[Any, Path, Any], Any]
+
 
 def traverse_module(
     m: Any,
