@@ -90,6 +90,7 @@ class CGLB(SGPR):
 
         return mv
 
+    @check_shapes("return: []")
     def logdet_term(self, common: SGPR.CommonTensors) -> jax.Array:
         """log|K + s2 I| <= log|Q + s2 I| + n log(1 + tr(K-Q)/(s2 n))
         (reference ``cglb.py:82-114``)."""
@@ -107,6 +108,7 @@ class CGLB(SGPR):
         logtrace = num_data * jnp.log(1 + trace / num_data)
         return -output_dim * (logdet_b + 0.5 * logsigma_sq + 0.5 * logtrace)
 
+    @check_shapes("return: []")
     def quad_term(self, common: SGPR.CommonTensors) -> jax.Array:
         """-0.5 (v.(r + 0.5 K v) + 0.5 r^T Q^-1 r) bound on -0.5 y^T K^-1 y
         via the auxiliary vector v (reference ``cglb.py:116-170``)."""
@@ -208,6 +210,7 @@ class CGLB(SGPR):
         mean = sgpr_mean + cg_mean + self.mean_function(Xnew)
         return mean, var
 
+    @inherit_check_shapes
     def predict_y(
         self,
         Xnew: InputData,
@@ -221,6 +224,7 @@ class CGLB(SGPR):
         )
         return self.likelihood.predict_mean_and_var(Xnew, f_mean, f_var)
 
+    @inherit_check_shapes
     def predict_log_density(
         self,
         data: RegressionData,

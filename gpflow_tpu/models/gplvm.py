@@ -252,6 +252,7 @@ class BayesianGPLVM(GPModel, InternalDataTrainingLossMixin):
             var = jnp.broadcast_to(var[:, None], var.shape + (Y_data.shape[1],))
         return mean + self.mean_function(Xnew), var
 
+    @inherit_check_shapes
     def predict_log_density(
         self, data: RegressionData, full_cov: bool = False, full_output_cov: bool = False
     ) -> jax.Array:

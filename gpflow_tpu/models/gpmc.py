@@ -48,6 +48,7 @@ class GPMC(GPModel, InternalDataTrainingLossMixin):
     def log_posterior_density(self) -> jax.Array:
         return self.log_likelihood() + self.log_prior_density()
 
+    @check_shapes("return: []")
     def _training_loss(self) -> jax.Array:
         return -self.log_posterior_density()
 

@@ -23,6 +23,7 @@ class BayesianModel(Module, abc.ABC):
     """Base for all models: prior/posterior densities and the ML objective
     (reference ``model.py:30-89``)."""
 
+    @check_shapes("return: []")
     def log_prior_density(self) -> jax.Array:
         """Sum of log prior densities of all trainable parameters
         (reference ``model.py:44-54``)."""
@@ -31,9 +32,11 @@ class BayesianModel(Module, abc.ABC):
             return sum(p.log_prior_density() for p in params)
         return jnp.zeros((), dtype=default_float())
 
+    @check_shapes("return: []")
     def log_posterior_density(self, *args: Any, **kwargs: Any) -> jax.Array:
         return self.maximum_log_likelihood_objective(*args, **kwargs) + self.log_prior_density()
 
+    @check_shapes("return: []")
     def _training_loss(self, *args: Any, **kwargs: Any) -> jax.Array:
         """-(MLL + log prior); allows MAP estimation (reference ``model.py:71-76``)."""
         return -(
@@ -41,6 +44,7 @@ class BayesianModel(Module, abc.ABC):
         )
 
     @abc.abstractmethod
+    @check_shapes("return: []")
     def maximum_log_likelihood_objective(self, *args: Any, **kwargs: Any) -> jax.Array:
         raise NotImplementedError
 
@@ -100,6 +104,11 @@ class GPModel(BayesianModel):
     ) -> MeanAndVariance:
         raise NotImplementedError
 
+    @check_shapes(
+        "Xnew: [batch..., N, D]",
+        "return: [batch..., S, N, P] if num_samples is not None",
+        "return: [batch..., N, P] if num_samples is None",
+    )
     def predict_f_samples(
         self,
         Xnew: InputData,

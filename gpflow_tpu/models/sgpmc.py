@@ -50,6 +50,7 @@ class SGPMC(GPModel, InternalDataTrainingLossMixin):
     def log_posterior_density(self) -> jax.Array:
         return self.log_likelihood_lower_bound() + self.log_prior_density()
 
+    @check_shapes("return: []")
     def _training_loss(self) -> jax.Array:
         return -self.log_posterior_density()
 

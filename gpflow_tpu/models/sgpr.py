@@ -139,6 +139,7 @@ class SGPR_deprecated(SGPRBase_deprecated):
 
         return self.CommonTensors(sigma_sq, sigma, A, B, LB, AAT, L)
 
+    @check_shapes("return: []")
     def logdet_term(self, common: "SGPR_deprecated.CommonTensors") -> jax.Array:
         """Jensen bound on -0.5 outdim log|K + sigma^2 I|
         (reference ``sgpr.py:211-246``)."""
@@ -160,6 +161,7 @@ class SGPR_deprecated(SGPRBase_deprecated):
         logdet_k = -outdim * (half_logdet_b + 0.5 * log_sigma_sq + 0.5 * trace)
         return logdet_k
 
+    @check_shapes("return: []")
     def quad_term(self, common: "SGPR_deprecated.CommonTensors") -> jax.Array:
         """Lower bound on -0.5 y^T (K + sigma^2 I)^-1 y
         (reference ``sgpr.py:248-271``)."""
@@ -228,6 +230,7 @@ class SGPR_deprecated(SGPRBase_deprecated):
 
         return mean + self.mean_function(Xnew), var
 
+    @check_shapes("return[0]: [M, P]", "return[1]: [M, M]")
     def compute_qu(self) -> Tuple[jax.Array, jax.Array]:
         """Mean/cov of the implied q(u); SVGP with this q(u) predicts
         identically to SGPR (reference ``sgpr.py:342-377``)."""
