@@ -7,6 +7,7 @@ from typing import Optional
 import jax
 
 from ..base import MeanAndVariance, TensorType
+from ..utilities.shapes import check_shapes
 from ..inducing_variables import InducingVariables
 from ..kernels import Kernel
 from ..posteriors import VGPPosterior, get_posterior_class
@@ -16,6 +17,16 @@ __all__ = ["_dense_conditional", "_sparse_conditional"]
 
 
 @conditional.register(object, InducingVariables, Kernel, object)
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_R...]",
+    "f: [M, R]",
+    "return[0]: [batch..., N, R]",
+    "return[1]: [batch..., N, R] if (not full_cov) and (not full_output_cov)",
+    "return[1]: [batch..., R, N, N] if full_cov and (not full_output_cov)",
+    "return[1]: [batch..., N, R, R] if (not full_cov) and full_output_cov",
+    "return[1]: [batch..., N, R, N, R] if full_cov and full_output_cov",
+)
 def _sparse_conditional(
     Xnew: TensorType,
     inducing_variable: InducingVariables,
@@ -43,6 +54,16 @@ def _sparse_conditional(
 
 
 @conditional.register(object, object, Kernel, object)
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "X: [M, D]",
+    "f: [M, R]",
+    "return[0]: [batch..., N, R]",
+    "return[1]: [batch..., N, R] if (not full_cov) and (not full_output_cov)",
+    "return[1]: [batch..., R, N, N] if full_cov and (not full_output_cov)",
+    "return[1]: [batch..., N, R, R] if (not full_cov) and full_output_cov",
+    "return[1]: [batch..., N, R, N, R] if full_cov and full_output_cov",
+)
 def _dense_conditional(
     Xnew: TensorType,
     X: TensorType,

@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Optional
 
 from ...base import MeanAndVariance, TensorType
+from ...utilities.shapes import check_shapes
 from ...inducing_variables import (
     FallbackSeparateIndependentInducingVariables,
     FallbackSharedIndependentInducingVariables,
@@ -47,6 +48,16 @@ def _posterior_fused(posterior_class, Xnew, inducing_variable, kernel, f, q_sqrt
 
 
 @conditional.register(object, SharedIndependentInducingVariables, SharedIndependent, object)
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_L...]",
+    "f: [M, L]",
+    "return[0]: [batch..., N, P]",
+    "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+    "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+    "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+)
 def shared_independent_conditional(
     Xnew: TensorType,
     inducing_variable: SharedIndependentInducingVariables,
@@ -65,6 +76,16 @@ def shared_independent_conditional(
     )
 
 
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_L...]",
+    "f: [M, L]",
+    "return[0]: [batch..., N, P]",
+    "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+    "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+    "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+)
 def separate_independent_conditional(
     Xnew: TensorType,
     inducing_variable: InducingVariables,
@@ -97,6 +118,16 @@ conditional.add(
 )
 
 
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_L...]",
+    "f: [M, L]",
+    "return[0]: [batch..., N, P]",
+    "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+    "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+    "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+)
 def fallback_independent_latent_conditional(
     Xnew: TensorType,
     inducing_variable: InducingVariables,
@@ -127,6 +158,16 @@ conditional.add(
 
 
 @conditional.register(object, InducingPoints, MultioutputKernel, object)
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_L...]",
+    "f: [L, 1]",
+    "return[0]: [batch..., N, P]",
+    "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+    "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+    "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+)
 def inducing_point_conditional(
     Xnew: TensorType,
     inducing_variable: InducingPoints,
@@ -146,6 +187,16 @@ def inducing_point_conditional(
     )
 
 
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_L...]",
+    "f: [M, L]",
+    "return[0]: [batch..., N, P]",
+    "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+    "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+    "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+)
 def coregionalization_conditional(
     Xnew: TensorType,
     inducing_variable: InducingVariables,

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from ...base import TensorType
+from ...utilities.shapes import check_shapes
 from ...inducing_variables import (
     SeparateIndependentInducingVariables,
     SharedIndependentInducingVariables,
@@ -19,6 +20,16 @@ from ..util import mix_latent_gp, sample_mvn
 __all__ = ["_sample_conditional_coregionalization"]
 
 
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_L...]",
+    "f: [M, L]",
+    "return[0]: [batch..., N, P] if num_samples is None",
+    "return[0]: [batch..., num_samples, N, P] if num_samples is not None",
+    "return[1]: [batch..., N, P]",
+    "return[2]: [batch..., N, P] if not full_cov",
+    "return[2]: [batch..., P, N, N] if full_cov",
+)
 def _sample_conditional_coregionalization(
     Xnew: TensorType,
     inducing_variable,

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from ..base import TensorType
+from ..utilities.shapes import check_shapes
 from ..inducing_variables import InducingVariables
 from ..kernels import Kernel
 from .dispatch import conditional, sample_conditional
@@ -18,6 +19,17 @@ __all__ = ["_sample_conditional"]
 SamplesMeanAndVariance = Tuple[jax.Array, jax.Array, jax.Array]
 
 
+@check_shapes(
+    "Xnew: [batch..., N, D]",
+    "inducing_variable: [M, D, maybe_R...]",
+    "f: [M, R]",
+    "return[0]: [batch..., N, R] if num_samples is None",
+    "return[0]: [batch..., num_samples, N, R] if num_samples is not None",
+    "return[1]: [batch..., N, R]",
+    "return[2]: [batch..., N, R] if (not full_cov) and (not full_output_cov)",
+    "return[2]: [batch..., R, N, N] if full_cov and (not full_output_cov)",
+    "return[2]: [batch..., N, R, R] if (not full_cov) and full_output_cov",
+)
 def _sample_conditional(
     Xnew: TensorType,
     inducing_variable,

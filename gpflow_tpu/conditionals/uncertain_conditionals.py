@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..base import MeanAndVariance, TensorType
+from ..utilities.shapes import check_shapes
 from ..config import default_float, default_jitter
 from ..covariances import Kuu
 from ..expectations import expectation
@@ -20,6 +21,16 @@ from ..probability_distributions import Gaussian
 __all__ = ["uncertain_conditional"]
 
 
+@check_shapes(
+    "Xnew_mu: [batch..., N, Din]",
+    "Xnew_var: [batch..., N, n, n]",
+    "inducing_variable: [M, Din, maybe_t...]",
+    "q_mu: [M, Dout]",
+    "q_sqrt: [t, M, M]",
+    "return[0]: [batch..., N, Dout]",
+    "return[1]: [batch..., N, t, t] if full_output_cov",
+    "return[1]: [batch..., N, Dout] if not full_output_cov",
+)
 def uncertain_conditional(
     Xnew_mu: TensorType,
     Xnew_var: TensorType,

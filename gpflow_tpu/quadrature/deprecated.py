@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utilities.shapes import check_shapes
 from .gauss_hermite import NDiagGHQuadrature, gh_points_and_weights
 
 __all__ = ["hermgauss", "mvhermgauss", "mvnquad", "ndiag_mc", "ndiagquad"]
@@ -41,6 +42,10 @@ def _default_mc_epsilon(Fmu: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
     return jax.random.normal(key, shape, dtype=Fmu.dtype)
 
 
+@check_shapes(
+    "return[0]: [n_quad_points]",
+    "return[1]: [n_quad_points]",
+)
 def hermgauss(n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Gauss-Hermite points/weights in the default float (reference
     ``quadrature/deprecated.py:34-38``)."""
@@ -50,6 +55,10 @@ def hermgauss(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return x.astype(default_float()), w.astype(default_float())
 
 
+@check_shapes(
+    "return[0]: [n_quad_points, D]",
+    "return[1]: [n_quad_points]",
+)
 def mvhermgauss(H: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
     """Multivariate (full-grid) Gauss-Hermite locations [H**D, D] and weights
     [H**D] (reference ``quadrature/deprecated.py:45-60``)."""
@@ -61,6 +70,9 @@ def mvhermgauss(H: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
     return x, w
 
 
+@check_shapes(
+    "Ys.values(): [N...]",
+)
 def ndiagquad(
     funcs: Union[Callable[..., jax.Array], Iterable],
     H: int,
@@ -117,6 +129,11 @@ def ndiagquad(
     return jnp.reshape(result, shape)
 
 
+@check_shapes(
+    "Fmu: [N, Din]",
+    "Fvar: [N, Din]",
+    "Ys.values(): [broadcast N, .]",
+)
 def ndiag_mc(
     funcs: Union[Callable[..., jax.Array], Iterable],
     S: int,
@@ -155,6 +172,10 @@ def ndiag_mc(
     return [eval_func(f) for f in funcs]
 
 
+@check_shapes(
+    "means: [N, Din]",
+    "covs: [N, Din, Din]",
+)
 def mvnquad(
     func: Callable[[jax.Array], jax.Array],
     means: jax.Array,

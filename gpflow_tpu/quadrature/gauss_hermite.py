@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from .base import GaussianQuadrature
 
 __all__ = [
@@ -21,6 +21,10 @@ __all__ = [
 ]
 
 
+@check_shapes(
+    "xs[all]: [.]",
+    "return: [N_product, D]",
+)
 def list_to_flat_grid(xs: Sequence[np.ndarray]) -> np.ndarray:
     """Flatten a list of d rank-1 arrays (lengths N1..Nd) into the
     [N1*...*Nd, d] grid of all combinations (reference
@@ -28,6 +32,12 @@ def list_to_flat_grid(xs: Sequence[np.ndarray]) -> np.ndarray:
     return np.reshape(np.stack(np.meshgrid(*xs), axis=-1), (-1, len(xs)))
 
 
+@check_shapes(
+    "zs[all]: [.]",
+    "dzs[all]: [.]",
+    "return[0]: [N_product, D]",
+    "return[1]: [N_product, 1]",
+)
 def reshape_Z_dZ(
     zs: Sequence[np.ndarray], dzs: Sequence[np.ndarray]
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -39,11 +49,19 @@ def reshape_Z_dZ(
     return Z, dZ
 
 
+@check_shapes(
+    "x: [.]",
+    "return[all]: [.]",
+)
 def repeat_as_list(x: np.ndarray, n: int) -> List[np.ndarray]:
     """List of ``n`` references to ``x`` (reference ``gauss_hermite.py:80-90``)."""
     return [x for _ in range(n)]
 
 
+@check_shapes(
+    "return[0]: [N]",
+    "return[1]: [N]",
+)
 def gh_points_and_weights(n_gh: int) -> Tuple[np.ndarray, np.ndarray]:
     """Hermite-Gauss nodes/weights rescaled for N(0, 1) expectations
     (reference ``gauss_hermite.py:30-52``): returns z (pre-multiplied by
@@ -56,6 +74,10 @@ def gh_points_and_weights(n_gh: int) -> Tuple[np.ndarray, np.ndarray]:
     return z, dz
 
 
+@check_shapes(
+    "return[0]: [N_quad, D]",
+    "return[1]: [N_quad, 1]",
+)
 def ndgh_points_and_weights(dim: int, n_gh: int) -> Tuple[np.ndarray, np.ndarray]:
     """Cartesian-product grid over ``dim`` dimensions
     (reference ``gauss_hermite.py:75-109``): Z [n_gh**dim, dim],

@@ -232,6 +232,18 @@ def _match(
             )
 
 
+def _split_multi(name: str) -> Tuple[str, Callable[[Any], Any]]:
+    """Resolves the reference package's multi-value argument selectors:
+    ``xs[all]`` checks every element of a sequence argument and
+    ``Ys.values()`` every value of a dict argument (used e.g. at reference
+    ``quadrature/gauss_hermite.py:49`` and ``deprecated.py:132``)."""
+    if name.endswith("[all]"):
+        return name[: -len("[all]")], lambda v: list(v)
+    if name.endswith(".values()"):
+        return name[: -len(".values()")], lambda v: list(v.values())
+    return name, lambda v: [v]
+
+
 _get_shape_registry: Dict[type, Callable[[Any], Any]] = {}
 
 
@@ -313,27 +325,37 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
 
             bindings: Dict[str, Any] = {}
             for name, tokens, cond in arg_specs:
-                if name not in bound.arguments or not active(cond):
+                base, elements = _split_multi(name)
+                if base not in bound.arguments or not active(cond):
                     continue
-                value = bound.arguments[name]
+                value = bound.arguments[base]
                 if value is None:
                     continue
-                shape = _shape_of(value)
-                if shape is not None:
-                    _match(tokens, shape, bindings, f"{fn.__qualname__} argument {name!r}")
+                for i, item in enumerate(elements(value)):
+                    if item is None:
+                        continue
+                    shape = _shape_of(item)
+                    if shape is not None:
+                        where = f"{fn.__qualname__} argument {name!r}"
+                        if name != base:
+                            where += f" element {i}"
+                        _match(tokens, shape, bindings, where)
             result = fn(*args, **kwargs)
             for name, tokens, cond in ret_specs:
                 if not active(cond):
                     continue
-                value = result
-                if name.startswith("return["):
-                    idx = int(name[len("return[") : -1])
-                    value = result[idx]
-                if value is None:
-                    continue
-                shape = _shape_of(value)
-                if shape is not None:
-                    _match(tokens, shape, bindings, f"{fn.__qualname__} {name}")
+                if name == "return[all]":
+                    values = list(result)
+                elif name.startswith("return["):
+                    values = [result[int(name[len("return[") : -1])]]
+                else:
+                    values = [result]
+                for value in values:
+                    if value is None:
+                        continue
+                    shape = _shape_of(value)
+                    if shape is not None:
+                        _match(tokens, shape, bindings, f"{fn.__qualname__} {name}")
             return result
 
         wrapper.__check_shapes__ = specs  # type: ignore[attr-defined]
