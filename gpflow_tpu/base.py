@@ -39,9 +39,9 @@ __all__ = [
     "PriorOn",
     "RegressionData",
     "TensorData",
-    "Transform",
     "TensorLike",
     "TensorType",
+    "Transform",
 ]
 
 # ---------------------------------------------------------------------------

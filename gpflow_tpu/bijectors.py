@@ -218,12 +218,6 @@ class Chain(Bijector):
         return y
 
 
-def triangular_size(n: int) -> int:
-    """Number of free entries of an n x n lower-triangular matrix
-    (reference ``utilities/bijectors.py:55-63``)."""
-    return n * (n + 1) // 2
-
-
 def _tri_n(m: int) -> int:
     n = int(round((np.sqrt(8.0 * m + 1.0) - 1.0) / 2.0))
     if triangular_size(n) != m:
@@ -352,3 +346,23 @@ def triangular() -> TriangularMask:
     TPU rationale. ``FillTriangular`` remains available for packed storage.
     """
     return TriangularMask()
+
+
+# Shape contract applied post-definition: importing ``utilities.shapes`` at
+# the top of this module would cycle through ``utilities/__init__`` ->
+# ``utilities/bijectors`` -> back here before ``positive``/``triangular_size``
+# exist. At module bottom every name is defined, so the re-entrant alias
+# import succeeds regardless of which side is imported first.
+from .utilities.shapes import check_shapes as _check_shapes  # noqa: E402
+
+
+@_check_shapes(
+    "n: []",
+    "return: []",
+)
+def triangular_size(n: int) -> int:
+    """Number of free entries of an n x n lower-triangular matrix
+    (reference ``utilities/bijectors.py:55-63``). Defined down here so the
+    contract decorator can import ``utilities.shapes`` after every name the
+    re-entrant ``utilities/bijectors`` alias import needs already exists."""
+    return n * (n + 1) // 2

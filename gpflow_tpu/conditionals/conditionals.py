@@ -21,6 +21,7 @@ __all__ = ["_dense_conditional", "_sparse_conditional"]
     "Xnew: [batch..., N, D]",
     "inducing_variable: [M, D, maybe_R...]",
     "f: [M, R]",
+    "q_sqrt: [M, R] | [R, M, M]",
     "return[0]: [batch..., N, R]",
     "return[1]: [batch..., N, R] if (not full_cov) and (not full_output_cov)",
     "return[1]: [batch..., R, N, N] if full_cov and (not full_output_cov)",
@@ -58,6 +59,7 @@ def _sparse_conditional(
     "Xnew: [batch..., N, D]",
     "X: [M, D]",
     "f: [M, R]",
+    "q_sqrt: [M, R] | [R, M, M]",
     "return[0]: [batch..., N, R]",
     "return[1]: [batch..., N, R] if (not full_cov) and (not full_output_cov)",
     "return[1]: [batch..., R, N, N] if full_cov and (not full_output_cov)",

@@ -27,8 +27,10 @@ __all__ = ["_sample_conditional_coregionalization"]
     "return[0]: [batch..., N, P] if num_samples is None",
     "return[0]: [batch..., num_samples, N, P] if num_samples is not None",
     "return[1]: [batch..., N, P]",
-    "return[2]: [batch..., N, P] if not full_cov",
-    "return[2]: [batch..., P, N, N] if full_cov",
+    "return[2]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    "return[2]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+    "return[2]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+    "return[2]: [batch..., N, P, N, P] if full_cov and full_output_cov",
 )
 def _sample_conditional_coregionalization(
     Xnew: TensorType,

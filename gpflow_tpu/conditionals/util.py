@@ -25,19 +25,19 @@ from ..utilities.ops import leading_transpose
 from ..utilities.shapes import check_shapes
 
 __all__ = [
-    "inv_solve",
-    "set_inv_solve",
     "base_conditional",
     "base_conditional_with_lm",
     "expand_independent_outputs",
     "fully_correlated_conditional",
     "fully_correlated_conditional_repeat",
     "independent_interdomain_conditional",
+    "inv_solve",
     "mix_latent_gp",
     "rollaxis_left",
     "rollaxis_right",
     "sample_mvn",
     "separate_independent_conditional_implementation",
+    "set_inv_solve",
 ]
 
 _seed_counter = [0]
@@ -486,6 +486,10 @@ def fully_correlated_conditional_repeat(
     return fmean, fvar
 
 
+@check_shapes(
+    "A: [left..., right...]",
+    "return: [right..., left...]",
+)
 def rollaxis_left(A: jax.Array, num_rolls: int) -> jax.Array:
     """Roll leading axes to the back (reference ``util.py:483-492``)."""
     assert num_rolls > 0
@@ -494,6 +498,10 @@ def rollaxis_left(A: jax.Array, num_rolls: int) -> jax.Array:
     return jnp.transpose(A, perm)
 
 
+@check_shapes(
+    "A: [left..., right...]",
+    "return: [right..., left...]",
+)
 def rollaxis_right(A: jax.Array, num_rolls: int) -> jax.Array:
     """Roll trailing axes to the front (reference ``util.py:495-504``)."""
     assert num_rolls > 0

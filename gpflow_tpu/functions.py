@@ -80,6 +80,10 @@ class Product(MeanFunction, Function):
 class Linear(MeanFunction, Function):
     """y_i = A x_i + b (reference ``functions.py:96-126``)."""
 
+    @check_shapes(
+        "A: [broadcast D, broadcast Q]",
+        "b: [broadcast Q]",
+    )
     def __init__(self, A: Optional[TensorType] = None, b: Optional[TensorType] = None) -> None:
         A = np.ones((1, 1), dtype=default_float()) if A is None else A
         b = np.zeros(1, dtype=default_float()) if b is None else b
@@ -128,6 +132,9 @@ class Identity(Linear, Function):
 class Constant(MeanFunction, Function):
     """y_i = c (reference ``functions.py:173-194``)."""
 
+    @check_shapes(
+        "c: [broadcast Q]",
+    )
     def __init__(self, c: Optional[TensorType] = None) -> None:
         c = np.zeros(1) if c is None else c
         self.c = Parameter(c, name="c")
@@ -154,6 +161,7 @@ class Zero(Constant, Function):
 class Polynomial(MeanFunction, Function):
     """Generic polynomial mean function (reference ``functions.py:207-278``)."""
 
+    @check_shapes("w: [broadcast output_dim, broadcast n_terms]")
     def __init__(
         self,
         degree: int,

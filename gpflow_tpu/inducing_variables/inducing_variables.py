@@ -45,7 +45,8 @@ class InducingPointsBase(InducingVariables):
             Z = Parameter(Z, name="Z")
         self.Z = Z
 
-    @property
+    @property  # type: ignore[misc]
+    @check_shapes("return: []")
     def num_inducing(self) -> int:
         return self.Z.shape[0]
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+from ...utilities.shapes import check_shapes
 from ..inducing_variables import InducingVariables
 
 __all__ = [
@@ -33,10 +34,12 @@ class FallbackSharedIndependentInducingVariables(MultioutputInducingVariables):
     """Same inducing variables shared across latent processes; generic
     Kuu [L, M, M] / Kuf [M, L, N, P] code path."""
 
+    @check_shapes("inducing_variable: [M, D, 1]")
     def __init__(self, inducing_variable: InducingVariables):
         self.inducing_variable = inducing_variable
 
-    @property
+    @property  # type: ignore[misc]
+    @check_shapes("return: []")
     def num_inducing(self) -> int:
         return self.inducing_variable.num_inducing
 
@@ -56,10 +59,12 @@ class FallbackSeparateIndependentInducingVariables(MultioutputInducingVariables)
     """One set of inducing variables per latent process; generic code path.
     Each child must have the same number of inducing points M."""
 
+    @check_shapes("inducing_variable_list[all]: [., D, 1]")
     def __init__(self, inducing_variable_list: Sequence[InducingVariables]):
         self.inducing_variable_list = list(inducing_variable_list)
 
-    @property
+    @property  # type: ignore[misc]
+    @check_shapes("return: []")
     def num_inducing(self) -> int:
         nums = {iv.num_inducing for iv in self.inducing_variable_list}
         if len(nums) != 1:

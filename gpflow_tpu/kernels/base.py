@@ -104,6 +104,9 @@ class Kernel(Module, metaclass=abc.ABCMeta):
         cov = jnp.take(cov, idx, axis=-2)
         return cov
 
+    @check_shapes(
+        "ard_parameter: [any...]",
+    )
     def _validate_ard_active_dims(self, ard_parameter: Parameter) -> None:
         """reference ``base.py:152-168``."""
         if isinstance(self.active_dims, slice):

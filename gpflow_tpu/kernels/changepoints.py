@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ..base import Parameter, TensorType
 from ..bijectors import positive
 from .base import Combination, Kernel
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = ["ChangePoints"]
 
@@ -23,6 +23,10 @@ class ChangePoints(Combination):
     (Lloyd et al. 2014; reference ``changepoints.py:26-171``).
     """
 
+    @check_shapes(
+        "locations: [n_change_points]",
+        "steepness: [broadcast n_change_points]",
+    )
     def __init__(
         self,
         kernels: Sequence[Kernel],
@@ -48,6 +52,10 @@ class ChangePoints(Combination):
         # nested change-points are not flattened (reference ``changepoints.py:81-83``)
         self.kernels = list(kernels)
 
+    @check_shapes(
+        "X: [batch...]",
+        "return: [batch..., Ncp]",
+    )
     def _sigmoids(self, X: jax.Array) -> jax.Array:
         """X: [batch...] -> [batch..., Ncp]."""
         locations = jnp.sort(jnp.reshape(self.locations.value, (-1,)))

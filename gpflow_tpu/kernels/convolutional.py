@@ -10,7 +10,7 @@ import numpy as np
 from ..base import Parameter, TensorType
 from ..config import default_float
 from .base import Kernel
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = ["Convolutional"]
 
@@ -23,6 +23,9 @@ class Convolutional(Kernel):
     of ``tf.image.extract_patches`` (reference ``convolutional.py:68-110``).
     """
 
+    @check_shapes(
+        "weights: [P]",
+    )
     def __init__(
         self,
         base_kernel: Kernel,
@@ -41,6 +44,10 @@ class Convolutional(Kernel):
             name="weights",
         )
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [batch..., N, P, S]",
+    )
     def get_patches(self, X: TensorType) -> jax.Array:
         """[batch..., N, D] images -> [batch..., N, P, S] patches
         (per colour channel, matching reference ``convolutional.py:68-110``)."""

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ..base import Parameter, TensorType
 from ..bijectors import positive
 from .base import ActiveDims, Kernel
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = ["Linear", "Polynomial"]
 
@@ -18,6 +18,9 @@ class Linear(Kernel):
     """k(x, y) = sigma^2 x.y with optional ARD variance
     (reference ``linears.py:25-68``)."""
 
+    @check_shapes(
+        "variance: [broadcast n_active_dims]",
+    )
     def __init__(
         self, variance: TensorType = 1.0, active_dims: Optional[ActiveDims] = None
     ) -> None:
@@ -45,6 +48,10 @@ class Linear(Kernel):
 class Polynomial(Linear):
     """k(x, y) = (sigma^2 x.y + offset)^degree (reference ``linears.py:71-112``)."""
 
+    @check_shapes(
+        "variance: [broadcast n_active_dims]",
+        "offset: []",
+    )
     def __init__(
         self,
         degree: float = 3.0,

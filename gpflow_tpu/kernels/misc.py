@@ -11,7 +11,7 @@ from ..base import Parameter, TensorType
 from ..bijectors import positive
 from ..config import default_float
 from .base import ActiveDims, Kernel
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = ["ArcCosine", "Coregion"]
 
@@ -22,6 +22,11 @@ class ArcCosine(Kernel):
 
     implemented_orders = {0, 1, 2}
 
+    @check_shapes(
+        "variance: []",
+        "weight_variances: [broadcast n_active_dims]",
+        "bias_variance: []",
+    )
     def __init__(
         self,
         order: int = 0,
@@ -47,9 +52,19 @@ class ArcCosine(Kernel):
     def ard(self) -> bool:
         return self.weight_variances.ndim > 0
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [batch..., N]",
+    )
     def _diag_weighted_product(self, X: jax.Array) -> jax.Array:
         return jnp.sum(self.weight_variances * jnp.square(X), axis=-1) + self.bias_variance
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "X2: [batch2..., N2, D]",
+        "return: [batch..., N, batch2..., N2] if X2 is not None",
+        "return: [batch..., N, N] if X2 is None",
+    )
     def _full_weighted_product(self, X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
         if X2 is None:
             return (
@@ -62,6 +77,10 @@ class ArcCosine(Kernel):
             + self.bias_variance
         )
 
+    @check_shapes(
+        "theta: [any...]",
+        "return: [any...]",
+    )
     def _J(self, theta: jax.Array) -> jax.Array:
         """Order-dependent J functions, eqs. 4-7 of the NIPS2009 paper
         (reference ``misc.py:147-162``)."""
@@ -135,9 +154,11 @@ class Coregion(Kernel):
         self.W = Parameter(W, name="W")
         self.kappa = Parameter(kappa, transform=positive(), name="kappa")
 
+    @check_shapes("return: [P, P]")
     def output_covariance(self) -> jax.Array:
         return jnp.matmul(self.W.value, self.W.value.T) + jnp.diag(self.kappa.value)
 
+    @check_shapes("return: [P]")
     def output_variance(self) -> jax.Array:
         return jnp.sum(jnp.square(self.W.value), axis=1) + self.kappa
 

@@ -11,7 +11,7 @@ from ..base import Parameter, TensorType
 from ..bijectors import positive
 from ..utilities.ops import difference_matrix
 from .base import ActiveDims, Kernel
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from .stationaries import IsotropicStationary
 
 __all__ = ["Periodic"]
@@ -27,6 +27,9 @@ class Periodic(Kernel):
     active_dims come from the base kernel.
     """
 
+    @check_shapes(
+        "period: [broadcast n_active_dims]",
+    )
     def __init__(self, base_kernel: IsotropicStationary, period: TensorType = 1.0) -> None:
         if not isinstance(base_kernel, IsotropicStationary):
             raise TypeError("Periodic requires an IsotropicStationary kernel as the `base_kernel`")

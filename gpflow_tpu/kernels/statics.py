@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ..base import Parameter, TensorType
 from ..bijectors import positive
 from .base import ActiveDims, Kernel
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 __all__ = ["Bias", "Constant", "Static", "White"]
 
@@ -18,6 +18,9 @@ class Static(Kernel):
     """Kernels independent of input values; only a variance parameter
     (reference ``statics.py:25-43``)."""
 
+    @check_shapes(
+        "variance: []",
+    )
     def __init__(
         self, variance: TensorType = 1.0, active_dims: Optional[ActiveDims] = None
     ) -> None:

@@ -36,6 +36,10 @@ class Stationary(Kernel):
     """Base for kernels depending only on d = x - x'; handles ARD lengthscales
     (reference ``stationaries.py:27-83``)."""
 
+    @check_shapes(
+        "variance: []",
+        "lengthscales: [broadcast n_active_dims]",
+    )
     def __init__(
         self, variance: TensorType = 1.0, lengthscales: TensorType = 1.0, **kwargs: Any
     ) -> None:
@@ -120,6 +124,10 @@ class AnisotropicStationary(Stationary):
     are left unconstrained (reference ``stationaries.py:166-168``).
     """
 
+    @check_shapes(
+        "variance: []",
+        "lengthscales: [broadcast n_active_dims]",
+    )
     def __init__(
         self, variance: TensorType = 1.0, lengthscales: TensorType = 1.0, **kwargs: Any
     ) -> None:
@@ -142,6 +150,10 @@ class AnisotropicStationary(Stationary):
     ) -> jax.Array:
         return difference_matrix(self.scale(jnp.asarray(X)), self.scale(None if X2 is None else jnp.asarray(X2)))
 
+    @check_shapes(
+        "d: [batch..., N, D]",
+        "return: [batch..., N]",
+    )
     def K_d(self, d: jax.Array) -> jax.Array:
         raise NotImplementedError
 
@@ -155,6 +167,7 @@ class SquaredExponential(IsotropicStationary):
     fused in VMEM, gradients as matmuls via custom VJP.
     """
 
+    @inherit_check_shapes
     def K_r2(self, r2: jax.Array) -> jax.Array:
         return self.variance * jnp.exp(-0.5 * r2)
 
@@ -172,6 +185,7 @@ class RationalQuadratic(IsotropicStationary):
         super().__init__(variance=variance, lengthscales=lengthscales, active_dims=active_dims)
         self.alpha = Parameter(alpha, transform=positive(), name="alpha")
 
+    @inherit_check_shapes
     def K_r2(self, r2: jax.Array) -> jax.Array:
         return self.variance * (1 + 0.5 * r2 / self.alpha) ** (-self.alpha.value)
 
@@ -179,6 +193,10 @@ class RationalQuadratic(IsotropicStationary):
 class Exponential(IsotropicStationary):
     """k(r) = sigma^2 exp(-r/2) (reference ``stationaries.py:241-253``)."""
 
+    @check_shapes(
+        "r: [batch...]",
+        "return: [batch...]",
+    )
     def K_r(self, r: jax.Array) -> jax.Array:
         return self.variance * jnp.exp(-0.5 * r)
 
@@ -186,6 +204,10 @@ class Exponential(IsotropicStationary):
 class Matern12(IsotropicStationary):
     """k(r) = sigma^2 exp(-r) (reference ``stationaries.py:256-271``)."""
 
+    @check_shapes(
+        "r: [batch...]",
+        "return: [batch...]",
+    )
     def K_r(self, r: jax.Array) -> jax.Array:
         return self.variance * jnp.exp(-r)
 
@@ -193,6 +215,10 @@ class Matern12(IsotropicStationary):
 class Matern32(IsotropicStationary):
     """k(r) = sigma^2 (1 + sqrt3 r) exp(-sqrt3 r) (reference ``stationaries.py:274-292``)."""
 
+    @check_shapes(
+        "r: [batch...]",
+        "return: [batch...]",
+    )
     def K_r(self, r: jax.Array) -> jax.Array:
         sqrt3 = np.sqrt(3.0)
         return self.variance * (1.0 + sqrt3 * r) * jnp.exp(-sqrt3 * r)
@@ -202,6 +228,10 @@ class Matern52(IsotropicStationary):
     """k(r) = sigma^2 (1 + sqrt5 r + 5/3 r^2) exp(-sqrt5 r)
     (reference ``stationaries.py:295-313``)."""
 
+    @check_shapes(
+        "r: [batch...]",
+        "return: [batch...]",
+    )
     def K_r(self, r: jax.Array) -> jax.Array:
         sqrt5 = np.sqrt(5.0)
         return self.variance * (1.0 + sqrt5 * r + 5.0 / 3.0 * jnp.square(r)) * jnp.exp(-sqrt5 * r)
@@ -210,6 +240,7 @@ class Matern52(IsotropicStationary):
 class Cosine(AnisotropicStationary):
     """k(d) = sigma^2 cos(2 pi sum_i d_i) (reference ``stationaries.py:316-332``)."""
 
+    @inherit_check_shapes
     def K_d(self, d: jax.Array) -> jax.Array:
         d = jnp.sum(d, axis=-1)
         return self.variance * jnp.cos(2 * np.pi * d)

@@ -21,6 +21,12 @@ prior_kl = Dispatcher("prior_kl")
 
 
 @prior_kl.register(InducingVariables, Kernel, object, object)
+@check_shapes(
+    "inducing_variable: [N, D, broadcast L]",
+    "q_mu: [M, L]",
+    "q_sqrt: [M, L] | [L, M, M]",
+    "return: []",
+)
 def _prior_kl_default(
     inducing_variable: InducingVariables,
     kernel: Kernel,
@@ -46,6 +52,7 @@ def _prior_kl_default(
 
 @check_shapes(
     "q_mu: [M, L]",
+    "q_sqrt: [M, L] | [L, M, M]",
     "return: []",
 )
 def gauss_kl(

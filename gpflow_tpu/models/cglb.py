@@ -31,6 +31,10 @@ class CGLB(SGPR):
     """SGPR with a tighter Jensen-corrected logdet bound and a CG-estimated
     quadratic term (reference ``cglb.py:30-282``)."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, P]",
+    )
     def __init__(
         self,
         data: RegressionData,
@@ -57,7 +61,8 @@ class CGLB(SGPR):
         self._max_cg_iters = max_cg_iters
         self._restart_cg_iters = restart_cg_iters
 
-    @property
+    @property  # type: ignore[misc]
+    @check_shapes("return: [P, N]")
     def aux_vec(self) -> Parameter:
         return self._v
 
@@ -246,11 +251,22 @@ class NystromPreconditioner:
     """Q = (Q_ff + s2 I)^-1 applied via A = s^-1 L^-1 Kux and LB
     (reference ``cglb.py:296-339``)."""
 
+    @check_shapes(
+        "A: [M, N]",
+        "LB: [M, M]",
+    )
     def __init__(self, A: jax.Array, LB: jax.Array, sigma_sq: TensorType) -> None:
         self.A = A
         self.LB = LB
         self.sigma_sq = sigma_sq
 
+    @check_shapes(
+        "v: [B, N]",
+        "return[0]: [B, N]",
+        # deviation from the reference's scalar (cglb.py:313-317): the CG here
+        # is batched over the B right-hand sides, so v^T Q^-1 v is per-column
+        "return[1]: [B]",
+    )
     def __call__(self, v: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Returns (v^T Q^-1 as a row-vector batch [R, N], and the
         PER-COLUMN quadratics v_r^T Q^-1 v_r as [R]). Per-column (not
@@ -271,6 +287,11 @@ class NystromPreconditioner:
         return jnp.transpose(rv) / sigma_sq, vtrv / sigma_sq
 
 
+@check_shapes(
+    "b: [B, N]",
+    "initial: [B, N]",
+    "return: [B, N]",
+)
 def cglb_conjugate_gradient(
     K: Union[jax.Array, Callable[[jax.Array], jax.Array]],
     b: jax.Array,

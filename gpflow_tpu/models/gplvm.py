@@ -64,6 +64,10 @@ class GPLVM(GPR):
     """Standard GPLVM: GPR whose inputs X are a trainable latent Parameter,
     PCA-initialized (reference ``gplvm.py:37-81``)."""
 
+    @check_shapes(
+        "data: [N, P]",
+        "X_data_mean: [N, Q]",
+    )
     def __init__(
         self,
         data: OutputData,
@@ -97,6 +101,13 @@ class BayesianGPLVM(GPModel, InternalDataTrainingLossMixin):
     (reference ``gplvm.py:84-280``); the ELBO uses the analytic psi0/1/2
     statistics from the expectations framework."""
 
+    @check_shapes(
+        "data: [N, P]",
+        "X_data_mean: [N, Q]",
+        "X_data_var: [N, Q]",
+        "X_prior_mean: [N, Q]",
+        "X_prior_var: [N, Q]",
+    )
     def __init__(
         self,
         data: OutputData,

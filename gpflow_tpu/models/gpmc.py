@@ -28,6 +28,10 @@ class GPMC(GPModel, InternalDataTrainingLossMixin):
     """Vanilla GP with a non-Gaussian likelihood for MCMC: the latent values
     are whitened, v ~ N(0, I), f = L v + m(x) with L L^T = K."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, P]",
+    )
     def __init__(
         self,
         data: RegressionData,

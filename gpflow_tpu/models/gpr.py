@@ -31,6 +31,11 @@ __all__ = ["GPR", "GPR_deprecated", "GPR_with_posterior"]
 class GPR_deprecated(GPModel, InternalDataTrainingLossMixin):
     """GPR with fused (non-cached) prediction (reference ``gpr.py:34-137``)."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, P]",
+        "noise_variance: []",
+    )
     def __init__(
         self,
         data: RegressionData,

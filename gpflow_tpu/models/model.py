@@ -70,6 +70,10 @@ class GPModel(BayesianModel):
         self.likelihood = likelihood
 
     @staticmethod
+    @check_shapes(
+        "data[0]: [batch..., N, D]",
+        "data[1]: [batch..., N, P]",
+    )
     def calc_num_latent_gps_from_data(
         data: RegressionData, kernel: Kernel, likelihood: Likelihood
     ) -> int:

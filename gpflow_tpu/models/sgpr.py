@@ -33,6 +33,11 @@ class SGPRBase_deprecated(GPModel, InternalDataTrainingLossMixin):
     """Common base for SGPR and GPRFITC: __init__ + Titsias-2014 upper bound
     (reference ``sgpr.py:35-147``)."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, P]",
+        "noise_variance: []",
+    )
     def __init__(
         self,
         data: RegressionData,
@@ -119,6 +124,15 @@ class SGPR_deprecated(SGPRBase_deprecated):
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.elbo()
 
+    @check_shapes(
+        "return.sigma_sq: [N]",
+        "return.sigma: [N]",
+        "return.A: [M, N]",
+        "return.B: [M, M]",
+        "return.LB: [M, M]",
+        "return.AAT: [M, M]",
+        "return.L: [M, M]",
+    )
     def _common_calculation(self) -> "SGPR_deprecated.CommonTensors":
         """sigma, A = L^-1 Kuf / sigma, B = AA^T + I, LB
         (reference ``sgpr.py:181-209``)."""
@@ -259,6 +273,15 @@ class GPRFITC(SGPRBase_deprecated):
     """GP regression with the FITC approximation
     (reference ``sgpr.py:380-523``)."""
 
+    @check_shapes(
+        "return[0]: [N, R]",
+        "return[1]: [N]",
+        "return[2]: [M, M]",
+        "return[3]: [M, M]",
+        "return[4]: [M, R]",
+        "return[5]: [N, R]",
+        "return[6]: [M, R]",
+    )
     def common_terms(
         self,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -292,6 +315,7 @@ class GPRFITC(SGPRBase_deprecated):
     def maximum_log_likelihood_objective(self) -> jax.Array:
         return self.fitc_log_marginal_likelihood()
 
+    @check_shapes("return: []")
     def fitc_log_marginal_likelihood(self) -> jax.Array:
         """FITC approximation via Woodbury + determinant lemma
         (reference ``sgpr.py:428-487``)."""

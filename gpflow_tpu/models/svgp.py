@@ -33,6 +33,11 @@ __all__ = ["SVGP", "SVGP_deprecated", "SVGP_with_posterior"]
 class SVGP_deprecated(GPModel, ExternalDataTrainingLossMixin):
     """SVGP with uncollapsed ELBO (reference ``svgp.py:35-199``)."""
 
+    @check_shapes(
+        "q_mu: [M, P]",
+        "q_sqrt: [M, P] if q_diag",
+        "q_sqrt: [P, M, M] if (not q_diag)",
+    )
     def __init__(
         self,
         kernel: Kernel,
@@ -57,6 +62,11 @@ class SVGP_deprecated(GPModel, ExternalDataTrainingLossMixin):
         num_inducing = self.inducing_variable.num_inducing
         self._init_variational_parameters(num_inducing, q_mu, q_sqrt, q_diag)
 
+    @check_shapes(
+        "q_mu: [M, P]",
+        "q_sqrt: [M, P] if q_diag",
+        "q_sqrt: [P, M, M] if (not q_diag)",
+    )
     def _init_variational_parameters(
         self, num_inducing: int, q_mu, q_sqrt, q_diag: bool
     ) -> None:
@@ -85,6 +95,7 @@ class SVGP_deprecated(GPModel, ExternalDataTrainingLossMixin):
                 self.num_latent_gps = q_sqrt.shape[0]
                 self.q_sqrt = Parameter(q_sqrt, transform=triangular(), name="q_sqrt")  # [L|P, M, M]
 
+    @check_shapes("return: []")
     def prior_kl(self) -> jax.Array:
         return kullback_leiblers.prior_kl(
             self.inducing_variable, self.kernel, self.q_mu.value, self.q_sqrt.value,

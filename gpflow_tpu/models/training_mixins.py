@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..base import InputData, OutputData, RegressionData
+from ..utilities.shapes import check_shapes
 
 __all__ = ["Data", "ExternalDataTrainingLossMixin", "InternalDataTrainingLossMixin"]
 
@@ -26,6 +27,7 @@ class InternalDataTrainingLossMixin:
     """For models keeping their data internally (GPR, SGPR, VGP, GPMC;
     reference ``training_mixins.py:43-78``)."""
 
+    @check_shapes("return: []")
     def training_loss(self) -> jax.Array:
         return self._training_loss()
 
@@ -44,6 +46,11 @@ class ExternalDataTrainingLossMixin:
     """For models taking minibatches (SVGP, SGPMC;
     reference ``training_mixins.py:81-147``)."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, P]",
+        "return: []",
+    )
     def training_loss(self, data: RegressionData) -> jax.Array:
         return self._training_loss(data)
 

@@ -9,6 +9,7 @@ import numpy as np
 
 from ..base import Module, Parameter, RegressionData
 from ..config import default_float
+from ..utilities.shapes import check_shapes
 from ..inducing_variables import InducingPoints, InducingVariables
 from .training_mixins import ExternalDataTrainingLossMixin, InternalDataTrainingLossMixin
 
@@ -53,6 +54,11 @@ def data_input_to_tensor(structure: Any) -> Any:
     return arr
 
 
+@check_shapes(
+    "data[0]: [N, D]",
+    "data[1]: [N, P]",
+    "return: []",
+)
 def maximum_log_likelihood_objective(model: Module, data: RegressionData) -> jax.Array:
     """reference ``util.py:51-62``."""
     if isinstance(model, InternalDataTrainingLossMixin):
@@ -60,6 +66,11 @@ def maximum_log_likelihood_objective(model: Module, data: RegressionData) -> jax
     return model.maximum_log_likelihood_objective(data)
 
 
+@check_shapes(
+    "data[0]: [N, D]",
+    "data[1]: [N, P]",
+    "return: []",
+)
 def training_loss(model: Module, data: RegressionData) -> jax.Array:
     """reference ``util.py:65-74``."""
     if isinstance(model, InternalDataTrainingLossMixin):
@@ -67,6 +78,10 @@ def training_loss(model: Module, data: RegressionData) -> jax.Array:
     return model.training_loss(data)
 
 
+@check_shapes(
+    "data[0]: [N, D]",
+    "data[1]: [N, P]",
+)
 def training_loss_closure(
     model: Module,
     data: Union[RegressionData, Iterator[RegressionData]],

@@ -43,6 +43,10 @@ class VGP_deprecated(GPModel, InternalDataTrainingLossMixin):
     """Whitened full-rank Gaussian approximation over f(X)
     (reference ``vgp.py:37-160``). Equivalent to SVGP with Z=X but cheaper."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, P]",
+    )
     def __init__(
         self,
         data: RegressionData,
@@ -137,6 +141,10 @@ class VGP(VGP_with_posterior):
     """Variational GP regression/classification over f(X)."""
 
 
+@check_shapes(
+    "new_data[0]: [N, D]",
+    "new_data[1]: [N, P]",
+)
 def update_vgp_data(vgp: VGP_deprecated, new_data: RegressionData) -> None:
     """Sets new data on a VGP and re-fits its variational parameters to keep
     the same posterior (reference ``vgp.py:224-263``): the whitened
@@ -168,6 +176,10 @@ class VGPOpperArchambeau(GPModel, InternalDataTrainingLossMixin):
     """2ND-parameter variational GP (Opper & Archambeau 2009;
     reference ``vgp.py:266-419``)."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, P]",
+    )
     def __init__(
         self,
         data: RegressionData,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..base import Parameter, capture_parameter_reads, functionalize
-from ..utilities.shapes import check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 
 import numpy as _np
 
@@ -49,16 +49,34 @@ class XiTransform(metaclass=abc.ABCMeta):
 
     @staticmethod
     @abc.abstractmethod
+    @check_shapes(
+        "mean: [N, D]",
+        "varsqrt: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def meanvarsqrt_to_xi(mean: jax.Array, varsqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
         ...
 
     @staticmethod
     @abc.abstractmethod
+    @check_shapes(
+        "xi1: [N, D]",
+        "xi2: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def xi_to_meanvarsqrt(xi1: jax.Array, xi2: jax.Array) -> Tuple[jax.Array, jax.Array]:
         ...
 
     @staticmethod
     @abc.abstractmethod
+    @check_shapes(
+        "nat1: [N, D]",
+        "nat2: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def naturals_to_xi(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
         ...
 
@@ -68,14 +86,32 @@ class XiNat(XiTransform):
     in one gamma=1 step for Gaussian likelihoods (reference ``natgrad.py:101-137``)."""
 
     @staticmethod
+    @check_shapes(
+        "mean: [N, D]",
+        "varsqrt: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def meanvarsqrt_to_xi(mean: jax.Array, varsqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return meanvarsqrt_to_natural(mean, varsqrt)
 
     @staticmethod
+    @check_shapes(
+        "xi1: [N, D]",
+        "xi2: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def xi_to_meanvarsqrt(xi1: jax.Array, xi2: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return natural_to_meanvarsqrt(xi1, xi2)
 
     @staticmethod
+    @check_shapes(
+        "nat1: [N, D]",
+        "nat2: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def naturals_to_xi(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return nat1, nat2
 
@@ -85,14 +121,32 @@ class XiSqrtMeanVar(XiTransform):
     (reference ``natgrad.py:140-173``)."""
 
     @staticmethod
+    @check_shapes(
+        "mean: [N, D]",
+        "varsqrt: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def meanvarsqrt_to_xi(mean: jax.Array, varsqrt: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return mean, varsqrt
 
     @staticmethod
+    @check_shapes(
+        "xi1: [N, D]",
+        "xi2: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def xi_to_meanvarsqrt(xi1: jax.Array, xi2: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return xi1, xi2
 
     @staticmethod
+    @check_shapes(
+        "nat1: [N, D]",
+        "nat2: [D, N, N]",
+        "return[0]: [N, D]",
+        "return[1]: [D, N, N]",
+    )
     def naturals_to_xi(nat1: jax.Array, nat2: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return natural_to_meanvarsqrt(nat1, nat2)
 
@@ -124,6 +178,10 @@ class NaturalGradient:
         the keras-optimizer hook — here a plain dict for checkpoint metadata)."""
         return {"name": type(self).__name__, "gamma": float(self.gamma)}
 
+    @check_shapes(
+        "var_list[all][0]: [N, D]",
+        "var_list[all][1]: [D, N, N]",
+    )
     def minimize(self, loss_fn: LossClosure, var_list: Sequence[NatGradParameters]) -> None:
         """Performs one natural-gradient step on each (q_mu, q_sqrt[, xi])
         tuple in ``var_list`` (reference ``natgrad.py:184-238``).
@@ -259,6 +317,10 @@ class NaturalGradient:
         for v, nv in zip(variables, new_values):
             v._unconstrained = nv
 
+    @check_shapes(
+        "parameters[all][0]: [N, D]",
+        "parameters[all][1]: [D, N, N]",
+    )
     def _natgrad_steps(
         self,
         loss_fn: LossClosure,
@@ -343,6 +405,12 @@ class NaturalGradient:
         varsqrt_new = jnp.where(ok, varsqrt_new, q_sqrt_value)
         return mean_new, varsqrt_new, ok
 
+    @check_shapes(
+        "q_mu_grad: [N, D]",
+        "q_sqrt_grad: [D, N_N_transformed...]",
+        "q_mu: [N, D]",
+        "q_sqrt: [D, N, N]",
+    )
     def _natgrad_apply_gradients(
         self,
         q_mu_grad: jax.Array,
@@ -383,6 +451,14 @@ def swap_dimensions(
     method: Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 ) -> Callable[..., Tuple[jax.Array, jax.Array]]:
     @functools.wraps(method)
+    @check_shapes(
+        "a_nd: [N, D] if swap",
+        "a_nd: [D, N, 1] if not swap",
+        "b_dnn: [D, N, N]",
+        "return[0]: [N, D] if swap",
+        "return[0]: [D, N, 1] if not swap",
+        "return[1]: [D, N, N]",
+    )
     def wrapper(a_nd: jax.Array, b_dnn: jax.Array, swap: bool = True) -> Tuple[jax.Array, jax.Array]:
         if swap:
             a_dn1 = jnp.swapaxes(jnp.asarray(a_nd), -1, -2)[:, :, None]

@@ -89,6 +89,9 @@ class _QDistribution(Module):
 
 
 class _DeltaDist(_QDistribution):
+    @check_shapes(
+        "q_mu: [M, L]",
+    )
     def __init__(self, q_mu: TensorType) -> None:
         self.q_mu = q_mu
 
@@ -98,12 +101,20 @@ class _DeltaDist(_QDistribution):
 
 
 class _DiagNormal(_QDistribution):
+    @check_shapes(
+        "q_mu: [M, L]",
+        "q_sqrt: [M, L]",
+    )
     def __init__(self, q_mu: TensorType, q_sqrt: TensorType) -> None:
         self.q_mu = q_mu
         self.q_sqrt = q_sqrt
 
 
 class _MvNormal(_QDistribution):
+    @check_shapes(
+        "q_mu: [M, L]",
+        "q_sqrt: [L, M, M]",
+    )
     def __init__(self, q_mu: TensorType, q_sqrt: TensorType) -> None:
         self.q_mu = q_mu
         self.q_sqrt = q_sqrt
@@ -137,6 +148,10 @@ class PrecomputedValue:
         )
 
     @staticmethod
+    @check_shapes(
+        "alpha: [M, L] | [L, M, 1]",
+        "Qinv: [M, M] | [L, M, M]",
+    )
     def wrap_alpha_Qinv(alpha: TensorType, Qinv: TensorType) -> Tuple["PrecomputedValue", ...]:
         alpha_dynamic = (False,) * jnp.ndim(alpha)
         Qinv_dynamic = (False,) * jnp.ndim(Qinv)
@@ -174,6 +189,9 @@ def _validate_precompute_cache_type(
 class AbstractPosterior(Module, ABC):
     """Fused (no cache) vs cached prediction (reference ``posteriors.py:193-358``)."""
 
+    @check_shapes(
+        "X_data: [N, D] | [M, D, broadcast P]",
+    )
     def __init__(
         self,
         kernel: Kernel,
@@ -187,6 +205,11 @@ class AbstractPosterior(Module, ABC):
         self.mean_function = mean_function
         self._precompute_cache: Optional[PrecomputeCacheType] = None
 
+    @check_shapes(
+        "Xnew: [batch..., D]",
+        "mean: [batch..., Q]",
+        "return: [batch..., Q]",
+    )
     def _add_mean_function(self, Xnew: TensorType, mean: jax.Array) -> jax.Array:
         if self.mean_function is None:
             return mean
@@ -199,6 +222,10 @@ class AbstractPosterior(Module, ABC):
     @check_shapes(
         "Xnew: [batch..., N, D]",
         "return[0]: [batch..., N, P]",
+        "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+        "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+        "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+        "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
     )
     def fused_predict_f(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
@@ -226,6 +253,10 @@ class AbstractPosterior(Module, ABC):
     @check_shapes(
         "Xnew: [batch..., N, D]",
         "return[0]: [batch..., N, P]",
+        "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+        "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+        "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+        "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
     )
     def predict_f(
         self, Xnew: TensorType, full_cov: bool = False, full_output_cov: bool = False
@@ -294,6 +325,10 @@ class AbstractPosterior(Module, ABC):
 class GPRPosterior(AbstractPosterior):
     """Exact-GP posterior; cache = (err, Lm) (reference ``posteriors.py:361-443``)."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, Q]",
+    )
     def __init__(
         self,
         kernel: Kernel,
@@ -337,6 +372,10 @@ class GPRPosterior(AbstractPosterior):
         mean = jnp.matmul(jnp.swapaxes(Kmn, -1, -2), alpha)
         return self._add_mean_function(Xnew, mean)
 
+    @check_shapes(
+        "return[0]: [M, D]",
+        "return[1]: [M, M]",
+    )
     def _precompute_base(self) -> Tuple[PrecomputedValue, ...]:
         """(err, Lm) — everything the full conditional needs."""
         assert self.mean_function is not None
@@ -350,6 +389,11 @@ class GPRPosterior(AbstractPosterior):
             PrecomputedValue(Lm, (False, False)),
         )
 
+    @check_shapes(
+        "return[0]: [M, D]",
+        "return[1]: [M, M]",
+        "return[2]: [M, D]",
+    )
     def _precompute(self) -> Tuple[PrecomputedValue, ...]:
         err_v, Lm_v = self._precompute_base()
         err, Lm = err_v.value, Lm_v.value
@@ -372,6 +416,11 @@ class GPRPosterior(AbstractPosterior):
 class SGPRPosterior(AbstractPosterior):
     """SGPR posterior; cache = (L, LB, c) (reference ``posteriors.py:446-562``)."""
 
+    @check_shapes(
+        "data[0]: [N, D]",
+        "data[1]: [N, Q]",
+        "inducing_variable: [M, D, 1]",
+    )
     def __init__(
         self,
         kernel: Kernel,
@@ -422,6 +471,11 @@ class SGPRPosterior(AbstractPosterior):
             var = jnp.broadcast_to(var[:, None], var.shape + (self.num_latent_gps,))
         return mean, var
 
+    @check_shapes(
+        "return[0]: [M, M]",
+        "return[1]: [M, M]",
+        "return[2]: [M, D]",
+    )
     def _precompute_base(self) -> Tuple[PrecomputedValue, ...]:
         """(L, LB, c) — everything the full conditional needs."""
         assert self.mean_function is not None
@@ -448,6 +502,12 @@ class SGPRPosterior(AbstractPosterior):
             PrecomputedValue(c, (False, False)),
         )
 
+    @check_shapes(
+        "return[0]: [M, M]",
+        "return[1]: [M, M]",
+        "return[2]: [M, D]",
+        "return[3]: [M, D]",
+    )
     def _precompute(self) -> Tuple[PrecomputedValue, ...]:
         L_v, LB_v, c_v = self._precompute_base()
         L, LB, c = L_v.value, LB_v.value, c_v.value
@@ -480,6 +540,11 @@ class SGPRPosterior(AbstractPosterior):
 class VGPPosterior(AbstractPosterior):
     """VGP posterior; cache = (Lm,) (reference ``posteriors.py:565-636``)."""
 
+    @check_shapes(
+        "X: [N, D]",
+        "q_mu: [N, P]",
+        "q_sqrt: [N, P] | [P, N, N]",
+    )
     def __init__(
         self,
         kernel: Kernel,
@@ -520,6 +585,9 @@ class VGPPosterior(AbstractPosterior):
             white=self.white,
         )
 
+    @check_shapes(
+        "return[0]: [M, M]",
+    )
     def _precompute(self) -> Tuple[PrecomputedValue, ...]:
         X_data = cast(jax.Array, self.X_data)
         M = jnp.shape(X_data)[-2]
@@ -540,6 +608,11 @@ class VGPPosterior(AbstractPosterior):
 class BasePosterior(AbstractPosterior):
     """q(u)-posterior with (alpha, Qinv) cache (reference ``posteriors.py:639-746``)."""
 
+    @check_shapes(
+        "inducing_variable: [M, D, broadcast P]",
+        "q_mu: [N, P]",
+        "q_sqrt: [N, P] | [P, N, N]",
+    )
     def __init__(
         self,
         kernel: Kernel,
@@ -558,13 +631,23 @@ class BasePosterior(AbstractPosterior):
             self.update_cache(precompute_cache)
 
     @property
+    @check_shapes(
+        "return: [N, P]",
+    )
     def q_mu(self) -> jax.Array:
         return _value(self._q_dist.q_mu)
 
     @property
+    @check_shapes(
+        "return: [N, P] | [P, N, N]",
+    )
     def q_sqrt(self) -> Optional[jax.Array]:
         return _value(self._q_dist.q_sqrt)
 
+    @check_shapes(
+        "q_mu: [N, P]",
+        "q_sqrt: [N, P] | [P, N, N]",
+    )
     def _set_qdist(self, q_mu: TensorType, q_sqrt: TensorType) -> None:
         if q_sqrt is None:
             self._q_dist: _QDistribution = _DeltaDist(q_mu)
@@ -573,6 +656,10 @@ class BasePosterior(AbstractPosterior):
         else:
             self._q_dist = _MvNormal(q_mu, q_sqrt)
 
+    @check_shapes(
+        "return[0]: [M, L] | [L, M, 1]",
+        "return[1]: [L, M, M]",
+    )
     def _precompute(self) -> Tuple[PrecomputedValue, ...]:
         """Whitened: alpha = L^-T q_mu, Qinv = L^-T (I - S~) L^-1 with
         S~ = q_sqrt q_sqrt^T; unwhitened: S~ = L^-1 S L^-T
@@ -643,11 +730,26 @@ class BasePosterior(AbstractPosterior):
 class IndependentPosterior(BasePosterior):
     """reference ``posteriors.py:749-822``."""
 
+    @check_shapes(
+        "mean: [batch..., N, P]",
+        "cov: [batch..., P, N, N] if full_cov",
+        "cov: [batch..., N, P] if not full_cov",
+        "return[0]: [batch..., N, P]",
+        "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+        "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+        "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+        "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    )
     def _post_process_mean_and_cov(
         self, mean: jax.Array, cov: jax.Array, full_cov: bool, full_output_cov: bool
     ) -> MeanAndVariance:
         return mean, expand_independent_outputs(cov, full_cov, full_output_cov)
 
+    @check_shapes(
+        "Xnew: [N, D]",
+        "return: [P, N, N] | [N, N] if full_cov",
+        "return: [P, N] | [N] if not full_cov",
+    )
     def _get_Kff(self, Xnew: TensorType, full_cov: bool) -> jax.Array:
         if isinstance(self.kernel, (kernels.SeparateIndependent, kernels.IndependentLatent)):
             Kff = jnp.stack([k(Xnew, full_cov=full_cov) for k in self.kernel.kernels], axis=0)
@@ -762,6 +864,16 @@ class LinearCoregionalizationPosterior(IndependentPosteriorMultiOutput):
         # g-space latent means [..., N, L] -> output means [..., N, P]
         return jnp.matmul(mean, jnp.swapaxes(self.kernel.W.value, -1, -2))
 
+    @check_shapes(
+        "mean: [batch..., N, L]",
+        "cov: [batch..., L, N, N] if full_cov",
+        "cov: [batch..., N, L] if not full_cov",
+        "return[0]: [batch..., N, P]",
+        "return[1]: [batch..., N, P, N, P] if full_cov and full_output_cov",
+        "return[1]: [batch..., N, P, P] if (not full_cov) and full_output_cov",
+        "return[1]: [batch..., P, N, N] if full_cov and (not full_output_cov)",
+        "return[1]: [batch..., N, P] if (not full_cov) and (not full_output_cov)",
+    )
     def _post_process_mean_and_cov(
         self, mean: jax.Array, cov: jax.Array, full_cov: bool, full_output_cov: bool
     ) -> MeanAndVariance:

@@ -7,6 +7,7 @@ from typing import Optional, Tuple
 import jax
 
 from .base import Module, TensorType
+from .utilities.shapes import check_shapes
 
 __all__ = [
     "DiagonalGaussian",
@@ -38,6 +39,10 @@ class ProbabilityDistribution(Module):
 class Gaussian(ProbabilityDistribution):
     """mu: [N, D], cov: [N, D, D]."""
 
+    @check_shapes(
+        "mu: [N, D]",
+        "cov: [N, D, D]",
+    )
     def __init__(self, mu: TensorType, cov: TensorType) -> None:
         self.mu = mu
         self.cov = cov
@@ -50,6 +55,10 @@ class Gaussian(ProbabilityDistribution):
 class DiagonalGaussian(ProbabilityDistribution):
     """mu: [N, D], cov diagonal: [N, D]."""
 
+    @check_shapes(
+        "mu: [N, D]",
+        "cov: [N, D]",
+    )
     def __init__(self, mu: TensorType, cov: TensorType) -> None:
         self.mu = mu
         self.cov = cov
@@ -59,7 +68,7 @@ class DiagonalGaussian(ProbabilityDistribution):
         return self.mu.shape
 
 
-from .utilities.shapes import register_get_shape  # noqa: E402  (avoids cycle at class defs)
+from .utilities.shapes import register_get_shape  # noqa: E402
 
 
 @register_get_shape(ProbabilityDistribution)
@@ -76,6 +85,10 @@ class MarkovGaussian(ProbabilityDistribution):
     cross-covs between consecutive timesteps.
     """
 
+    @check_shapes(
+        "mu: [N_plus_1, D]",
+        "cov: [2, N_plus_1, D, D]",
+    )
     def __init__(self, mu: TensorType, cov: TensorType) -> None:
         self.mu = mu
         self.cov = cov

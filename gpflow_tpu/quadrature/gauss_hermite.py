@@ -50,8 +50,8 @@ def reshape_Z_dZ(
 
 
 @check_shapes(
-    "x: [.]",
-    "return[all]: [.]",
+    "x: [any...]",
+    "return[all]: [any...]",
 )
 def repeat_as_list(x: np.ndarray, n: int) -> List[np.ndarray]:
     """List of ``n`` references to ``x`` (reference ``gauss_hermite.py:80-90``)."""

@@ -1,5 +1,6 @@
+from typing import Any
+
 from . import bijectors
-from ..bijectors import positive, triangular, triangular_size
 from .checkpoints import load_checkpoint, save_checkpoint
 from .bucketing import bucket_size_for, bucketize, pad_to_bucket
 from .serving import ServedModel, export_serving, load_serving
@@ -85,3 +86,15 @@ __all__ = [
     "triangular",
     "triangular_size",
 ]
+
+
+def __getattr__(name: str) -> Any:
+    # positive/triangular/triangular_size live in gpflow_tpu.bijectors, whose
+    # shape contracts import utilities.shapes — resolving them lazily breaks
+    # the init cycle (see utilities/bijectors.py docstring)
+    if name in ("positive", "triangular", "triangular_size"):
+        from ..bijectors import positive, triangular, triangular_size
+
+        return {"positive": positive, "triangular": triangular,
+                "triangular_size": triangular_size}[name]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -9,6 +9,7 @@ import numpy as np
 
 from ..base import Module, Parameter, functionalize
 from ..config import default_float, default_int
+from .shapes import check_shapes
 
 __all__ = [
     "is_variable",
@@ -20,10 +21,18 @@ __all__ = [
 ]
 
 
+@check_shapes(
+    "x: [any...]",
+    "return: [any...]",
+)
 def to_default_int(x: Any) -> jax.Array:
     return jnp.asarray(x, dtype=default_int())
 
 
+@check_shapes(
+    "x: [any...]",
+    "return: [any...]",
+)
 def to_default_float(x: Any) -> jax.Array:
     return jnp.asarray(x, dtype=default_float())
 

@@ -6,6 +6,8 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+from .shapes import check_shapes
+
 __all__ = ["add_likelihood_noise_cov", "add_noise_cov", "assert_params_false"]
 
 
@@ -19,6 +21,11 @@ def assert_params_false(called_method: Callable[..., Any], **kwargs: bool) -> No
         )
 
 
+@check_shapes(
+    "K: [batch..., N, N]",
+    "likelihood_variance: [broadcast batch..., broadcast N]",
+    "return: [batch..., N, N]",
+)
 def add_noise_cov(K: jax.Array, likelihood_variance: jax.Array) -> jax.Array:
     """K + sigma^2 I, batched over leading dims (reference ``model_utils.py:28-38``)."""
     n = K.shape[-1]
@@ -26,6 +33,11 @@ def add_noise_cov(K: jax.Array, likelihood_variance: jax.Array) -> jax.Array:
     return K + jnp.asarray(likelihood_variance) * eye
 
 
+@check_shapes(
+    "K: [batch..., N, N]",
+    "X: [batch..., N, D]",
+    "return: [batch..., N, N]",
+)
 def add_likelihood_noise_cov(K: jax.Array, likelihood: Any, X: jax.Array) -> jax.Array:
     """K + diag(likelihood.variance_at(X)), batched over leading dims like
     the reference's set_diag form (``model_utils.py:41-50``): K

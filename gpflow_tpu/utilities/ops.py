@@ -27,12 +27,20 @@ __all__ = [
 ]
 
 
+@check_shapes(
+    "value: []",
+    "return: [N, N]",
+)
 def eye(num: int, value: jax.Array | float = 1.0, dtype: Optional[type] = None) -> jax.Array:
     """value * I_num (reference ``ops.py:27-34``)."""
     dtype = dtype or default_float()
     return jnp.asarray(value, dtype) * jnp.eye(num, dtype=dtype)
 
 
+@check_shapes(
+    "tensor: [any...]",
+    "return: [transposed_any...]",
+)
 def leading_transpose(tensor: jax.Array, perm: Sequence[int], leading_dim: int = 0) -> jax.Array:
     """Transposes tensors with leading dims left unchanged
     (reference ``ops.py:37-79``). ``perm`` uses ``...`` for leading dims and
@@ -53,6 +61,11 @@ def leading_transpose(tensor: jax.Array, perm: Sequence[int], leading_dim: int =
     return jnp.transpose(tensor, pre + lead + post)
 
 
+@check_shapes(
+    "a: [a_shape...]",
+    "b: [b_shape...]",
+    "return: [a_shape..., b_shape...]",
+)
 def broadcasting_elementwise(
     op: Callable[[jax.Array, jax.Array], jax.Array], a: jax.Array, b: jax.Array
 ) -> jax.Array:
@@ -113,6 +126,7 @@ def difference_matrix(X: jax.Array, X2: Optional[jax.Array]) -> jax.Array:
 
 @check_shapes(
     "X: [N, D]",
+    "latent_dim: []",
     "return: [N, Q]",
 )
 def pca_reduce(X: jax.Array, latent_dim: int) -> jax.Array:

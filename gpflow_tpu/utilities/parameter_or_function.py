@@ -10,6 +10,7 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
+from .shapes import check_shapes
 from ..base import Parameter, TensorData
 from ..bijectors import positive
 
@@ -38,6 +39,10 @@ def prepare_parameter_or_function(
     return Parameter(value, transform=positive(lower=lower_bound))
 
 
+@check_shapes(
+    "X: [batch..., N, D]",
+    "return: [broadcast batch..., broadcast N, broadcast P]",
+)
 def evaluate_parameter_or_function(
     value: ConstantOrFunction,
     X: jax.Array,

@@ -24,6 +24,10 @@ Spec syntax (subset of the reference package's):
   N] if full_cov and (X2 is None)"``, ``"return: [batch..., N] if not
   full_cov"`` — the guard grammar is ``and``/``or``/``not``/parentheses over
   atoms ``<arg>`` (truthiness), ``<arg> is None`` and ``<arg> is not None``
+* a spec may list rank alternatives separated by ``|``, as in
+  ``"q_sqrt: [M, R] | [R, M, M]"`` (the analog of the reference package's
+  compound specs like ``[M_R_or_R_M_M...]``): the first alternative that
+  matches commits its dimension bindings
 """
 from __future__ import annotations
 
@@ -148,7 +152,7 @@ def _compile_guard(guard: str) -> Guard:
     return frozenset(names), fn
 
 
-def _parse_spec(spec: str) -> Tuple[str, List[str], Optional[Guard]]:
+def _parse_spec(spec: str) -> Tuple[str, List[List[str]], Optional[Guard]]:
     name, _, dims = spec.partition(":")
     dims = dims.strip()
     cond: Optional[Guard] = None
@@ -159,11 +163,47 @@ def _parse_spec(spec: str) -> Tuple[str, List[str], Optional[Guard]]:
         if not guard.startswith("if "):
             raise ValueError(f"Bad shape-spec guard {guard!r} in {spec!r}")
         cond = _compile_guard(guard[len("if ") :])
-    if not (dims.startswith("[") and dims.endswith("]")):
-        raise ValueError(f"Bad shape spec {spec!r}")
-    inner = dims[1:-1].strip()
-    tokens = [t.strip() for t in inner.split(",")] if inner else []
-    return name.strip(), tokens, cond
+    alternatives: List[List[str]] = []
+    for alt in dims.split("|"):
+        alt = alt.strip()
+        if not (alt.startswith("[") and alt.endswith("]")):
+            raise ValueError(f"Bad shape spec {spec!r}")
+        inner = alt[1:-1].strip()
+        alternatives.append([t.strip() for t in inner.split(",")] if inner else [])
+    return name.strip(), alternatives, cond
+
+
+def _match_alternatives(
+    alternatives: Sequence[Sequence[str]],
+    shape: Tuple[int, ...],
+    bindings: Dict[str, Any],
+    where: str,
+) -> None:
+    """Matches ``shape`` against one of several alternative token lists
+    (spec syntax ``arg: [M, R] | [R, M, M]``, the analog of the reference
+    package's compound specs like ``q_sqrt: [M_R_or_R_M_M...]``). The first
+    alternative that matches commits its bindings; if none match, the first
+    alternative's error is raised."""
+    if len(alternatives) == 1:
+        _match(alternatives[0], shape, bindings, where)
+        return
+    first_error: Optional[ShapeError] = None
+    for tokens in alternatives:
+        trial = dict(bindings)
+        try:
+            _match(tokens, shape, trial, where)
+        except ShapeError as e:
+            if first_error is None:
+                first_error = e
+            continue
+        bindings.clear()
+        bindings.update(trial)
+        return
+    assert first_error is not None
+    raise ShapeError(
+        f"{where}: shape {shape} matches none of the alternatives "
+        f"{[list(a) for a in alternatives]} ({first_error})"
+    )
 
 
 def _match(
@@ -189,6 +229,16 @@ def _match(
         i = ell[0]
         head, tail = list(tokens[:i]), list(tokens[i + 1 :])
         n_var = len(shape) - len(head) - len(tail)
+        # broadcast rank leniency (numpy align-right): a value may have lower
+        # rank than its spec when the leftmost missing entries are
+        # broadcast-marked, e.g. a scalar variance against
+        # ``[broadcast batch..., broadcast N]`` (reference model_utils.py:30)
+        while n_var < 0 and head and head[0].startswith("broadcast "):
+            head.pop(0)
+            n_var += 1
+        while n_var < 0 and tail and tail[0].startswith("broadcast "):
+            tail.pop(0)
+            n_var += 1
         if n_var < 0:
             raise ShapeError(
                 f"{where}: shape {shape} has fewer dims than spec {list(tokens)}"
@@ -207,6 +257,9 @@ def _match(
             bindings[var_name + "..."] = var_dims
         fixed = list(zip(head, shape[: len(head)])) + list(zip(tail, shape[len(shape) - len(tail):]))
     else:
+        tokens = list(tokens)
+        while len(tokens) > len(shape) and tokens[0].startswith("broadcast "):
+            tokens.pop(0)  # broadcast rank leniency (see variadic branch)
         if len(tokens) != len(shape):
             raise ShapeError(
                 f"{where}: expected rank {len(tokens)} ({list(tokens)}), got shape {shape}"
@@ -232,16 +285,43 @@ def _match(
             )
 
 
+_SELECTOR_RE = re.compile(r"^(?P<base>\w+)(?P<selectors>(\[(all|\d+)\]|\.values\(\))*)$")
+
+
 def _split_multi(name: str) -> Tuple[str, Callable[[Any], Any]]:
     """Resolves the reference package's multi-value argument selectors:
-    ``xs[all]`` checks every element of a sequence argument and
-    ``Ys.values()`` every value of a dict argument (used e.g. at reference
-    ``quadrature/gauss_hermite.py:49`` and ``deprecated.py:132``)."""
-    if name.endswith("[all]"):
-        return name[: -len("[all]")], lambda v: list(v)
-    if name.endswith(".values()"):
-        return name[: -len(".values()")], lambda v: list(v.values())
-    return name, lambda v: [v]
+    ``xs[all]`` checks every element of a sequence argument, ``Ys.values()``
+    every value of a dict argument, ``data[0]`` one indexed element, and the
+    selectors compose — ``var_list[all][0]`` checks element 0 of every tuple
+    in a sequence (used e.g. at reference ``quadrature/gauss_hermite.py:49``,
+    ``deprecated.py:132`` and ``optimizers/natgrad.py:209-212``)."""
+    m = _SELECTOR_RE.match(name)
+    if m is None or not m.group("selectors"):
+        return name, lambda v: [v]
+    selectors = re.findall(r"\[(?:all|\d+)\]|\.values\(\)", m.group("selectors"))
+
+    def extract(v: Any) -> List[Any]:
+        values = [v]
+        for sel in selectors:
+            try:
+                if sel == "[all]":
+                    # require __len__ so a one-shot iterator is never consumed
+                    values = [
+                        item
+                        for seq in values
+                        if seq is not None and hasattr(seq, "__len__")
+                        for item in seq
+                    ]
+                elif sel == ".values()":
+                    values = [item for d in values if d is not None for item in d.values()]
+                else:
+                    idx = int(sel[1:-1])
+                    values = [seq[idx] for seq in values if seq is not None]
+            except (TypeError, IndexError, KeyError, AttributeError):
+                return []  # not selectable (e.g. an iterator of batches): skip
+        return values
+
+    return m.group("base"), extract
 
 
 _get_shape_registry: Dict[type, Callable[[Any], Any]] = {}
@@ -262,6 +342,10 @@ def register_get_shape(tp: type) -> Callable[[Callable[[Any], Any]], Callable[[A
 
 
 def _shape_of(value: Any) -> Optional[Tuple[int, ...]]:
+    if isinstance(value, bool):
+        return None  # flags are not shaped values
+    if isinstance(value, (int, float)):
+        return ()  # Python scalars satisfy scalar specs like "return: []"
     for tp, fn in _get_shape_registry.items():
         if isinstance(value, tp):
             shape = fn(value)
@@ -339,7 +423,7 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
                         where = f"{fn.__qualname__} argument {name!r}"
                         if name != base:
                             where += f" element {i}"
-                        _match(tokens, shape, bindings, where)
+                        _match_alternatives(tokens, shape, bindings, where)
             result = fn(*args, **kwargs)
             for name, tokens, cond in ret_specs:
                 if not active(cond):
@@ -348,6 +432,10 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
                     values = list(result)
                 elif name.startswith("return["):
                     values = [result[int(name[len("return[") : -1])]]
+                elif name.startswith("return."):
+                    # attribute selector on a NamedTuple/dataclass return,
+                    # e.g. "return.sigma_sq: [N]" (reference sgpr.py:173-179)
+                    values = [getattr(result, name[len("return.") :])]
                 else:
                     values = [result]
                 for value in values:
@@ -355,7 +443,7 @@ def check_shapes(*specs: str) -> Callable[[F], F]:
                         continue
                     shape = _shape_of(value)
                     if shape is not None:
-                        _match(tokens, shape, bindings, f"{fn.__qualname__} {name}")
+                        _match_alternatives(tokens, shape, bindings, f"{fn.__qualname__} {name}")
             return result
 
         wrapper.__check_shapes__ = specs  # type: ignore[attr-defined]
