@@ -256,10 +256,14 @@ def bench_natgrad_nonconjugate(results: dict) -> None:
 
 
 def bench_gpr_nlml(results: dict) -> None:
-    """Exact-GP NLML wall-clock per jitted evaluation (ref gpr.py:91-107)."""
+    """Exact-GP NLML wall-clock per jitted evaluation AND per value_and_grad
+    (ref gpr.py:91-107). The backward is the L-BFGS hot path (SURVEY §3.2):
+    the [N, N] Cholesky pullback routes through the matmul-only
+    chol_and_inverse custom VJP (ops/linalg.py)."""
     import jax
 
     from gpflow_tpu import kernels
+    from gpflow_tpu.base import functionalize
     from gpflow_tpu.models import GPR
 
     rng = np.random.RandomState(1)
@@ -283,6 +287,22 @@ def bench_gpr_nlml(results: dict) -> None:
         float(v)  # host sync
         dt = time.perf_counter() - t0
         results[f"gpr_nlml_ms_n{n // 1024}k"] = round(1000 * dt / n_calls, 2)
+
+        # forward+backward: what one L-BFGS iteration actually pays
+        params = list(model.trainable_parameters)
+        plain = functionalize(model.training_loss, params)
+        vg = jax.jit(jax.value_and_grad(plain))
+        import jax.numpy as jnp
+
+        unc = tuple(jax.device_put(jnp.asarray(p._unconstrained)) for p in params)
+        val, grads = vg(unc)  # compile
+        assert np.isfinite(float(val))
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            val, grads = vg(unc)
+        float(val)  # host sync
+        dt = time.perf_counter() - t0
+        results[f"gpr_nlml_grad_ms_n{n // 1024}k"] = round(1000 * dt / n_calls, 2)
 
 
 def main() -> None:

@@ -49,6 +49,11 @@ class BenchmarkSet(NamedTuple):
                     continue  # dense N^3 models are excluded from LARGE datasets
                 if "classification" in d_tags and "classification" not in m_tags:
                     continue
+                # multiclass datasets pair only with multiclass models and
+                # vice versa (a Bernoulli/Gaussian model on 10-class labels
+                # is not a meaningful benchmark row)
+                if ("multiclass" in d_tags) != ("multiclass" in m_tags):
+                    continue
                 tasks.append(Task(d, m, self.repetitions, self.maxiter))
         return tasks
 
@@ -80,7 +85,7 @@ SUITES.register(
     BenchmarkSet(
         "uci",
         datasets=DATASETS.names("REAL_DATA"),
-        models=["gpr", "sgpr", "vgp", "svgp"],
+        models=["gpr", "sgpr", "vgp", "svgp", "svgp_multiclass", "svgp_softmax"],
         repetitions=5,
         maxiter=1000,
     ),

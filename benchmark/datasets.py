@@ -287,6 +287,42 @@ DATASETS.register(
 )
 
 
+def _multiclass_sklearn(loader, name: str, seed: int) -> Dataset:
+    """Shared loader for the offline sklearn multiclass sets: X normalised,
+    Y = integer class index as a float column (the MultiClass/Softmax
+    likelihoods consume the index, not one-hot)."""
+    raw = loader()
+    X = _normalise(np.asarray(raw.data, dtype=float))
+    Y = np.asarray(raw.target, dtype=float).reshape(-1, 1)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(X))
+    X, Y = X[perm], Y[perm]
+    n_test = round(0.1 * len(X))
+    return Dataset(name, (X[n_test:], Y[n_test:]), (X[:n_test], Y[:n_test]))
+
+
+def _digits() -> Dataset:
+    """sklearn digits (N=1797, D=64, 10 classes) — the offline stand-in for a
+    real multiclass benchmark (VERDICT r3 #3): exercises MultiClass/RobustMax
+    and Softmax SVGP at real scale."""
+    from sklearn.datasets import load_digits
+
+    return _multiclass_sklearn(load_digits, "digits", 20220722)
+
+
+def _wine() -> Dataset:
+    """sklearn wine (N=178, D=13, 3 classes) — small real multiclass set.
+    Distinct from the reference's red_wine/white_wine UCI REGRESSION sets
+    (those score wine quality 0-10; this classifies cultivars)."""
+    from sklearn.datasets import load_wine
+
+    return _multiclass_sklearn(load_wine, "wine", 20220722)
+
+
+DATASETS.register("digits", _digits, tags=["MEDIUM", "multiclass", "REAL_DATA"])
+DATASETS.register("wine", _wine, tags=["MEDIUM", "multiclass", "REAL_DATA"])
+
+
 DATASETS.register("tiny_linear", _tiny_linear, tags=["TINY", "regression"])
 DATASETS.register("tiny_sine", _tiny_sine, tags=["TINY", "regression"])
 DATASETS.register(

@@ -30,6 +30,7 @@ METRICS = [
     Metric("nlpd", "Negative Log Predictive Density", MetricOrientation.LOWER_IS_BETTER, None),
     Metric("mae", "Mean Absolute Error", MetricOrientation.LOWER_IS_BETTER, None),
     Metric("rmse", "Root Mean Squared Error", MetricOrientation.LOWER_IS_BETTER, None),
+    Metric("accuracy", "Classification accuracy", MetricOrientation.GREATER_IS_BETTER, None),
     Metric(
         "posterior_build_time", "Time to build posterior",
         MetricOrientation.LOWER_IS_BETTER, "s",

@@ -74,10 +74,47 @@ def _svgp(data: Tuple[np.ndarray, np.ndarray]):
     )
 
 
+def _num_classes(Y: np.ndarray) -> int:
+    return int(Y.max()) + 1
+
+
+def _svgp_multiclass(data: Tuple[np.ndarray, np.ndarray]):
+    """SVGP + MultiClass(RobustMax): C latent GPs, analytic GH var-exp
+    (reference likelihood: gpflow/likelihoods/multiclass.py RobustMax)."""
+    import gpflow_tpu
+
+    X, Y = data
+    C = _num_classes(Y)
+    return gpflow_tpu.models.SVGP(
+        kernel=_kernel(X.shape[1]),
+        likelihood=gpflow_tpu.likelihoods.MultiClass(C),
+        inducing_variable=_inducing(X),
+        num_latent_gps=C,
+        num_data=len(X),
+    )
+
+
+def _svgp_softmax(data: Tuple[np.ndarray, np.ndarray]):
+    """SVGP + Softmax (Monte-Carlo variational expectations), C latent GPs."""
+    import gpflow_tpu
+
+    X, Y = data
+    C = _num_classes(Y)
+    return gpflow_tpu.models.SVGP(
+        kernel=_kernel(X.shape[1]),
+        likelihood=gpflow_tpu.likelihoods.Softmax(C),
+        inducing_variable=_inducing(X),
+        num_latent_gps=C,
+        num_data=len(X),
+    )
+
+
 MODELS.register("gpr", _gpr, tags=["regression", "non_large"])
 MODELS.register("vgp", _vgp, tags=["regression", "classification", "non_large"])
 MODELS.register("sgpr", _sgpr, tags=["regression", "all_sizes"])
 MODELS.register("svgp", _svgp, tags=["regression", "classification", "all_sizes"])
+MODELS.register("svgp_multiclass", _svgp_multiclass, tags=["multiclass", "all_sizes"])
+MODELS.register("svgp_softmax", _svgp_softmax, tags=["multiclass", "all_sizes"])
 
 
 def create_model(name: str, data: Tuple[np.ndarray, np.ndarray]):

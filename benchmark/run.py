@@ -64,9 +64,18 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
 
     ld = np.asarray(model.predict_log_density((Xt, Yt)))
     nlpd = float(-np.mean(ld))
-    err = np.asarray(f_mean) - Yt
-    mae = float(np.mean(np.abs(err)))
-    rmse = float(np.sqrt(np.mean(err ** 2)))
+    f_mean_np = np.asarray(f_mean)
+    if f_mean_np.shape[-1] != Yt.shape[-1]:
+        # multiclass: predict_y returns [N, C] class probabilities while Y is
+        # the [N, 1] class index — report accuracy; MAE/RMSE on class labels
+        # would be meaningless
+        accuracy = float(np.mean(np.argmax(f_mean_np, axis=-1) == Yt[:, 0]))
+        mae = rmse = float("nan")
+    else:
+        accuracy = float("nan")
+        err = f_mean_np - Yt
+        mae = float(np.mean(np.abs(err)))
+        rmse = float(np.sqrt(np.mean(err ** 2)))
 
     row: Dict[str, Any] = {
         "suite_task": f"{task.dataset}/{task.model}",
@@ -80,6 +89,7 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
         "nlpd": nlpd,
         "mae": mae,
         "rmse": rmse,
+        "accuracy": accuracy,
     }
 
     if hasattr(model, "posterior"):

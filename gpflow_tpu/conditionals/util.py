@@ -234,11 +234,19 @@ def base_conditional_with_lm(
             LTA = A[..., None, :, :] * jnp.transpose(q_sqrt)[:, :, None]
         elif q_sqrt.ndim == 3:
             L = jnp.tril(q_sqrt)  # [R, M, M]
-            L_b = jnp.broadcast_to(L, leading_dims + L.shape)
-            A_tiled = jnp.broadcast_to(
-                jnp.expand_dims(A, -3), leading_dims + (num_func, M, N)
-            )
-            LTA = jnp.matmul(jnp.swapaxes(L_b, -1, -2), A_tiled)  # [..., R, M, N]
+            if not leading_dims and L.shape[0] == 1:
+                # R=1 fast path: a [1, M, M] x [1, M, N] batched matmul hits
+                # XLA:TPU's batch-in-sublanes emitter — its backward dot runs
+                # f32 with {1,2,0}-layout copies (profiled 0.44 ms vs 0.35 ms
+                # roofline at M=2048, B=8192; see PERFORMANCE.md op table).
+                # The squeezed 2-D matmul rides the plain MXU path.
+                LTA = jnp.matmul(L[0].T, A)[None]  # [1, M, N]
+            else:
+                L_b = jnp.broadcast_to(L, leading_dims + L.shape)
+                A_tiled = jnp.broadcast_to(
+                    jnp.expand_dims(A, -3), leading_dims + (num_func, M, N)
+                )
+                LTA = jnp.matmul(jnp.swapaxes(L_b, -1, -2), A_tiled)  # [..., R, M, N]
         else:  # pragma: no cover
             raise ValueError(f"Bad dimension for q_sqrt: {q_sqrt.ndim}")
 

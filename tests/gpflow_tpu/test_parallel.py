@@ -697,3 +697,51 @@ def test_sharded_predict_f_posterior_matches_local():
     mean_s, var_s = sharded_predict_f(posterior, Xt)
     np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_l), rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_l), rtol=1e-10, atol=1e-12)
+
+
+def test_checkpoint_roundtrip_across_mesh_shapes(tmp_path):
+    """Save sharded training state mid-run on an 8-device mesh, restore onto
+    a 4-device mesh, continue — losses must match an unbroken run
+    (VERDICT r4 #6; reference checkpoint story
+    saving_and_loading.pct.py:103-190)."""
+    batches8 = (np.stack([X[i * 32 % (N - 32):][:32] for i in range(6)]),
+                np.stack([Y[i * 32 % (N - 32):][:32] for i in range(6)]))
+
+    # unbroken run: 6 steps on the 8-device mesh
+    model_a = _svgp()
+    tr_a = DataParallelTrainer(model_a, optimizer=optax.adam(5e-2),
+                               mesh=make_mesh(8), donate=False)
+    losses_a = np.asarray(tr_a.run_steps(batches8))
+
+    # broken run: 3 steps on 8 devices, checkpoint, restore onto 4 devices
+    model_b = _svgp()
+    tr_b = DataParallelTrainer(model_b, optimizer=optax.adam(5e-2),
+                               mesh=make_mesh(8), donate=False)
+    first3 = (batches8[0][:3], batches8[1][:3])
+    last3 = (batches8[0][3:], batches8[1][3:])
+    losses_b1 = np.asarray(tr_b.run_steps(first3))
+    tr_b.save_state(str(tmp_path / "ckpt"))
+
+    model_c = _svgp()  # fresh (untrained) model — state must come from disk
+    tr_c = DataParallelTrainer(model_c, optimizer=optax.adam(5e-2),
+                               mesh=make_mesh(4), donate=False)
+    tr_c.load_state(str(tmp_path / "ckpt"))
+    losses_b2 = np.asarray(tr_c.run_steps(last3))
+
+    np.testing.assert_allclose(
+        np.concatenate([losses_b1, losses_b2]), losses_a, rtol=1e-6
+    )
+    # finalize writes restored+trained values back into the fresh model
+    tr_c.finalize()
+    np.testing.assert_allclose(
+        float(model_c.training_loss((X, Y))), float(tr_c.loss((X, Y))), rtol=1e-8
+    )
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    model = _svgp()
+    tr = DataParallelTrainer(model, optimizer=optax.adam(5e-2), donate=False)
+    tr.save_state(str(tmp_path / "ckpt2"))
+    other = DataParallelTrainer(_svgp(), optimizer=optax.sgd(0.1), donate=False)
+    with pytest.raises(ValueError, match="leaves|structure"):
+        other.load_state(str(tmp_path / "ckpt2"))

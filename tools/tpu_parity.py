@@ -149,8 +149,12 @@ def config3_svgp_natgrad():
     m = SVGP(kernel=kernels.SquaredExponential(), likelihood=likelihoods.Bernoulli(),
              inducing_variable=X[:32].copy(), num_data=N)
     natgrad = NaturalGradient(gamma=0.5)
+    # ONE loss closure for the whole loop: a fresh lambda per iteration is a
+    # new cache key for the compiled natgrad step, i.e. one full XLA f64
+    # recompile per call (this was the entire 211 s of this config in r3)
+    loss = lambda: -m.elbo((X, Y))  # noqa: E731
     for _ in range(10):
-        natgrad.minimize(lambda: -m.elbo((X, Y)), [(m.q_mu, m.q_sqrt)])
+        natgrad.minimize(loss, [(m.q_mu, m.q_sqrt)])
 
     var = float(m.kernel.variance.value)
     ls = np.asarray(m.kernel.lengthscales.value)
@@ -232,11 +236,15 @@ def config5_heteroskedastic():
     variational = {id(m.q_mu), id(m.q_sqrt)}
     hyper = [p for p in m.trainable_parameters if id(p) not in variational]
     natgrad = NaturalGradient(gamma=0.5)
+    # one closure object across all 40 natgrad calls (see config3 note): the
+    # r3 artifact burned 1734 s recompiling the f64 heteroskedastic graph
+    # once per loop iteration
+    loss = lambda: -m.elbo((X, Y))  # noqa: E731
     for _ in range(20):
-        natgrad.minimize(lambda: -m.elbo((X, Y)), [(m.q_mu, m.q_sqrt)])
-    adam_train(m, lambda: -m.elbo((X, Y)), steps=40, lr=0.01, params=hyper)
+        natgrad.minimize(loss, [(m.q_mu, m.q_sqrt)])
+    adam_train(m, loss, steps=40, lr=0.01, params=hyper)
     for _ in range(20):
-        natgrad.minimize(lambda: -m.elbo((X, Y)), [(m.q_mu, m.q_sqrt)])
+        natgrad.minimize(loss, [(m.q_mu, m.q_sqrt)])
 
     q_mu = np.asarray(m.q_mu.value)
     S_list = oracles.q_sqrt_to_S(m.q_sqrt.value)
