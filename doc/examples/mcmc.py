@@ -1,5 +1,42 @@
-"""Fully Bayesian inference with MCMC: GPMC + the built-in HMC sampler
-(mirrors the reference's mcmc notebook)."""
+"""Fully Bayesian inference with MCMC: GPMC + the built-in HMC sampler.
+
+Mirrors the reference's ``mcmc`` notebook.
+
+What GPMC samples, and why it is whitened
+-----------------------------------------
+Variational models (VGP/SVGP) fit ONE Gaussian q and point-estimate the
+hyperparameters. GPMC instead samples the full joint posterior
+p(f, theta | y) for a non-Gaussian likelihood — the gold standard when you
+need hyperparameter uncertainty or the posterior is non-Gaussian enough
+that a Gaussian q misrepresents it.
+
+Sampling f directly mixes terribly: its prior covariance K couples all N
+values, so the sampler would need K-aware step sizes. GPMC therefore
+parameterises the WHITENED vector v ~ N(0, I) with f = L v + m(X), where
+L L^T = K (models/gpmc.py). The prior on v is isotropic — HMC's single
+step size fits every direction — and kernel hyperparameters can move
+without invalidating the current v (the classic "whitening"
+reparameterisation for GP samplers).
+
+How the pieces map to code
+--------------------------
+* Every sampled hyperparameter needs a PRIOR (set below); unconstrained
+  sampling applies the log-Jacobian correction of each parameter's
+  transform automatically (SamplingHelper wraps log_posterior_density).
+* run_hmc (optimizers/mcmc.py) is a lax.scan'd leapfrog HMC — the whole
+  chain is ONE compiled program on the accelerator. Burn-in uses
+  dual-averaging step-size adaptation (the role the reference fills with
+  tfp.mcmc.SimpleStepSizeAdaptation).
+* Correctness oracle: on a CONJUGATE problem the sampled posterior must
+  match the analytic GPR posterior — tests/gpflow_tpu/optimizers/ pins
+  exactly that (mean/variance of the chain vs closed form).
+
+Reading the output: each constrained chain below is the marginal posterior
+of one hyperparameter; wide spreads are the point of the exercise — they
+are what the variational point estimate throws away. For predictions,
+average model.predict_y over MANY samples (here we use the last sample
+only, to keep the example fast).
+"""
 import jax
 import numpy as np
 

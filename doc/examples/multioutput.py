@@ -1,5 +1,41 @@
-"""Multi-output GPs: SharedIndependent and LinearCoregionalization SVGP
-(mirrors the reference's multioutput notebook)."""
+"""Multi-output GPs: SharedIndependent and LinearCoregionalization SVGP.
+
+Mirrors the reference's ``multioutput`` notebook.
+
+The design space
+----------------
+A multi-output GP models P correlated outputs. Everything reduces to two
+choices — how many LATENT processes L drive the outputs, and how outputs
+mix them:
+
+* SharedIndependent / SeparateIndependent (L = P, identity mixing): each
+  output is its own GP; "shared" means one kernel's hyperparameters serve
+  all outputs, "separate" means one kernel each. No output correlation is
+  modelled, but the conditional factorises per output — the cheapest path
+  (posteriors.IndependentPosteriorMultiOutput).
+* LinearCoregionalization (L < P, learned mixing W [P, L]): outputs are
+  linear combinations f(x) = W g(x) of L independent latent GPs — the
+  classic semiparametric latent factor model. Output correlations come
+  from W; inference runs in the cheap L-dimensional latent space
+  (posteriors.LinearCoregionalizationPosterior routes the mixing AFTER
+  the latent conditional, so the cost is L-, not P-, sized).
+
+Matching inducing variables: SharedIndependentInducingVariables places one
+set of inducing points for every latent process; SeparateIndependent...
+gives each latent its own set (required when latent lengthscales differ, as
+below). The covariances (Kuu/Kuf shapes) for every kernel x inducing-
+variable combination are registered in covariances/multioutput/.
+
+full_output_cov: predict_f(..., full_output_cov=True) returns the [N, P, P]
+cross-output covariance (the W-induced correlations); the default returns
+just the [N, P] marginals. The posterior-class selection grid (which
+combination takes which fast path) is exhaustively tested in
+tests/gpflow_tpu/posteriors/.
+
+Scaling note: for latent-parallel training over a 2-D (data x latent)
+device mesh — each device holding L/d of the [L, M, M] variational state —
+see DataParallelTrainer(latent_axis=...) and SURVEY's dryrun path #3.
+"""
 import jax
 import numpy as np
 import optax
