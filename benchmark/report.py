@@ -23,11 +23,16 @@ __all__ = ["render_report"]
 _METRICS = [
     ("training_time", "s", 2),
     ("n_training_iterations", "", 0),
+    # device time per L-BFGS iteration — the number to compare across
+    # machines; wall training_time is dominated by host<->TPU tunnel
+    # round-trips in this environment (VERDICT r3 #3)
+    ("training_iteration_time", "s", 4),
     ("prediction_time", "s", 4),
     ("posterior_prediction_time", "s", 4),
     ("nlpd", "", 3),
     ("mae", "", 3),
     ("rmse", "", 3),
+    ("accuracy", "", 3),
 ]
 
 
@@ -78,7 +83,11 @@ def render_report(results_dir: str, title: str = "Benchmark results") -> str:
         reps = by_task[task]
         cells = [task, str(len(reps))]
         for name, _, _ in _METRICS:
-            vals = [float(r[name]) for r in reps if r.get(name) not in (None, "")]
+            vals = [
+                float(r[name])
+                for r in reps
+                if r.get(name) not in (None, "") and not math.isnan(float(r[name]))
+            ]
             cells.append(_mean_std(vals) if vals else "—")
         lines.append("| " + " | ".join(cells) + " |")
     lines.append("")

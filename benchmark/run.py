@@ -121,6 +121,9 @@ def _run_child(suite_name: str, task_index: int, rep: int, out_path: str) -> Non
     from .benchmarks import get_suite
 
     task = get_suite(suite_name).get_tasks()[task_index]
+    maxiter_override = os.environ.get("GPFLOW_TPU_BENCH_MAXITER")
+    if maxiter_override:
+        task = task._replace(maxiter=int(maxiter_override))
     row = _collect_metrics(task, rep)
     with open(out_path, "w") as f:
         json.dump(row, f)
@@ -230,6 +233,13 @@ def main() -> None:
         "metadata.json; useful on slow/shared hardware)",
     )
     parser.add_argument(
+        "--maxiter",
+        type=int,
+        default=None,
+        help="override the suite's per-task L-BFGS iteration cap (recorded "
+        "in metadata.json; wall time on tunneled chips is ~linear in it)",
+    )
+    parser.add_argument(
         "--plot",
         nargs="*",
         default=None,
@@ -250,6 +260,11 @@ def main() -> None:
         tasks = shard_tasks(tasks, i, n)
 
     os.makedirs(args.dest, exist_ok=True)
+    if args.maxiter is not None:
+        # reaches the per-task subprocesses through the environment (tasks
+        # themselves are left untouched: task_index lookups rely on equality
+        # with the suite's own task list)
+        os.environ["GPFLOW_TPU_BENCH_MAXITER"] = str(args.maxiter)
     rows = []
     for task in tasks:
         task_index = all_tasks.index(task)
@@ -267,7 +282,11 @@ def main() -> None:
                         flush=True,
                     )
             else:
-                row = {**_collect_metrics(task, rep), "status": "ok"}
+                run_task = (
+                    task._replace(maxiter=args.maxiter)
+                    if args.maxiter is not None else task
+                )
+                row = {**_collect_metrics(run_task, rep), "status": "ok"}
             rows.append(row)
 
     out = os.path.join(args.dest, "results.csv")
@@ -281,6 +300,8 @@ def main() -> None:
         metadata = _gather_metadata(args.suite, len(tasks))
         if args.repetitions is not None:
             metadata["repetitions_override"] = args.repetitions
+        if args.maxiter is not None:
+            metadata["maxiter_override"] = args.maxiter
         json.dump(metadata, f, indent=2)
     print(f"[benchmark] wrote {out}")
 
