@@ -67,13 +67,25 @@ class GPR_deprecated(GPModel, InternalDataTrainingLossMixin):
     @check_shapes("return: []")
     def log_marginal_likelihood(self) -> jax.Array:
         """log p(Y | theta) via Cholesky of K + sigma^2 I
-        (reference ``gpr.py:91-107``) — the O(N^3) hot path."""
+        (reference ``gpr.py:91-107``) — the O(N^3) hot path.
+
+        Under ``GPFLOW_TPU_INV_SOLVE`` the density takes the ANALYTIC
+        pullback (``ops.linalg.mvn_logp``: dK = 1/2 beta beta^T - 1/2 K^-1,
+        one matmul + a blocked triangular inverse): differentiating through
+        the factorization instead — XLA's stock Cholesky VJP or the generic
+        matmul pullback — measured 6-12x the forward at N=8k-16k, and THAT
+        is the actual hot path of L-BFGS training (SURVEY §3.2)."""
         X, Y = self.data
         K = self.kernel(X)
         ks = add_likelihood_noise_cov(K, self.likelihood, X)
-        L = jnp.linalg.cholesky(ks)
-        m = self.mean_function(X)
+        from ..conditionals.util import _use_inv_solve
 
+        m = self.mean_function(X)
+        if _use_inv_solve():
+            from ..ops.linalg import mvn_logp
+
+            return jnp.sum(mvn_logp(ks, Y - m))
+        L = jnp.linalg.cholesky(ks)
         # [R,] log-likelihoods for each independent dimension of Y
         # (multivariate_normal treats rows as the event dim, columns as R)
         log_prob = multivariate_normal(Y, m, L)

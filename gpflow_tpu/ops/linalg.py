@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-__all__ = ["chol_and_inverse", "sym_jitter", "triangular_inverse"]
+__all__ = [
+    "chol_and_inverse",
+    "cholesky_mm",
+    "mvn_logp",
+    "sym_jitter",
+    "triangular_inverse",
+]
 
 
 def _T(x: jax.Array) -> jax.Array:
@@ -55,9 +61,69 @@ def _lower_triangular_inverse_values(L: jax.Array) -> jax.Array:
     identity. (A recursive-doubling blocked variant — batched diagonal-block
     solve + log-depth matmuls — measures ~2.5x faster in isolation at M=2048
     but LOSES ~10% end-to-end inside the fused SVGP step: the slice/concat
-    traffic breaks XLA's scheduling. Keep the single fusable solve.)"""
+    traffic breaks XLA's scheduling. Keep the single fusable solve here; the
+    STANDALONE large-N contexts (exact-GP gradients) use
+    ``_blocked_lower_triangular_inverse`` below instead.)"""
     eye = jnp.eye(L.shape[-1], dtype=L.dtype)
     return solve_triangular(L, jnp.broadcast_to(eye, L.shape), lower=True)
+
+
+_BLOCK = 512  # diagonal-block size for the recursive-doubling inverse
+
+
+def _blocked_lower_triangular_inverse(L: jax.Array, block: int = _BLOCK) -> jax.Array:
+    """L^-1 for 2-D lower-triangular ``L`` by recursive doubling: invert the
+    [n/b] diagonal blocks with ONE batched small solve, then combine pairs in
+    log2(n/b) rounds of batched MXU matmuls,
+
+        inv([[A, 0], [B, C]]) = [[A^-1, 0], [-C^-1 B A^-1, C^-1]].
+
+    ~(2/3) n^3 matmul FLOPs replace a latency-bound [n, n]-RHS triangular
+    solve — worth it only standalone at large n (exact-GP NLML backward:
+    see ``cholesky_mm``), NOT inside the fused SVGP step (docstring above).
+    Requires n to be a multiple of ``block`` with n/block a power of two;
+    callers fall back to the plain solve otherwise. Matmuls run at HIGHEST
+    precision: the inverse feeds gradient pullbacks, where fast-bf16
+    rounding would dominate the cond(L)*eps error budget."""
+    n = L.shape[-1]
+    nb = n // block
+    # batched diagonal-block inverse: [nb, b, b]
+    blocks = L.reshape(nb, block, nb, block)
+    diag = jnp.moveaxis(blocks, 2, 1)[jnp.arange(nb), jnp.arange(nb)]
+    inv = solve_triangular(
+        diag, jnp.broadcast_to(jnp.eye(block, dtype=L.dtype), diag.shape), lower=True
+    )  # [nb, b, b]
+    hi = jax.lax.Precision.HIGHEST
+    s = block
+    while s < n:
+        p = n // (2 * s)  # pairs at this level
+        # off-diagonal B blocks of the ORIGINAL matrix at this granularity:
+        # B_j = L[(2j+1)s:(2j+2)s, 2js:(2j+1)s]
+        grid = jnp.moveaxis(L.reshape(n // s, s, n // s, s), 2, 1)
+        rows = 2 * jnp.arange(p) + 1
+        cols = 2 * jnp.arange(p)
+        B = grid[rows, cols]  # [p, s, s]
+        A_inv = inv[0::2]  # [p, s, s]
+        C_inv = inv[1::2]
+        X = -jnp.matmul(C_inv, jnp.matmul(B, A_inv, precision=hi), precision=hi)
+        zeros = jnp.zeros_like(X)
+        top = jnp.concatenate([A_inv, zeros], axis=-1)
+        bottom = jnp.concatenate([X, C_inv], axis=-1)
+        inv = jnp.concatenate([top, bottom], axis=-2)  # [p, 2s, 2s]
+        s *= 2
+    return inv[0]
+
+
+def _large_triangular_inverse(L: jax.Array) -> jax.Array:
+    """Dispatch: blocked recursive doubling when the static shape allows it
+    (2-D, n a power-of-two multiple of the block size, n >= 4 blocks),
+    else the plain solve."""
+    n = L.shape[-1]
+    if L.ndim == 2 and n % _BLOCK == 0:
+        nb = n // _BLOCK
+        if nb >= 4 and (nb & (nb - 1)) == 0:
+            return _blocked_lower_triangular_inverse(L)
+    return _lower_triangular_inverse_values(L)
 
 
 def _phi(x: jax.Array) -> jax.Array:
@@ -131,3 +197,96 @@ def _chol_and_inverse_bwd(
 
 
 chol_and_inverse.defvjp(_chol_and_inverse_fwd, _chol_and_inverse_bwd)
+
+
+@jax.custom_vjp
+def cholesky_mm(K: jax.Array) -> jax.Array:
+    """``cholesky(K)`` with a matmul-dominated pullback for LARGE standalone
+    factorizations (the exact-GP NLML backward, SURVEY §3.2).
+
+    XLA's stock Cholesky VJP runs wide [n, n]-RHS triangular solves — at
+    n=16384 the GPR value_and_grad measured ~12x the forward. This wrapper's
+    backward computes ``L^-1`` ONCE (recursive-doubling blocked inverse when
+    the shape allows — batched small solves + log-depth MXU matmuls) and
+    evaluates the Cholesky pullback (Murray 2016, eq. 8)
+
+        dK = (1/2) L^-T (P + P^T) L^-1,   P = Phi(L^T dL)
+
+    as matmuls. The inverse is only materialized when gradients actually
+    flow; forward-only evaluation is exactly ``jnp.linalg.cholesky``.
+    Gradient error grows ~cond(K) * eps from the explicit inverse (the same
+    envelope as the INV_SOLVE conditional path, tested in
+    tests/gpflow_tpu/test_error_envelopes.py).
+    """
+    return jnp.linalg.cholesky(K)
+
+
+def _cholesky_mm_fwd(K: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    L = jnp.linalg.cholesky(K)
+    return L, L
+
+
+def _cholesky_mm_bwd(L: jax.Array, dL: jax.Array) -> Tuple[jax.Array]:
+    hi = jax.lax.Precision.HIGHEST
+    Linv = _large_triangular_inverse(L)
+    P = _phi(jnp.matmul(_T(L), dL, precision=hi))
+    dK = 0.5 * jnp.matmul(_T(Linv), jnp.matmul(P + _T(P), Linv, precision=hi),
+                          precision=hi)
+    return (dK,)
+
+
+cholesky_mm.defvjp(_cholesky_mm_fwd, _cholesky_mm_bwd)
+
+
+@jax.custom_vjp
+def mvn_logp(ks: jax.Array, d: jax.Array) -> jax.Array:
+    """[R] log densities log N(d_r | 0, ks) with the ANALYTIC pullback.
+
+    Forward — identical math to ``logdensities.multivariate_normal``:
+    one Cholesky + one narrow [n, R] solve. Backward — instead of
+    differentiating through the factorization (three [n, n]
+    full-precision matmuls via the generic Cholesky pullback, or wide
+    [n, n]-RHS triangular solves via XLA's stock VJP), use the closed form
+
+        d logp_r / d ks = 1/2 beta_r beta_r^T - 1/2 ks^-1,
+        beta_r = ks^-1 d_r = L^-T alpha_r
+
+    which costs ONE [n, n] matmul (ks^-1 = L^-T L^-1) plus the
+    recursive-doubling blocked triangular inverse. Measured at n=16384 f32:
+    value_and_grad 1104 ms (stock) -> see PERFORMANCE.md. The matmuls
+    inherit the global precision (GPFLOW_TPU_FAST_MATMUL tier); the inverse
+    pins HIGHEST internally. Gradient error carries the INV_SOLVE
+    ~cond(ks)*eps envelope (tests/gpflow_tpu/test_error_envelopes.py).
+    """
+    return _mvn_logp_fwd(ks, d)[0]
+
+
+def _mvn_logp_fwd(
+    ks: jax.Array, d: jax.Array
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    L = jnp.linalg.cholesky(ks)
+    alpha = solve_triangular(L, d, lower=True)  # [n, R]
+    n = ks.shape[-1]
+    p = (
+        -0.5 * jnp.sum(jnp.square(alpha), axis=0)
+        - 0.5 * n * jnp.log(2.0 * jnp.asarray(jnp.pi, dtype=ks.dtype))
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+    )
+    return p, (L, alpha)
+
+
+def _mvn_logp_bwd(
+    res: Tuple[jax.Array, jax.Array], dp: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    L, alpha = res
+    Linv = _large_triangular_inverse(L)
+    beta = jnp.matmul(_T(Linv), alpha)  # [n, R] = ks^-1 d
+    Kinv = jnp.matmul(_T(Linv), Linv)  # [n, n]
+    # dks = sum_r dp_r (1/2 beta_r beta_r^T) - (sum_r dp_r) (1/2) Kinv
+    bscaled = beta * dp[None, :]
+    dks = 0.5 * (jnp.matmul(bscaled, _T(beta)) - jnp.sum(dp) * Kinv)
+    dd = -bscaled
+    return dks, dd
+
+
+mvn_logp.defvjp(_mvn_logp_fwd, _mvn_logp_bwd)
