@@ -15,12 +15,13 @@ kept graph; jit re-use comes for free from stable treedefs instead.
 
 Conditioning note: the (alpha, Qinv) cache stores an EXPLICIT inverse (as
 the reference does), so its predictive variance carries a ~cond(Kuu)^2 * eps
-error relative to the fused Cholesky pipeline. Irrelevant at f64 for
-well-conditioned Kuu (error < 1e-10 at cond 1e3), but with near-singular
-Kuu (e.g. a Linear kernel's rank-D Kuu, or tightly clustered 1-D inducing
-points at cond ~1e7) the cached variance can drift ~1e-3 — prefer
-``fused_predict_f`` or better-spread inducing points in that regime
-(measured in ``tests/.../test_fuzz_conditionals.py``).
+error relative to the fused Cholesky pipeline. Measured envelopes
+(tests/gpflow_tpu/test_error_envelopes.py + tools/envelope_fuzz.py on TPU):
+at f64, < 1e-10 for cond <= 1e3 and ~1e-9 even at the jitter-floor
+conditioning (~3e7); at f32 the quadratic envelope bites early — already
+~1e-3 absolute at cond ~1e2 (1e2^2 * eps32), saturating ~4e-3 at the f32
+jitter floor. For accuracy-critical f32 serving prefer ``fused_predict_f``
+(Cholesky pipeline, ~cond * eps error) or compute the cache in f64.
 """
 from __future__ import annotations
 
