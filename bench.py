@@ -175,15 +175,19 @@ def bench_svgp(results: dict) -> None:
     Xb = jax.device_put(X[:B])
     mu, var = predict(Xb)
     mu.block_until_ready()
+    # per-call: min over trials — submit-side dispatch is ~10 us and
+    # pipelines fully, so on a quiet host per-call equals the chip floor;
+    # a loaded host inflates individual trials (PERFORMANCE.md round-4
+    # serving section), which min-of-trials rejects
     n_calls = 50
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        mu, var = predict(Xb)
-    mu.block_until_ready()
-    dt = time.perf_counter() - t0
-    # per-call: one host dispatch per batch (RPC-latency-bound on a
-    # remote-attached chip; the chip-side kernel is ~0.3 ms)
-    results["serving_points_per_sec_per_call"] = round(n_calls * B / dt, 0)
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            mu, var = predict(Xb)
+        mu.block_until_ready()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    results["serving_points_per_sec_per_call"] = round(n_calls * B / best_dt, 0)
 
     # streamed: K batches per dispatch via lax.map — the batched-queue
     # serving-loop shape; measures the chip, not the tunnel
