@@ -266,6 +266,19 @@ def main() -> None:
         # with the suite's own task list)
         os.environ["GPFLOW_TPU_BENCH_MAXITER"] = str(args.maxiter)
     rows = []
+    out = os.path.join(args.dest, "results.csv")
+
+    def _flush_rows() -> None:
+        # rewrite after EVERY row: a multi-hour suite interrupted near its
+        # deadline keeps everything completed so far (the fieldnames union
+        # can grow as different task kinds report different metrics, so a
+        # cheap full rewrite beats appending)
+        with open(out, "w", newline="") as f:
+            fieldnames = sorted({k for r in rows for k in r})
+            writer = csv.DictWriter(f, fieldnames=fieldnames)
+            writer.writeheader()
+            writer.writerows(rows)
+
     for task in tasks:
         task_index = all_tasks.index(task)
         repetitions = args.repetitions or task.repetitions
@@ -288,14 +301,9 @@ def main() -> None:
                 )
                 row = {**_collect_metrics(run_task, rep), "status": "ok"}
             rows.append(row)
+            _flush_rows()
 
-    out = os.path.join(args.dest, "results.csv")
-    with open(out, "w", newline="") as f:
-        fieldnames = sorted({k for r in rows for k in r})
-        writer = csv.DictWriter(f, fieldnames=fieldnames)
-        writer.writeheader()
-        writer.writerows(rows)
-
+    _flush_rows()
     with open(os.path.join(args.dest, "metadata.json"), "w") as f:
         metadata = _gather_metadata(args.suite, len(tasks))
         if args.repetitions is not None:
