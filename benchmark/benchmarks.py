@@ -91,6 +91,26 @@ SUITES.register(
     ),
 )
 SUITES.register(
+    "uci_multiclass",
+    BenchmarkSet(
+        "uci_multiclass",
+        datasets=["digits", "wine"],
+        models=["svgp_multiclass", "svgp_softmax"],
+        repetitions=5,
+        maxiter=1000,
+    ),
+)
+SUITES.register(
+    "uci_regression",
+    BenchmarkSet(
+        "uci_regression",
+        datasets=[d for d in DATASETS.names("REAL_DATA") if d not in ("digits", "wine")],
+        models=["gpr", "sgpr", "vgp", "svgp"],
+        repetitions=5,
+        maxiter=1000,
+    ),
+)
+SUITES.register(
     "full",
     BenchmarkSet(
         "full",
