@@ -107,9 +107,13 @@ def bench_svgp(results: dict) -> None:
     from gpflow_tpu.models import SVGP
     from gpflow_tpu.parallel import DataParallelTrainer, make_mesh
 
+    # 250 scanned steps per device dispatch (same rationale as the natgrad
+    # bench below): at ~4.5 ms/step one dispatch carries ~1.1 s of device
+    # work, amortizing the ~9 ms host/tunnel dispatch overhead that at 50
+    # steps/dispatch cost ~4% of the headline (PERFORMANCE.md round 4)
     warmup_dispatches = 2
-    timed_steps = 50
-    reps = 4
+    timed_steps = 250
+    reps = 2
 
     rng = np.random.RandomState(0)
     X = rng.rand(N, D).astype(np.float32) * 4.0
