@@ -114,7 +114,7 @@ MODELS.register("vgp", _vgp, tags=["regression", "classification", "non_large"])
 MODELS.register("sgpr", _sgpr, tags=["regression", "all_sizes"])
 MODELS.register("svgp", _svgp, tags=["regression", "classification", "all_sizes"])
 MODELS.register("svgp_multiclass", _svgp_multiclass, tags=["multiclass", "all_sizes"])
-MODELS.register("svgp_softmax", _svgp_softmax, tags=["multiclass", "all_sizes"])
+MODELS.register("svgp_softmax", _svgp_softmax, tags=["multiclass", "all_sizes", "mc"])
 
 
 def create_model(name: str, data: Tuple[np.ndarray, np.ndarray]):

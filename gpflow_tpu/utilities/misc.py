@@ -72,13 +72,20 @@ def training_loop(
     maxiter: int = 1000,
     compile: bool = False,
     learning_rate: float = 0.01,
-) -> None:
+    use_scan: bool = False,
+) -> Optional[jax.Array]:
     """Simple Adam training loop over a loss closure
     (reference ``misc.py:76-109``). ``closure`` is any zero-argument callable
     returning the loss and reading the current values of ``var_list`` (e.g.
     ``model.training_loss``, ``model.training_loss_closure(data)``, or a
     lambda). ``var_list`` defaults to the closure's bound object's trainable
     parameters when the closure is a bound method.
+
+    ``use_scan=True`` runs all ``maxiter`` steps device-resident in ONE
+    compiled ``lax.scan`` dispatch and returns the per-step loss history
+    ([maxiter]); on a tunneled TPU this removes the two host round-trips the
+    per-step loop pays every iteration. (No reference counterpart — the
+    reference's loop is eager per step, ``misc.py:76-109``.)
     """
     import optax
 
@@ -95,6 +102,26 @@ def training_loop(
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
     value_and_grad = jax.value_and_grad(functionalize(closure, params))
+
+    unconstrained = tuple(p._unconstrained for p in params)
+    opt_state = opt.init(unconstrained)
+
+    if use_scan:
+        def step(carry, _):
+            unc, state = carry
+            loss, grads = value_and_grad(unc)
+            updates, state = opt.update(grads, state, unc)
+            return (optax.apply_updates(unc, updates), state), loss
+
+        @jax.jit
+        def run(unc, state):
+            return jax.lax.scan(step, (unc, state), xs=None, length=maxiter)
+
+        (unconstrained, _), losses = run(unconstrained, opt_state)
+        for p, u in zip(params, unconstrained):
+            p.assign_unconstrained(u)
+        return losses
+
     if compile:
         value_and_grad = jax.jit(value_and_grad)
 
@@ -103,10 +130,9 @@ def training_loop(
         updates, opt_state = opt.update(grads, opt_state, unconstrained)
         return optax.apply_updates(unconstrained, updates), opt_state
 
-    unconstrained = tuple(p._unconstrained for p in params)
-    opt_state = opt.init(unconstrained)
     for _ in range(maxiter):
         _loss, grads = value_and_grad(unconstrained)
         unconstrained, opt_state = apply(unconstrained, grads, opt_state)
     for p, u in zip(params, unconstrained):
         p.assign_unconstrained(u)
+    return None
