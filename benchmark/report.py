@@ -74,14 +74,18 @@ def render_report(results_dir: str, title: str = "Benchmark results") -> str:
             f"{metadata.get('timestamp')}",
             "",
         ]
-    header = ["task", "reps"] + [
+    # "optimizer" is rendered per-row so iteration-time columns are never
+    # compared across optimizers: an adam-scan step and an L-BFGS iteration
+    # (typically several objective evaluations) are different units.
+    header = ["task", "reps", "optimizer"] + [
         (f"{name} [{unit}]" if unit else name) for name, unit, _ in _METRICS
     ]
     lines.append("| " + " | ".join(header) + " |")
     lines.append("|" + "---|" * len(header))
     for task in sorted(by_task):
         reps = by_task[task]
-        cells = [task, str(len(reps))]
+        optimizers = sorted({r.get("optimizer", "") for r in reps} - {""})
+        cells = [task, str(len(reps)), "/".join(optimizers) or "—"]
         for name, _, _ in _METRICS:
             vals = [
                 float(r[name])

@@ -69,7 +69,8 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
             maxiter=task.maxiter,
             use_scan=True,
         )
-        float(np.asarray(losses)[-1])  # host sync
+        if task.maxiter > 0:  # host sync; scan returns an empty array at 0
+            float(np.asarray(losses)[-1])
         training_time = time.perf_counter() - t0
         n_iter = task.maxiter
     else:
@@ -296,6 +297,11 @@ def main() -> None:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.abspath(args.dest), "jax_cache"),
     )
+    # Timing comparability: if this dir already holds compiled programs
+    # (re-run into the same dest, pre-warmed shared dir, concurrent shards),
+    # rep 0 silently skips XLA compilation and its training_time is not
+    # comparable to a cold run — record that in metadata.json.
+    cache_was_warm = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
     try:
         import jax
 
@@ -352,6 +358,8 @@ def main() -> None:
             metadata["repetitions_override"] = args.repetitions
         if args.maxiter is not None:
             metadata["maxiter_override"] = args.maxiter
+        metadata["xla_compilation_cache_dir"] = cache_dir
+        metadata["xla_compilation_cache_was_warm"] = cache_was_warm
         json.dump(metadata, f, indent=2)
     print(f"[benchmark] wrote {out}")
 

@@ -192,9 +192,21 @@ class QuadratureLikelihood(Likelihood, abc.ABC):
         assert self.latent_dim is not None
         return self.latent_dim
 
+    @check_shapes(
+        "F: [broadcast batch..., latent_dim]",
+        "X: [broadcast batch..., input_dim]",
+        "Y: [broadcast batch..., observation_dim]",
+        "return: [batch..., d]",
+    )
     def _quadrature_log_prob(self, F: TensorType, X: TensorType, Y: TensorType) -> jax.Array:
+        # quadrature integrands return [...] + [d']; here d'=1 (reference
+        # ``base.py:310-326``)
         return jnp.expand_dims(self.log_prob(X, F, Y), axis=-1)
 
+    @check_shapes(
+        "quadrature_result: [batch..., d]",
+        "return: [batch...]",
+    )
     def _quadrature_reduction(self, quadrature_result: jax.Array) -> jax.Array:
         return jnp.squeeze(quadrature_result, axis=-1)
 
@@ -247,9 +259,12 @@ class ScalarLikelihood(QuadratureLikelihood, abc.ABC):
 
     @abc.abstractmethod
     @check_shapes(
+        # Y gets its own dim: SwitchedLikelihood's Y carries an extra index
+        # column (reference ``base.py:439-444`` uses distinct latent_dim /
+        # observation_dim variables for the same reason)
         "X: [broadcast batch..., N, D]",
         "F: [broadcast batch..., N, P]",
-        "Y: [broadcast batch..., N, P]",
+        "Y: [broadcast batch..., N, Q]",
         "return: [batch..., N, P]",
     )
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
@@ -260,9 +275,13 @@ class ScalarLikelihood(QuadratureLikelihood, abc.ABC):
         # 1-D quadrature broadcast over latent dims (reference ``base.py:449-457``)
         return 1
 
+    @inherit_check_shapes
     def _quadrature_log_prob(self, F: TensorType, X: TensorType, Y: TensorType) -> jax.Array:
+        # d' is the shared last dim of F and Y; _scalar_log_prob broadcasts
+        # over it (reference ``base.py:458-469``)
         return self._scalar_log_prob(X, F, Y)
 
+    @inherit_check_shapes
     def _quadrature_reduction(self, quadrature_result: jax.Array) -> jax.Array:
         return jnp.sum(quadrature_result, axis=-1)
 
@@ -284,6 +303,10 @@ class SwitchedLikelihood(ScalarLikelihood):
         super().__init__(**kwargs)
         self.likelihoods = list(likelihood_list)
 
+    @check_shapes(
+        "args[all]: [batch..., .]",
+        "return: [batch..., ...]",
+    )
     def _masked_apply(self, args: Sequence[TensorType], func_name: str) -> jax.Array:
         args_list = [jnp.asarray(a) for a in args]
         Y = args_list[-1]
@@ -310,19 +333,23 @@ class SwitchedLikelihood(ScalarLikelihood):
         valid = valid.reshape(valid.shape + (1,) * (out.ndim - valid.ndim))
         return jnp.where(valid, out, jnp.asarray(jnp.nan, out.dtype))
 
+    @inherit_check_shapes
     def _scalar_log_prob(self, X: TensorType, F: TensorType, Y: TensorType) -> jax.Array:
         return self._masked_apply([X, F, Y], "_scalar_log_prob")
 
+    @inherit_check_shapes
     def _predict_log_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
         return self._masked_apply([X, Fmu, Fvar, Y], "predict_log_density")
 
+    @inherit_check_shapes
     def _variational_expectations(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:
         return self._masked_apply([X, Fmu, Fvar, Y], "variational_expectations")
 
+    @inherit_check_shapes
     def _predict_mean_and_var(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType
     ) -> MeanAndVariance:
@@ -354,6 +381,12 @@ class MonteCarloLikelihood(Likelihood):
         super().__init__(*args, **kwargs)
         self.num_monte_carlo_points = 100
 
+    @check_shapes(
+        "Fmu: [batch..., latent_dim]",
+        "Fvar: [batch..., latent_dim]",
+        "Ys.values(): [batch..., .]",
+        "return: [broadcast n_funcs, batch..., .]",
+    )
     def _mc_quadrature(
         self,
         funcs: Union[Callable[..., jax.Array], Iterable[Callable[..., jax.Array]]],

@@ -12,7 +12,7 @@ from jax.scipy.special import gammaln
 
 from .. import logdensities
 from ..base import MeanAndVariance, TensorType
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..config import default_likelihood_positive_minimum
 from ..utilities.parameter_or_function import (
     ConstantOrFunction,
@@ -60,6 +60,10 @@ class Gaussian(ScalarLikelihood):
             self.variance = None
             self.scale = prepare_parameter_or_function(scale, lower_bound=self.scale_lower_bound)
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [broadcast batch..., broadcast N, broadcast P]",
+    )
     def _variance(self, X: TensorType) -> jax.Array:
         if self.variance is not None:
             return evaluate_parameter_or_function(
@@ -70,6 +74,10 @@ class Gaussian(ScalarLikelihood):
             ** 2
         )
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [batch..., N, 1]",
+    )
     def variance_at(self, X: TensorType) -> jax.Array:
         """Noise variance broadcast to [N, 1] (reference ``scalar_continuous.py:104-111``)."""
         X = jnp.asarray(X)
@@ -157,6 +165,10 @@ class StudentT(ScalarLikelihood):
         self.scale_lower_bound = _lower_bound(scale_lower_bound)
         self.scale = prepare_parameter_or_function(scale, lower_bound=self.scale_lower_bound)
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [broadcast batch..., broadcast N, broadcast P]",
+    )
     def _scale(self, X: TensorType) -> jax.Array:
         return evaluate_parameter_or_function(self.scale, X, lower_bound=self.scale_lower_bound)
 
@@ -190,6 +202,10 @@ class Gamma(ScalarLikelihood):
         self.shape_lower_bound = _lower_bound(shape_lower_bound)
         self.shape = prepare_parameter_or_function(shape, lower_bound=self.shape_lower_bound)
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [broadcast batch..., broadcast N, broadcast P]",
+    )
     def _shape(self, X: TensorType) -> jax.Array:
         return evaluate_parameter_or_function(self.shape, X, lower_bound=self.shape_lower_bound)
 
@@ -238,6 +254,10 @@ class Beta(ScalarLikelihood):
         self.scale = prepare_parameter_or_function(scale, lower_bound=self.scale_lower_bound)
         self.invlink = invlink
 
+    @check_shapes(
+        "X: [batch..., N, D]",
+        "return: [broadcast batch..., broadcast N, broadcast P]",
+    )
     def _scale(self, X: TensorType) -> jax.Array:
         return evaluate_parameter_or_function(self.scale, X, lower_bound=self.scale_lower_bound)
 

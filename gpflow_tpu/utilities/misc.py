@@ -73,7 +73,7 @@ def training_loop(
     compile: bool = False,
     learning_rate: float = 0.01,
     use_scan: bool = False,
-) -> Optional[jax.Array]:
+) -> jax.Array:
     """Simple Adam training loop over a loss closure
     (reference ``misc.py:76-109``). ``closure`` is any zero-argument callable
     returning the loss and reading the current values of ``var_list`` (e.g.
@@ -82,10 +82,15 @@ def training_loop(
     parameters when the closure is a bound method.
 
     ``use_scan=True`` runs all ``maxiter`` steps device-resident in ONE
-    compiled ``lax.scan`` dispatch and returns the per-step loss history
-    ([maxiter]); on a tunneled TPU this removes the two host round-trips the
-    per-step loop pays every iteration. (No reference counterpart — the
-    reference's loop is eager per step, ``misc.py:76-109``.)
+    compiled ``lax.scan`` dispatch; on a tunneled TPU this removes the two
+    host round-trips the per-step loop pays every iteration. (No reference
+    counterpart — the reference's loop is eager per step, ``misc.py:76-109``.)
+
+    Both paths return the per-step loss history ([maxiter], the loss BEFORE
+    each update). The scan path is always jitted as a whole, so
+    ``compile=True`` is redundant there and ``compile=False`` cannot be
+    honored — passing ``compile=True`` together with ``use_scan=True``
+    raises to keep the contract unambiguous.
     """
     import optax
 
@@ -105,6 +110,12 @@ def training_loop(
 
     unconstrained = tuple(p._unconstrained for p in params)
     opt_state = opt.init(unconstrained)
+
+    if use_scan and compile:
+        raise ValueError(
+            "training_loop(use_scan=True) always jits the whole scan; "
+            "`compile` does not apply — pass compile=False (the default)"
+        )
 
     if use_scan:
         def step(carry, _):
@@ -130,9 +141,11 @@ def training_loop(
         updates, opt_state = opt.update(grads, opt_state, unconstrained)
         return optax.apply_updates(unconstrained, updates), opt_state
 
+    losses = []
     for _ in range(maxiter):
-        _loss, grads = value_and_grad(unconstrained)
+        loss, grads = value_and_grad(unconstrained)
+        losses.append(loss)
         unconstrained, opt_state = apply(unconstrained, grads, opt_state)
     for p, u in zip(params, unconstrained):
         p.assign_unconstrained(u)
-    return None
+    return jnp.stack(losses) if losses else jnp.zeros((0,))

@@ -244,6 +244,20 @@ def _match(
                 f"{where}: shape {shape} has fewer dims than spec {list(tokens)}"
             )
         var_name = tokens[i][:-3]
+        # align-right leniency when the variadic group is already bound: a
+        # value may omit leading broadcast-marked dims entirely, e.g. a
+        # single-func _mc_quadrature result [batch..., d'] against
+        # ``[broadcast n_funcs, batch..., .]`` (reference base.py:569-574)
+        if var_name and not var_name.startswith("broadcast "):
+            prev_var = bindings.get(var_name + "...")
+            while (
+                prev_var is not None
+                and n_var < len(prev_var)
+                and head
+                and head[0].startswith("broadcast ")
+            ):
+                head.pop(0)
+                n_var += 1
         var_dims = tuple(shape[len(head) : len(head) + n_var])
         if var_name.startswith("broadcast "):
             pass  # broadcastable variadic group: consume dims, don't pin

@@ -143,9 +143,19 @@ def test_metric_definitions():
     for required in (
         "training_time", "training_iteration_time", "prediction_time",
         "nlpd", "mae", "rmse", "posterior_build_time", "posterior_prediction_time",
+        "accuracy",
     ):
         assert required in names
-    assert all(m.orientation is MetricOrientation.LOWER_IS_BETTER for m in METRICS)
+    # accuracy (classification, reference metrics.py:39-46) is the one
+    # greater-is-better metric; every other one is a loss or a time
+    assert all(
+        m.orientation is MetricOrientation.LOWER_IS_BETTER
+        for m in METRICS
+        if m.name != "accuracy"
+    )
+    assert next(m for m in METRICS if m.name == "accuracy").orientation is (
+        MetricOrientation.GREATER_IS_BETTER
+    )
     time_units = {m.name: m.unit for m in METRICS}
     assert time_units["training_time"] == "s"
     assert time_units["nlpd"] is None
@@ -205,12 +215,13 @@ def test_metadata_contents():
 
 def test_real_datasets_registered_with_reference_names():
     names = set(DATASETS.names("REAL_DATA"))
-    # the reference's nine UCI file-backed sets, plus the two sklearn-bundled
-    # real sets that are loadable offline (datasets.py: diabetes, breast_cancer)
+    # the reference's nine UCI file-backed sets, plus the four sklearn-bundled
+    # real sets that are loadable offline (datasets.py: diabetes,
+    # breast_cancer, digits, wine — the latter two multiclass)
     assert names == {
         "boston", "concrete", "energy", "naval", "power",
         "protein", "red_wine", "white_wine", "yacht",
-        "diabetes", "breast_cancer",
+        "diabetes", "breast_cancer", "digits", "wine",
     }
 
 
@@ -318,13 +329,16 @@ def test_suite_skips_unavailable_real_data_loudly(tmp_path, monkeypatch, capsys)
     monkeypatch.setenv("GPFLOW_TPU_DATA_DIR", str(tmp_path))
     tasks = get_suite("uci").get_tasks()
     # no file-backed set is available -> none scheduled, never a crash; the
-    # sklearn-bundled offline sets (diabetes, breast_cancer) are always there
-    assert {t.dataset for t in tasks} == {"diabetes", "breast_cancer"}
+    # sklearn-bundled offline sets (diabetes, breast_cancer, digits, wine)
+    # are always there
+    assert {t.dataset for t in tasks} == {"diabetes", "breast_cancer", "digits", "wine"}
     assert "skipping dataset" in capsys.readouterr().err
 
     np.savetxt(tmp_path / "yacht_hydrodynamics.data", np.random.rand(30, 7))
     tasks = get_suite("uci").get_tasks()
-    assert {t.dataset for t in tasks} == {"yacht", "diabetes", "breast_cancer"}
+    assert {t.dataset for t in tasks} == {
+        "yacht", "diabetes", "breast_cancer", "digits", "wine"
+    }
     assert {t.model for t in tasks if t.dataset == "yacht"} == {
         "gpr", "sgpr", "vgp", "svgp",
     }

@@ -1,6 +1,8 @@
 """Scipy optimizer behavior (pattern from reference
 ``tests/gpflow/optimizers/test_scipy.py``): step callbacks, compile modes,
 variable subsets, unused-variable handling, and input validation."""
+import os
+
 import numpy as np
 import pytest
 
@@ -223,3 +225,65 @@ def test_scipy_picklable_without_cache():
     restored = pickle.loads(pickle.dumps(opt))
     assert len(restored.compile_cache) == 0
     assert restored.compile_cache_size == opt.compile_cache_size
+
+
+def test_fused_path_under_disabled_x64_with_tril_parameter():
+    """GPFLOW_TPU_DISABLE_X64=1 (reduced-precision mode): scipy hands the
+    fused flat_value_and_grad a float64 iterate which is downcast to float32
+    at the single jnp.asarray boundary (scipy.py flat eval). Pins that the
+    fused path still optimizes an SVGP (tril q_sqrt parameter included) and
+    returns float64 (loss, grad) to scipy, so the rounding point moving
+    device-side (ADVICE r4) stays behavioral-equivalent."""
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent(
+        """
+        import os
+        os.environ["GPFLOW_TPU_DISABLE_X64"] = "1"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import numpy as np
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import gpflow_tpu as gpf
+        import jax.numpy as jnp
+
+        # x64 disabled: jax stores every leaf as float32 regardless of the
+        # requested dtype
+        assert jnp.asarray(1.0).dtype == np.float32
+        rng = np.random.RandomState(0)
+        X = rng.rand(40, 2) * 3
+        Y = np.sin(X[:, :1]) + 0.05 * rng.randn(40, 1)
+        Z = X[:8].copy()
+        m = gpf.models.SVGP(
+            kernel=gpf.kernels.SquaredExponential(),
+            likelihood=gpf.likelihoods.Gaussian(),
+            inducing_variable=Z,
+        )
+        # host-resident leaves keep their declared f64 dtype; the DEVICE
+        # computation is what drops to float32 under disabled x64
+        assert jnp.asarray(m.training_loss((X, Y))).dtype == np.float32
+        assert m.q_sqrt.shape == (1, 8, 8)  # tril parameter in the flat vector
+        before = float(m.training_loss((X, Y)))
+        opt = gpf.optimizers.Scipy()
+        res = opt.minimize(
+            m.training_loss_closure((X, Y)),
+            m.trainable_variables,
+            options={"maxiter": 25},
+        )
+        after = float(m.training_loss((X, Y)))
+        assert np.isfinite(after), after
+        assert after < before - 0.5, (before, after)
+        # scipy's L-BFGS iterate stays float64 on the host even though the
+        # device computed in f32
+        assert np.asarray(res.x).dtype == np.float64
+        print("OK", before, after)
+        """
+    )
+    env = {k: v for k, v in os.environ.items() if k != "GPFLOW_TPU_DISABLE_X64"}
+    proc = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True, env=env
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
