@@ -38,7 +38,23 @@ def _tril_indices(shape: Tuple[int, ...]) -> Tuple[np.ndarray, np.ndarray]:
 class _ParameterCodec:
     """Flattens a parameter's unconstrained value for scipy; parameters with a
     TriangularMask transform pack only the lower-triangle entries, so L-BFGS
-    never carries the permanently-zero upper-triangle dimensions."""
+    never carries the permanently-zero upper-triangle dimensions.
+
+    Two layouts exist:
+
+    * the PACKED layout (what scipy sees): tril parameters contribute
+      n(n+1)/2 entries per matrix;
+    * the FULL layout (what the device function sees): every parameter is
+      its plain row-major flattening.
+
+    The packed<->full conversion is pure index shuffling and runs ON HOST in
+    numpy (``unpack``/``pack``, microseconds for ~1e5 entries). The traced
+    ``decode_jax``/``encode_jax`` only ever slice-and-reshape the FULL
+    vector: putting the triangle gather/scatter inside the jitted
+    value-and-grad instead made XLA's fusion pass explode — 415 s compile
+    and 66 ms/eval for a [10, 100, 100] q_sqrt SVGP on TPU v5e, vs 31 s and
+    0.5 ms with the layout shuffle on host. Bytes are not a concern: the
+    full vector upload is the same single round-trip."""
 
     def __init__(self, variables: Sequence[Parameter]) -> None:
         self._init_from_specs(
@@ -57,14 +73,65 @@ class _ParameterCodec:
     def _init_from_specs(self, shapes: list, tril: list) -> None:
         self.shapes = shapes
         self.tril = tril
-        self.sizes = []
+        self.sizes = []  # packed entry counts (scipy layout)
+        self.full_sizes = []  # row-major entry counts (device layout)
+        self._pack_idx: dict = {}  # n -> [P] int32 into the flattened matrix
         for shape, tri in zip(self.shapes, self.tril):
+            full = int(np.prod(shape)) if shape else 1
+            self.full_sizes.append(full)
             if tri:
                 n = shape[-1]
                 batch = int(np.prod(shape[:-2])) if shape[:-2] else 1
                 self.sizes.append(batch * n * (n + 1) // 2)
+                if n not in self._pack_idx:
+                    rows, cols = np.tril_indices(n)
+                    self._pack_idx[n] = (rows * n + cols).astype(np.int32)
             else:
-                self.sizes.append(int(np.prod(shape)) if shape else 1)
+                self.sizes.append(full)
+        self.has_tril = any(self.tril)
+
+    def unpack(self, x: np.ndarray) -> np.ndarray:
+        """Host-side packed -> full layout (zeros in the strict upper
+        triangles). Identity when no parameter is triangular."""
+        if not self.has_tril:
+            return x
+        out = np.zeros(sum(self.full_sizes), dtype=x.dtype)
+        i = j = 0
+        for shape, tri, size, full_size in zip(
+            self.shapes, self.tril, self.sizes, self.full_sizes
+        ):
+            chunk = x[i : i + size]
+            i += size
+            if tri:
+                n = shape[-1]
+                dest = out[j : j + full_size].reshape(-1, n * n)
+                dest[:, self._pack_idx[n]] = chunk.reshape(dest.shape[0], -1)
+            else:
+                out[j : j + full_size] = chunk
+            j += full_size
+        return out
+
+    def pack(self, x_full: np.ndarray) -> np.ndarray:
+        """Host-side full -> packed layout (drops the strict upper
+        triangles). Identity when no parameter is triangular."""
+        if not self.has_tril:
+            return x_full
+        out = np.empty(sum(self.sizes), dtype=x_full.dtype)
+        i = j = 0
+        for shape, tri, size, full_size in zip(
+            self.shapes, self.tril, self.sizes, self.full_sizes
+        ):
+            chunk = x_full[j : j + full_size]
+            j += full_size
+            if tri:
+                n = shape[-1]
+                out[i : i + size] = chunk.reshape(-1, n * n)[
+                    :, self._pack_idx[n]
+                ].reshape(-1)
+            else:
+                out[i : i + size] = chunk
+            i += size
+        return out
 
     def encode(self, arrays: Sequence[np.ndarray]) -> np.ndarray:
         flat = []
@@ -96,36 +163,20 @@ class _ParameterCodec:
         return out
 
     def decode_jax(self, x: jax.Array) -> List[jax.Array]:
-        """Traceable ``decode``: runs INSIDE jit so scipy's flat vector is
-        the only host->device transfer per evaluation (on a tunneled TPU
-        each per-leaf transfer is a full network round-trip)."""
+        """Traceable decode of the FULL-layout vector (see class docstring):
+        pure slice+reshape, so the jitted value-and-grad sees one input array
+        and one host->device transfer per evaluation."""
         out = []
         i = 0
-        for shape, tri, size in zip(self.shapes, self.tril, self.sizes):
-            chunk = x[i : i + size]
+        for shape, size in zip(self.shapes, self.full_sizes):
+            out.append(x[i : i + size].reshape(shape))
             i += size
-            if tri:
-                rows, cols = _tril_indices(shape)
-                full = jnp.zeros(shape, dtype=x.dtype)
-                full = full.at[..., rows, cols].set(
-                    chunk.reshape(shape[:-2] + (len(rows),))
-                )
-                out.append(full)
-            else:
-                out.append(chunk.reshape(shape))
         return out
 
     def encode_jax(self, arrays: Sequence[jax.Array], dtype: Any) -> jax.Array:
-        """Traceable ``encode``: flattens per-parameter gradients into the
-        scipy vector layout inside jit, so the device returns ONE array."""
-        flat = []
-        for a, shape, tri in zip(arrays, self.shapes, self.tril):
-            a = jnp.asarray(a, dtype=dtype)
-            if tri:
-                rows, cols = _tril_indices(shape)
-                flat.append(a[..., rows, cols].reshape(-1))
-            else:
-                flat.append(a.reshape(-1))
+        """Traceable encode into the FULL layout: flattens per-parameter
+        gradients into one array so the device returns a single download."""
+        flat = [jnp.asarray(a, dtype=dtype).reshape(-1) for a in arrays]
         if not flat:
             return jnp.zeros((0,), dtype=dtype)
         return jnp.concatenate(flat)
@@ -347,12 +398,14 @@ class Scipy:
                 )
 
         def _eval(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-            # one fused fetch: loss and the flat gradient come back in a
-            # single device->host transfer
-            loss, grad = jax.device_get(flat_value_and_grad(jnp.asarray(x)))
+            # host-side layout shuffle (packed -> full), then one upload; the
+            # loss and flat gradient come back in a single device->host
+            # transfer and are packed back on host (see _ParameterCodec)
+            x_full = codec.unpack(np.asarray(x, dtype=np.float64))
+            loss, grad = jax.device_get(flat_value_and_grad(jnp.asarray(x_full)))
             return (
                 np.asarray(loss, dtype=np.float64),
-                np.asarray(grad, dtype=np.float64),
+                codec.pack(np.asarray(grad, dtype=np.float64)),
             )
 
         return _eval

@@ -62,3 +62,37 @@ def test_pack_layout_matches_minimize_vector():
         )
     Scipy.assign_tensors(params, parts)
     np.testing.assert_allclose(Scipy.pack_tensors(params), vec, rtol=1e-10)
+
+
+def test_codec_packed_full_layout_shuffle_roundtrip():
+    """The host-side packed<->full layout shuffle (scipy sees packed tril
+    parameters; the device function sees plain row-major flattenings) is a
+    lossless inverse pair, and unpack leaves zeros in strict upper
+    triangles."""
+    from gpflow_tpu.optimizers.scipy import _ParameterCodec
+
+    rng = np.random.RandomState(3)
+    codec = _ParameterCodec.from_specs(
+        [(2,), (3, 4, 4), (5,), ()], [False, True, False, False]
+    )
+    n_packed = 2 + 3 * 10 + 5 + 1
+    n_full = 2 + 3 * 16 + 5 + 1
+    x = rng.randn(n_packed)
+    x_full = codec.unpack(x)
+    assert x_full.shape == (n_full,)
+    # tril leaf has zero strict-upper entries
+    tri = x_full[2 : 2 + 48].reshape(3, 4, 4)
+    assert np.all(tri[:, np.triu_indices(4, 1)[0], np.triu_indices(4, 1)[1]] == 0)
+    np.testing.assert_array_equal(codec.pack(x_full), x)
+    # no-tril codec: both directions are the identity (same object)
+    plain = _ParameterCodec.from_specs([(2,), (3,)], [False, False])
+    y = rng.randn(5)
+    assert plain.unpack(y) is y and plain.pack(y) is y
+    # decode_jax consumes the FULL layout and reproduces the leaves
+    import jax.numpy as jnp
+
+    leaves = codec.decode_jax(jnp.asarray(x_full))
+    assert [tuple(l.shape) for l in leaves] == [(2,), (3, 4, 4), (5,), ()]
+    np.testing.assert_allclose(np.asarray(leaves[1]), tri)
+    flat = codec.encode_jax(leaves, jnp.asarray(x_full).dtype)
+    np.testing.assert_allclose(np.asarray(flat), x_full)
