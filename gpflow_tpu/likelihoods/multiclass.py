@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base import MeanAndVariance, Module, Parameter, TensorType
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..bijectors import Sigmoid
 from ..config import default_float, default_int
 from ..priors import Beta as BetaPrior
@@ -55,6 +55,9 @@ class RobustMax(Module):
     """Multi-class robust-max inverse link: 1-eps for the argmax latent,
     eps/(k-1) otherwise (reference ``multiclass.py:55-158``)."""
 
+    @check_shapes(
+        "epsilon: []",
+    )
     def __init__(self, num_classes: int, epsilon: float = 1e-3, **kwargs: Any) -> None:
         transform = Sigmoid()
         prior = BetaPrior(0.2, 5.0)
@@ -64,6 +67,10 @@ class RobustMax(Module):
         self.num_classes = num_classes
         self._squash = 1e-6
 
+    @check_shapes(
+        "F: [broadcast batch..., latent_dim]",
+        "return: [batch..., latent_dim]",
+    )
     def __call__(self, F: TensorType) -> jax.Array:
         F = jnp.asarray(F)
         i = jnp.argmax(F, axis=1)
@@ -72,12 +79,27 @@ class RobustMax(Module):
         return one_hot * (1.0 - eps) + (1.0 - one_hot) * self.eps_k1
 
     @property
+    @check_shapes(
+        "return: []",
+    )
     def eps_k1(self) -> jax.Array:
         return self.epsilon / (self.num_classes - 1.0)
 
+    @check_shapes(
+        "val: [batch...]",
+        "return: [batch...]",
+    )
     def safe_sqrt(self, val: jax.Array) -> jax.Array:
         return jnp.sqrt(jnp.maximum(val, 1e-10))
 
+    @check_shapes(
+        "Y: [broadcast batch..., observation_dim]",
+        "mu: [broadcast batch..., latent_dim]",
+        "var: [broadcast batch..., latent_dim]",
+        "gh_x: [n_quad_points]",
+        "gh_w: [n_quad_points]",
+        "return: [batch..., observation_dim]",
+    )
     def prob_is_largest(
         self,
         Y: TensorType,
@@ -170,6 +192,13 @@ class MultiClass(Likelihood):
     ) -> jax.Array:
         return jnp.sum(jnp.log(self._predict_non_logged_density(X, Fmu, Fvar, Y)), axis=-1)
 
+    @check_shapes(
+        "X: [broadcast batch..., input_dim]",
+        "Fmu: [broadcast batch..., latent_dim]",
+        "Fvar: [broadcast batch..., latent_dim]",
+        "Y: [broadcast batch..., observation_dim]",
+        "return: [batch..., observation_dim]",
+    )
     def _predict_non_logged_density(
         self, X: TensorType, Fmu: TensorType, Fvar: TensorType, Y: TensorType
     ) -> jax.Array:

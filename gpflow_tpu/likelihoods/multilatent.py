@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from .. import logdensities
 from ..base import TensorType
 from ..bijectors import Bijector, positive
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from .base import QuadratureLikelihood
 
 __all__ = [
@@ -110,6 +110,9 @@ class HeteroskedasticTFPConditional(MultiLatentTFPConditional):
             scale_transform = positive(base="exp")
         self.scale_transform = scale_transform
 
+        @check_shapes(
+            "F: [batch..., 2]",
+        )
         def conditional_distribution(F: TensorType) -> Any:
             F = jnp.asarray(F)
             loc = F[..., :1]

@@ -11,7 +11,7 @@ from jax.scipy.special import gammaln
 
 from .. import logdensities
 from ..base import MeanAndVariance, Parameter, TensorType
-from ..utilities.shapes import inherit_check_shapes
+from ..utilities.shapes import check_shapes, inherit_check_shapes
 from ..bijectors import positive
 from ..config import default_float, default_int
 from .base import ScalarLikelihood
@@ -105,6 +105,9 @@ class Ordinal(ScalarLikelihood):
     """Ordinal regression via bin edges and probit (Chu & Ghahramani 2005;
     reference ``scalar_discrete.py:120-212``)."""
 
+    @check_shapes(
+        "bin_edges: [num_bins_minus_1]",
+    )
     def __init__(self, bin_edges: np.ndarray, **kwargs: Any) -> None:
         super().__init__(**kwargs)
         self.bin_edges = jnp.asarray(bin_edges, default_float())
@@ -133,6 +136,10 @@ class Ordinal(ScalarLikelihood):
         )
         return jnp.where(valid, logp, jnp.asarray(jnp.nan, logp.dtype))
 
+    @check_shapes(
+        "F: [batch..., latent_dim]",
+        "return: [batch_and_latent_dim, num_bins]",
+    )
     def _make_phi(self, F: TensorType) -> jax.Array:
         """[flattened_batch, num_bins] bin-probability matrix
         (reference ``scalar_discrete.py:168-183``)."""

@@ -25,12 +25,14 @@ AREA_FLOORS = {
     "optimizers": (["optimizers/*.py"], 20),
     "utilities": (["utilities/*.py", "bijectors.py"], 12),
     "inducing_variables": (["inducing_variables/**/*.py"], 8),
-    "likelihoods": (["likelihoods/*.py"], 57),
+    # 91 = exact per-file reference parity: base 32, scalar_continuous 25,
+    # scalar_discrete 14, multiclass 15, multilatent 4, utils 1 (round 5)
+    "likelihoods": (["likelihoods/*.py"], 91),
     "conditionals": (["conditionals/**/*.py"], 20),
     "expectations": (["expectations/*.py"], 34),
 }
 
-TOTAL_FLOOR = 400
+TOTAL_FLOOR = 425
 
 
 def _count(patterns) -> int:
