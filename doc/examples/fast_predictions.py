@@ -3,6 +3,35 @@ fast_predictions notebook): ``model.posterior()`` precomputes (alpha, Qinv)
 once, after which every prediction is matmul-only — measured ~7x faster than
 the fused recompute-everything path on TPU (PERFORMANCE.md: 30M points/s at
 M=2048).
+
+What is cached and why it is enough
+-----------------------------------
+Every GP predictive mean/variance has the two-tensor form
+
+    mean(x*) = K*u . alpha                 alpha  [M, C]
+    var(x*)  = K** - K*u . Qinv . K*uT     Qinv   [C, M, M]
+
+where only K*u depends on the test point. ``model.posterior()``
+(``posteriors.py``) folds everything else — Kuu, its Cholesky, whitening,
+q_sqrt — into (alpha, Qinv) once. After that, a prediction is two matmuls
+feeding the MXU directly: no Cholesky, no triangular solve, nothing
+O(M^3) on the serving path. The same abstraction covers every model
+(GPR/SGPR/SVGP/VGP; ``get_posterior_class`` dispatch), which is why
+``benchmark/`` times ``posterior_prediction_time`` separately from
+``prediction_time``.
+
+The PrecomputeCacheType enum controls the cache's lifecycle:
+* ``TENSOR`` (used here, and the serving default): cache as concrete
+  device arrays — fastest calls, but STALE after a parameter update;
+  refresh explicitly with ``update_cache`` (demonstrated below).
+* ``NOCACHE``: recompute inside every call — what ``model.predict_f``
+  does; correct under parameter changes, used during training.
+* ``VARIABLE``: cache in mutable buffers that in-place ``update_cache``
+  refreshes without retracing jitted callers.
+
+Serving note: ``utilities/serving.py`` exports exactly this cached
+posterior as a StableHLO artifact with bucketed static shapes — the
+30M points/s number in PERFORMANCE.md is this path, streamed.
 """
 import time
 

@@ -1,5 +1,38 @@
 """Dimensionality reduction with the Bayesian GPLVM (mirrors the reference's
-GPLVM notebook): learn a 1-D latent space for 5-D observations."""
+GPLVM notebook): learn a 1-D latent space for 5-D observations.
+
+The model (``models/gplvm.py``; Titsias & Lawrence 2010)
+--------------------------------------------------------
+GP regression with the INPUTS unknown: each observed row Y_n in R^P is
+explained by a latent coordinate x_n in R^Q (Q << P) pushed through a GP,
+
+    x_n ~ N(0, I),    y_np = f_p(x_n) + noise,   f_p ~ GP(0, k)
+
+i.e. nonlinear probabilistic PCA (with a linear kernel it IS probabilistic
+PCA — pinned by ``tests/.../test_gplvm.py``). "Bayesian" means the latents
+are not point-estimated: the model keeps q(x_n) = N(X_data_mean_n,
+X_data_var_n) and integrates the kernel over it. That integral is why this
+model exercises the ``expectations/`` framework: the ELBO needs the psi
+statistics
+
+    psi0 = E_q[ k(x, x) ],  psi1 = E_q[ k(x, Z) ],  psi2 = E_q[ k(x, Z)T k(x, Z) ]
+
+which are closed-form for the SquaredExponential/Linear kernels
+(``expectations/squared_exponentials.py``) and batch over N as single MXU
+contractions on TPU.
+
+Practical knobs:
+* Initialize ``X_data_mean`` with PCA for real data (here random works —
+  the toy manifold is easy); symmetries (sign/rotation of the latent
+  space) mean only the SHAPE of the recovered manifold is identified,
+  hence the |correlation| check below rather than a value comparison.
+* ARD lengthscales (one per latent dim) are the model's dimension
+  selector: after training on a too-large Q, dimensions with large
+  lengthscales have been switched off — read them via
+  ``print_summary(model)``.
+* ``num_inducing_variables`` bounds cost exactly as in SGPR: the psi
+  statistics are [N, M] / [M, M] objects, never [N, N].
+"""
 import numpy as np
 
 import gpflow_tpu as gpf

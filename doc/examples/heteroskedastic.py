@@ -1,6 +1,39 @@
 """Heteroskedastic regression: two latent GPs parameterize the mean and the
 (log) noise scale (mirrors the reference's heteroskedastic notebook;
-BASELINE config 5)."""
+BASELINE config 5).
+
+The model
+---------
+Ordinary GP regression assumes one global noise level. Here the noise
+visibly grows with x, so we model BOTH moments with GPs:
+
+    y | f1, f2  ~  N( f1(x),  g(f2(x))^2 ),    g = exp (the scale transform)
+
+``HeteroskedasticTFPConditional`` (``likelihoods/multilatent.py``) is the
+C=2 multilatent likelihood gluing this together: its ``conditional_
+distribution`` maps the two latent columns to (loc, scale). Because the
+likelihood now depends on two correlated Gaussians, variational
+expectations use 2-D Gauss-Hermite quadrature over the diagonalized
+(f1, f2) posterior (``quadrature/gauss_hermite.py`` NDiagGHQuadrature).
+
+Model assembly — the three pieces must agree that there are 2 latents:
+* ``SeparateIndependent`` kernel: each latent gets its own
+  SquaredExponential (the mean function and the noise profile have no
+  reason to share a lengthscale).
+* ``SeparateIndependentInducingVariables``: each latent its own Z, so the
+  noise GP can place capacity where the noise changes fastest.
+* ``num_latent_gps=2`` on SVGP sizes q_mu/q_sqrt.
+
+Training splits variational vs hyperparameters exactly as in
+``doc/examples/classification.py`` (natgrad on q, Adam on the rest) —
+for a non-Gaussian likelihood this is the recommended scheme.
+
+What to look at in the output: the learned noise scale at x=0 vs x=4
+should bracket the generating values 0.05 and 0.85; a homoskedastic model
+would instead average them and over/under-estimate the predictive variance
+at the two ends. TPU parity for this likelihood's quadrature path is
+pinned at 6.3e-9 (``tests/tpu/test_tpu_parity.py``).
+"""
 import jax
 import numpy as np
 import optax

@@ -1,6 +1,38 @@
 """Designing a custom kernel (mirrors the reference's kernel_design
 notebook): subclass Kernel, add Parameters, implement K/K_diag — composition,
 active_dims slicing, jit, and training all work unchanged.
+
+The contract a kernel must satisfy
+----------------------------------
+Only two methods are required (``kernels/base.py``):
+
+* ``K(X, X2) -> [N, N2]`` — the full cross-covariance. ``X2=None`` means
+  "X with itself" and MUST return the symmetric [N, N] matrix; callers
+  rely on this to route the cheaper symmetric path.
+* ``K_diag(X) -> [N]`` — just the diagonal of K(X, X). Implement it
+  directly (here: sigma^2 * x) rather than taking ``diag(K(X))``: models
+  call K_diag in their O(N) paths (SVGP/SGPR ELBOs, predict with
+  full_cov=False) precisely to avoid the [N, N] product.
+
+What the base class layers on top, for free:
+
+* **Parameters and transforms**: ``Parameter(1.0, transform=positive())``
+  gives an unconstrained optimization variable with the constraint applied
+  on read — the Scipy/Adam/natgrad optimizers and ``print_summary`` all
+  discover it by pytree traversal, no registration needed.
+* **Composition**: ``Brownian() + Linear()`` builds a Sum kernel (and
+  ``*`` a Product); sums/products flatten so deep compositions stay one
+  flat op list under jit.
+* **active_dims**: ``[0]`` slices column 0 out of the input before K sees
+  it — how additive-over-dimensions models are assembled
+  (k1 on dims [0] + k2 on dims [1]).
+
+TPU notes: write K in terms of whole-array ops (here ``jnp.minimum`` of
+broadcast column/row) — never a Python loop over rows. Anything expressible
+this way jits and fuses; if the kernel is distance-based, subclass
+``Stationary`` or ``IsotropicStationary`` instead and get the fused Pallas
+distance-tile path (``ops/pallas_distance.py``) without writing any kernel
+code yourself.
 """
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,37 @@
 """Ordinal regression (mirrors the reference's ordinal_regression notebook):
 ordered categorical observations via the Ordinal likelihood, whose bin edges
 are trainable parameters.
+
+When to use this
+----------------
+Labels like {0, 1, 2, 3} that are ORDERED but not metric: survey ratings,
+severity grades, star reviews. Treating them as regression pretends the
+gap 0->1 equals 2->3; treating them as multiclass throws the ordering away.
+The ordinal model (Chu & Ghahramani 2005, ``likelihoods/scalar_discrete.py``
+``Ordinal``) keeps both: a single latent GP f is chopped by K-1 bin edges,
+
+    p(y = k | f) = Phi((b_k - f)/sigma) - Phi((b_{k-1} - f)/sigma),
+
+with b_0 = -inf, b_K = +inf, Phi the probit squashed away from {0,1} by
+``inv_probit``'s jitter, and sigma a trainable scale shared across bins.
+Monotonicity in the latent is automatic: raising f shifts probability mass
+to higher bins, never reorders them.
+
+Identifiability note: the bin-edge LOCATIONS passed to the constructor stay
+fixed here and sigma + the kernel adapt around them — edges, sigma, and the
+kernel variance trade off against each other (shifting all edges equals
+shifting the latent mean), so the usual practice is to pin the edges and
+let the continuous parameters absorb the scale.
+
+Why VGP + Adam: the posterior is non-Gaussian (likelihood is piecewise
+probit), so VGP carries the full-rank Gaussian approximation and the
+variational expectations run through the generic Gauss-Hermite quadrature
+of ``ScalarLikelihood`` — nothing Ordinal-specific is needed for training.
+
+Reading predictions: ``predict_mean_and_var`` through the likelihood gives
+E[y] as a weighted bin average — a float between bins; rounding it gives
+the accuracy proxy below, while per-bin probabilities come from the
+``_make_phi`` matrix if you need the full distribution.
 """
 import numpy as np
 import optax

@@ -4,6 +4,42 @@ getting_started/parameters_and_their_optimisation notebook).
 Shows the Module/Parameter building blocks on their own: a custom model
 built from ``gpflow_tpu.Module`` + ``Parameter``, transforms, priors,
 fixing parameters, and optimisation with the Scipy wrapper.
+
+The mental model (``gpflow_tpu/base.py``)
+-----------------------------------------
+A ``Parameter`` stores an UNCONSTRAINED leaf and shows you a CONSTRAINED
+value:
+
+    .value                 what the math sees (e.g. a positive lengthscale)
+    ._unconstrained        what optimizers move (any real number)
+    .transform             the bijector between them (Softplus by default
+                           for positive parameters; None for free ones)
+
+Optimizing in unconstrained space is what lets plain L-BFGS/Adam respect
+positivity without projections or clipping — a step can never leave the
+feasible set because the feasible set is the image of R^n.
+
+``Module`` is a pytree: any attribute that is a Parameter (or a Module, or
+a list of them) is discovered by traversal. That single fact powers
+``trainable_variables``, ``print_summary``, checkpointing
+(``utilities/traversal.py``) and the optimizers — there is no registration
+API to call and nothing to forget.
+
+Three more behaviors demonstrated below:
+* ``assign`` goes through the transform (you assign the CONSTRAINED value)
+  and rejects NaN loudly — silent NaNs in a kernel parameter otherwise
+  surface as a cryptic Cholesky failure much later.
+* ``set_trainable(p, False)`` removes p from ``trainable_variables``; the
+  value stays, the optimizers simply no longer see it.
+* attaching ``p.prior`` adds ``log p(theta)`` to
+  ``log_posterior_density`` — the same model object then trains MAP
+  instead of ML, and ``models/gpmc.py`` uses the identical mechanism for
+  full MCMC.
+
+JAX note: under jit, read ``.value`` inside the traced function via the
+``functionalize`` helper (``base.py``) or the closure-grad pattern shown in
+``doc/examples/classification.py`` — Parameters are host-resident Python
+objects, not traced arrays (PERFORMANCE.md explains the why).
 """
 import numpy as np
 

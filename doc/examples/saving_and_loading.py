@@ -8,6 +8,38 @@ Three mechanisms, matching the reference's three:
 2. checkpoints: ``save_checkpoint`` / ``load_checkpoint`` (orbax/npz),
 3. deployment: ``freeze`` + a jitted predict function (the saved_model
    analogue - parameters become constants baked into a compiled callable).
+
+Choosing between them
+---------------------
+All three rest on the same traversal (``utilities/traversal.py``): a model
+is a pytree of Parameters addressed by attribute paths like
+``.kernel.lengthscales``. What differs is what travels and who can read it:
+
+* **Parameter dicts** carry VALUES only, keyed by path — use them to move
+  learned hyperparameters between model *variants* (e.g. warm-starting an
+  SVGP from a trained SGPR) or to snapshot/restore within a process. The
+  receiving model must already exist with matching paths; this is the
+  lightest and most hackable format (a plain dict of arrays).
+* **Checkpoints** are the training-loop format: atomic on-disk snapshots
+  (orbax when available, npz fallback) that also hold optimizer state if
+  you pass it. Restore requires reconstructing the model (checkpoints
+  store leaves, not code) — exactly like the reference's tf.train
+  Checkpoint. The distributed trainer's elastic variant can restore a
+  checkpoint saved on 8 devices onto 4 (``parallel/trainer.py``,
+  dryrun path #8).
+* **freeze + jit** is for in-process deployment: parameters become
+  constants inside one compiled callable — no Parameter machinery, no
+  accidental training, fastest dispatch.
+* **StableHLO export** (step 4, the TPU-native saved_model analog) is for
+  OUT-of-process serving: the artifact is compiler IR loadable with jax
+  alone — no gpflow_tpu on the serving host, batch dim symbolic (or
+  bucketed static shapes when Pallas kernels must survive — see
+  ``utilities/serving.py``).
+
+Gotcha worth internalizing: all mechanisms round-trip the UNCONSTRAINED
+leaves, so transform choices (e.g. a custom positive lower bound) are part
+of the model code, not the artifact — reconstruct the model with the same
+transforms or the restored values will be reinterpreted.
 """
 import tempfile
 

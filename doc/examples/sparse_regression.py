@@ -5,6 +5,32 @@ conjugate gradients (optionally without ever building the [N, N] matrix).
 Mirrors the reference's SGPR/CGLB notebooks, with the TPU-native extra:
 ``matrix_free_chunk`` streams the kernel matrix in chunks, so the exact-bound
 objective runs at N far beyond device memory.
+
+Why sparse, and what the bracket means
+--------------------------------------
+Exact GPR costs O(N^3) time / O(N^2) memory per objective. SGPR replaces it
+with the collapsed Titsias bound over M << N inducing points — O(N M^2)
+and never materializing [N, N] (``doc/theory/sgpr.md`` derives every
+term). Because the ELBO is a *lower* bound and ``upper_bound()`` (Titsias'
+complementary bound, ``doc/theory/upper_bound.md``) an *upper* one, the
+pair brackets the exact marginal likelihood at the same hyperparameters:
+
+    ELBO  <=  log p(y)  <=  upper
+
+The printed bracket is the practical M-diagnostic: a tight bracket proves
+M suffices — no exact run needed. NOTE the subtlety the assertion encodes:
+the bracket holds at FIXED hyperparameters, so we re-evaluate the exact
+LML at SGPR's learned kernel, not at the exact model's own optimum.
+
+CGLB (``doc/theory/cglb.md``) then tightens the *lower* side at the same
+M by running conjugate gradients on the full residual — with
+``matrix_free_chunk`` each CG matvec streams kernel blocks of the given
+chunk size through the MXU, so memory stays O(N * chunk) and N=50k fits
+easily on one chip (0.34 s/objective measured, PERFORMANCE.md).
+
+``compute_qu`` at the end extracts the optimal q(u) that SGPR collapsed
+analytically — the warm start that makes SGPR -> SVGP migration (e.g. to
+add minibatching or a non-Gaussian likelihood later) nearly free.
 """
 import numpy as np
 
