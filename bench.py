@@ -179,34 +179,41 @@ def bench_svgp(results: dict) -> None:
     Xb = jax.device_put(X[:B])
     mu, var = predict(Xb)
     mu.block_until_ready()
-    # per-call: min over trials — submit-side dispatch is ~10 us and
-    # pipelines fully, so on a quiet host per-call equals the chip floor;
-    # a loaded host inflates individual trials (PERFORMANCE.md round-4
-    # serving section), which min-of-trials rejects
-    n_calls = 50
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            mu, var = predict(Xb)
-        mu.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    results["serving_points_per_sec_per_call"] = round(n_calls * B / best_dt, 0)
-
-    # streamed: K batches per dispatch via lax.map — the batched-queue
-    # serving-loop shape; measures the chip, not the tunnel
+    # Streamed: K batches per dispatch via lax.map — the batched-queue
+    # serving-loop shape; measures the chip, not the tunnel. Per-call: one
+    # dispatch per batch — submit-side dispatch is ~10 us and pipelines
+    # fully, so on a quiet host per-call equals the chip floor, while a
+    # loaded host inflates individual trials. Round-4 showed min-of-3 does
+    # NOT reject *sustained* load (driver-captured 7.74M vs 11.96M quiet):
+    # so the two modes are INTERLEAVED trial-by-trial (both see the same
+    # load profile), each takes its min, and the per-call/streamed ratio is
+    # emitted as an explicit contention annotation instead of being left
+    # for a reader to discover.
     K_batches = 50
     Xs = jax.device_put(np.stack([X[i * B : (i + 1) * B] for i in range(K_batches)]))
     predict_many = jax.jit(lambda xs: jax.lax.map(lambda xb: posterior.predict_f(xb), xs))
     mus, _ = predict_many(Xs)
     mus.block_until_ready()
-    reps_s = 4
-    t0 = time.perf_counter()
-    for _ in range(reps_s):
+    n_calls = 50
+    best_percall = best_streamed = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            mu, var = predict(Xb)
+        mu.block_until_ready()
+        best_percall = min(best_percall, time.perf_counter() - t0)
+        t0 = time.perf_counter()
         mus, _ = predict_many(Xs)
-    mus.block_until_ready()
-    dt = time.perf_counter() - t0
-    results["serving_points_per_sec"] = round(reps_s * K_batches * B / dt, 0)
+        mus.block_until_ready()
+        best_streamed = min(best_streamed, time.perf_counter() - t0)
+    results["serving_points_per_sec_per_call"] = round(n_calls * B / best_percall, 0)
+    results["serving_points_per_sec"] = round(K_batches * B / best_streamed, 0)
+    # 1.0 = quiet host (dispatch fully pipelined); >1 = this run's per-call
+    # number is host-contended by that factor and the streamed number is
+    # the chip capability
+    results["serving_percall_contention_x"] = round(
+        (best_percall / n_calls) / (best_streamed / K_batches), 2
+    )
 
 
 def bench_natgrad_nonconjugate(results: dict) -> None:
@@ -252,14 +259,21 @@ def bench_natgrad_nonconjugate(results: dict) -> None:
     for _ in range(2):  # two warm-up dispatches (donated-layout recompile)
         losses = trainer.run_steps(batches, presharded=True)
         float(np.asarray(losses)[-1])
-    reps = 2
-    t0 = time.perf_counter()
+    # Time each dispatch separately and keep the best: the scan itself is
+    # device-resident, so a slow rep means the host was busy around the
+    # dispatch/sync boundary, not that the chip slowed down — round 4's
+    # driver capture (383.6 vs 418-420 quiet) was exactly one such stall
+    # folded into a 2-rep average.
+    reps = 4
+    best_dt = float("inf")
+    final = float("nan")
     for _ in range(reps):
+        t0 = time.perf_counter()
         losses = trainer.run_steps(batches, presharded=True)
-    final = float(np.asarray(losses)[-1])
-    dt = time.perf_counter() - t0
+        final = float(np.asarray(losses)[-1])
+        best_dt = min(best_dt, time.perf_counter() - t0)
     assert np.isfinite(final), f"natgrad bench diverged: {final}"
-    results["natgrad_bernoulli_steps_per_sec"] = round(reps * timed_steps / dt, 1)
+    results["natgrad_bernoulli_steps_per_sec"] = round(timed_steps / best_dt, 1)
     trainer.finalize()
 
 
