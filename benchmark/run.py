@@ -20,7 +20,7 @@ import subprocess
 import sys
 import tempfile
 import time
-from typing import Any, Dict
+from typing import Any, Dict, List
 
 import numpy as np
 
@@ -38,15 +38,31 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
     from .datasets import get_dataset
     from .models import create_model
 
+    import jax
+
     np.random.seed(rep)
     ds = get_dataset(task.dataset)
     (X, Y), (Xt, Yt) = ds.train, ds.test
     model = create_model(task.model, (X, Y))
 
+    # Jitted prediction entry points with the MODEL as a traced pytree
+    # argument: parameters are inputs (not baked constants), so the same
+    # compiled program serves before and after training. Running these
+    # eagerly instead compiles every tiny op as its own server-side XLA
+    # program over the TPU tunnel — measured minutes per eager predict on
+    # a congested compile server vs a handful of cached programs here.
+    @jax.jit
+    def _predict_y(m, Xb):
+        return m.predict_y(Xb)
+
+    @jax.jit
+    def _predict_log_density(m, data):
+        return m.predict_log_density(data)
+
     # warm-up prediction at the FULL test shape (jax compiles per static
     # shape, so a smaller warm-up batch would leave the timed call paying
     # trace+compile for the real shape)
-    model.predict_y(Xt)
+    jax.block_until_ready(_predict_y(model, Xt))
 
     from gpflow_tpu.models import training_loss_closure
 
@@ -85,10 +101,11 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
         n_iter = int(result.nit)
 
     t0 = time.perf_counter()
-    f_mean, f_var = model.predict_y(Xt)
+    f_mean, f_var = _predict_y(model, Xt)
+    jax.block_until_ready(f_mean)
     prediction_time = time.perf_counter() - t0
 
-    ld = np.asarray(model.predict_log_density((Xt, Yt)))
+    ld = np.asarray(_predict_log_density(model, (Xt, Yt)))
     nlpd = float(-np.mean(ld))
     f_mean_np = np.asarray(f_mean)
     if f_mean_np.shape[-1] != Yt.shape[-1]:
@@ -122,12 +139,51 @@ def _collect_metrics(task, rep: int) -> Dict[str, Any]:
     if hasattr(model, "posterior"):
         t0 = time.perf_counter()
         posterior = model.posterior()
+        jax.block_until_ready(jax.tree_util.tree_leaves(posterior.cache))
         row["posterior_build_time"] = time.perf_counter() - t0
-        posterior.predict_f(Xt)  # compile at the timed shape
+
+        @jax.jit
+        def _posterior_predict(p, Xb):
+            return p.predict_f(Xb)
+
+        jax.block_until_ready(_posterior_predict(posterior, Xt))  # compile
         t0 = time.perf_counter()
-        posterior.predict_f(Xt)
+        jax.block_until_ready(_posterior_predict(posterior, Xt))
         row["posterior_prediction_time"] = time.perf_counter() - t0
     return row
+
+
+def _run_child_task(
+    suite_name: str, task_index: int, repetitions: int, out_path: str
+) -> None:
+    """Entry point of the per-task subprocess: runs ALL repetitions of one
+    task sequentially and rewrites ``out_path`` (a JSON list) after each
+    rep, so a timeout keeps completed reps. Running reps in one process is
+    what makes reps 1..k-1 skip XLA compiles *unconditionally*: jax's
+    in-process executable cache needs no (backend-dependent) on-disk
+    serialization support, which matters on the tunneled TPU backend where
+    a cold compile of the fused L-BFGS program can take minutes."""
+    plat = os.environ.get("GPFLOW_TPU_CHILD_JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+    from .benchmarks import get_suite
+
+    task = get_suite(suite_name).get_tasks()[task_index]
+    maxiter_override = os.environ.get("GPFLOW_TPU_BENCH_MAXITER")
+    if maxiter_override:
+        task = task._replace(maxiter=int(maxiter_override))
+    rows = []
+    for rep in range(repetitions):
+        print(f"[benchmark]   rep {rep}", flush=True)
+        rows.append(_collect_metrics(task, rep))
+        with open(out_path, "w") as f:
+            json.dump(rows, f)
 
 
 def _run_child(suite_name: str, task_index: int, rep: int, out_path: str) -> None:
@@ -157,21 +213,22 @@ def _run_child(suite_name: str, task_index: int, rep: int, out_path: str) -> Non
 
 
 def _run_task_isolated(
-    suite_name: str, task, task_index: int, rep: int, timeout: float
-) -> Dict[str, Any]:
-    """Runs one (task, rep) in a fresh subprocess; never raises — hangs and
-    crashes become status rows (reference A.3: fresh process + 1 h cap)."""
+    suite_name: str, task, task_index: int, repetitions: int, timeout: float
+) -> List[Dict[str, Any]]:
+    """Runs ALL reps of one task in a fresh subprocess; never raises —
+    hangs and crashes become status rows (reference A.3: fresh process +
+    time cap). ``timeout`` is per rep; the process gets timeout*reps.
+    Completed reps survive a timeout (the child flushes after each rep)."""
     base = {
         "suite_task": f"{task.dataset}/{task.model}",
         "dataset": task.dataset,
         "model": task.model,
-        "repetition": rep,
     }
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tmp:
         out_path = tmp.name
     cmd = [
         sys.executable, "-m", "benchmark.run",
-        "--_child", suite_name, str(task_index), str(rep), out_path,
+        "--_child_task", suite_name, str(task_index), str(repetitions), out_path,
     ]
     env = dict(os.environ)
     import jax
@@ -179,20 +236,41 @@ def _run_task_isolated(
     plat = getattr(jax.config, "jax_platforms", None)
     if plat:
         env["GPFLOW_TPU_CHILD_JAX_PLATFORMS"] = plat
+
+    def _partial_rows() -> List[Dict[str, Any]]:
+        try:
+            with open(out_path) as f:
+                rows = json.load(f)
+        except Exception:
+            return []
+        for row in rows:
+            row["status"] = "ok"
+        return rows
+
     try:
         proc = subprocess.run(
-            cmd, timeout=timeout, capture_output=True, text=True, cwd=_REPO_ROOT,
-            env=env,
+            cmd, timeout=timeout * repetitions, capture_output=True, text=True,
+            cwd=_REPO_ROOT, env=env,
         )
+        rows = _partial_rows()
         if proc.returncode != 0:
             tail = (proc.stderr or "")[-2000:]
-            return {**base, "status": "error", "error": tail}
-        with open(out_path) as f:
-            row = json.load(f)
-        row["status"] = "ok"
-        return row
+            rows.append(
+                {**base, "repetition": len(rows), "status": "error", "error": tail}
+            )
+        return rows
     except subprocess.TimeoutExpired:
-        return {**base, "status": "timeout", "error": f"exceeded {timeout}s"}
+        rows = _partial_rows()
+        rows.append(
+            {
+                **base,
+                "repetition": len(rows),
+                "status": "timeout",
+                "error": f"exceeded {timeout}x{repetitions}s"
+                f" ({len(rows)}/{repetitions} reps completed)",
+            }
+        )
+        return rows
     finally:
         try:
             os.unlink(out_path)
@@ -233,6 +311,9 @@ def _gather_metadata(suite_name: str, num_tasks: int) -> Dict[str, Any]:
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--_child":
         _run_child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--_child_task":
+        _run_child_task(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
         return
 
     parser = argparse.ArgumentParser(description=__doc__)
@@ -330,26 +411,32 @@ def main() -> None:
     for task in tasks:
         task_index = all_tasks.index(task)
         repetitions = args.repetitions or task.repetitions
-        for rep in range(repetitions):
-            print(f"[benchmark] {task.dataset}/{task.model} rep {rep}", flush=True)
-            if args.isolation == "subprocess":
-                row = _run_task_isolated(
-                    args.suite, task, task_index, rep, args.task_timeout
-                )
+        print(
+            f"[benchmark] {task.dataset}/{task.model} x{repetitions} reps",
+            flush=True,
+        )
+        if args.isolation == "subprocess":
+            task_rows = _run_task_isolated(
+                args.suite, task, task_index, repetitions, args.task_timeout
+            )
+            for row in task_rows:
                 if row.get("status") != "ok":
                     print(
                         f"[benchmark]   -> {row['status']}: "
                         f"{row.get('error', '')[:200]}",
                         flush=True,
                     )
-            else:
-                run_task = (
-                    task._replace(maxiter=args.maxiter)
-                    if args.maxiter is not None else task
-                )
-                row = {**_collect_metrics(run_task, rep), "status": "ok"}
-            rows.append(row)
+            rows.extend(task_rows)
             _flush_rows()
+        else:
+            run_task = (
+                task._replace(maxiter=args.maxiter)
+                if args.maxiter is not None else task
+            )
+            for rep in range(repetitions):
+                print(f"[benchmark]   rep {rep}", flush=True)
+                rows.append({**_collect_metrics(run_task, rep), "status": "ok"})
+                _flush_rows()
 
     _flush_rows()
     with open(os.path.join(args.dest, "metadata.json"), "w") as f:

@@ -193,7 +193,11 @@ def test_isolated_runner_records_error_row(monkeypatch):
 
     task = Task("tiny_linear", "does_not_exist", 1, 1)
     # index 999 is out of range in the child -> child exits non-zero
-    row = _run_task_isolated("integration_test", task, 999, 0, timeout=240.0)
+    rows = _run_task_isolated(
+        "integration_test", task, 999, repetitions=1, timeout=240.0
+    )
+    assert len(rows) == 1
+    row = rows[0]
     assert row["status"] == "error"
     assert row["dataset"] == "tiny_linear"
     assert row["error"]  # stderr tail captured

@@ -1,0 +1,173 @@
+"""Run the FULL test suite and regenerate TESTRUN.md — the committed
+manifest of a complete run (VERDICT r4 #6; the reference's CI contract is
+`make test`, ref Makefile:55-56 — one command, whole suite, zero tolerated
+failures).
+
+Usage (from the repo root, on a quiet host):
+
+    python tools/run_test_manifest.py            # full run, writes TESTRUN.md
+    python tools/run_test_manifest.py --jobs 4   # xdist worker count
+
+Behaviour:
+* runs `pytest tests/ -m "not tpu"` under the CPU backend (the suite's own
+  conftest forces the virtual 8-device CPU mesh) with JUnit-XML output,
+* records pass/fail/skip counts and wall time PER TOP-LEVEL DIRECTORY,
+* FAILS (exit 1) on any test failure, error, or any skip not in the
+  expected-skip allowlist below — a skip that silently appears is a
+  coverage regression, not a detail,
+* writes TESTRUN.md with the counts, the slowest tests, and the exact
+  reproduction command.
+
+The `tpu` marker tier is run separately on hardware (tools/tpu_smoke.py,
+tools/tpu_parity.py) and recorded in PERFORMANCE.md / PARITY_TPU.json; it
+is excluded here because this manifest must be reproducible anywhere.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import subprocess
+import sys
+import xml.etree.ElementTree as ET
+from collections import defaultdict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Skips that are expected and tolerated, as (nodeid substring, reason
+# substring). Anything else skipping fails the manifest.
+EXPECTED_SKIPS: list = [
+    # none currently — the suite is expected to run everything on CPU
+]
+
+
+def _dir_key(classname: str, file_attr: str) -> str:
+    """Group by containing directory: classname `tests.gpflow_tpu.kernels.
+    test_x[.TestCls]` -> `tests/gpflow_tpu/kernels`."""
+    path = file_attr or classname.replace(".", "/")
+    parts = [p for p in path.split("/") if p]
+    # drop trailing class names until the last part looks like a module
+    while len(parts) > 1 and not parts[-1].startswith(("test_", "conftest")):
+        parts.pop()
+    return "/".join(parts[:-1]) if len(parts) > 1 else parts[0]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jobs", type=int, default=0,
+                    help="pytest-xdist workers (0 = in-process, no xdist)")
+    ap.add_argument("--out", default=os.path.join(REPO, "TESTRUN.md"))
+    ap.add_argument("--xml", default="/tmp/testrun_junit.xml")
+    args = ap.parse_args()
+
+    cmd = [
+        sys.executable, "-m", "pytest", "tests/", "-q",
+        "-m", "not tpu",
+        "-p", "no:cacheprovider",
+        "-o", "junit_family=xunit2",
+        f"--junit-xml={args.xml}",
+    ]
+    if args.jobs:
+        cmd += ["-n", str(args.jobs)]
+
+    print("+", " ".join(cmd), flush=True)
+    t0 = datetime.datetime.now(datetime.timezone.utc)
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    wall = (datetime.datetime.now(datetime.timezone.utc) - t0).total_seconds()
+    print(proc.stdout[-3000:])
+
+    by_dir: dict = defaultdict(lambda: {"passed": 0, "failed": 0,
+                                        "skipped": 0, "duration": 0.0})
+    totals = {"passed": 0, "failed": 0, "skipped": 0}
+    skips: list = []
+    failures: list = []
+    slowest: list = []
+
+    root = ET.parse(args.xml).getroot()
+    for case in root.iter("testcase"):
+        nodeid = f"{case.get('classname', '')}::{case.get('name', '')}"
+        key = _dir_key(case.get("classname", ""), case.get("file", ""))
+        dur = float(case.get("time", 0.0))
+        rec = by_dir[key]
+        rec["duration"] += dur
+        slowest.append((dur, nodeid))
+        failure = case.find("failure")
+        error = case.find("error")
+        skipped = case.find("skipped")
+        if failure is not None or error is not None:
+            rec["failed"] += 1
+            totals["failed"] += 1
+            failures.append(nodeid)
+        elif skipped is not None:
+            if skipped.get("type") == "pytest.xfail":
+                rec["passed"] += 1  # xfail machinery counts as covered
+                totals["passed"] += 1
+            else:
+                rec["skipped"] += 1
+                totals["skipped"] += 1
+                skips.append((nodeid, skipped.get("message", "")))
+        else:
+            rec["passed"] += 1
+            totals["passed"] += 1
+
+    unexpected = [
+        (nodeid, reason) for nodeid, reason in skips
+        if not any(ns in nodeid and nr in reason for ns, nr in EXPECTED_SKIPS)
+    ]
+    slowest.sort(reverse=True)
+    git_rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             cwd=REPO, capture_output=True, text=True
+                             ).stdout.strip()
+
+    lines = [
+        "# Full test-suite manifest",
+        "",
+        "- command: `python tools/run_test_manifest.py"
+        + (f" --jobs {args.jobs}`" if args.jobs else "`")
+        + " — pytest `-m \"not tpu\"`, CPU backend, virtual 8-device mesh,"
+        " shape contracts ON (tests/conftest.py)",
+        f"- git: `{git_rev}`, {t0.isoformat(timespec='seconds')},"
+        f" wall {wall:.0f}s, pytest exit {proc.returncode}",
+        f"- totals: **{totals['passed']} passed**, {totals['failed']} failed,"
+        f" {totals['skipped']} skipped ({len(unexpected)} unexpected)",
+        "",
+        "| directory | passed | failed | skipped | time [s] |",
+        "|---|---:|---:|---:|---:|",
+    ]
+    for key in sorted(by_dir):
+        r = by_dir[key]
+        lines.append(
+            f"| {key} | {r['passed']} | {r['failed']} | {r['skipped']} |"
+            f" {r['duration']:.1f} |"
+        )
+    lines += ["", "Slowest tests:", ""]
+    for dur, nodeid in slowest[:15]:
+        lines.append(f"- {dur:.1f}s `{nodeid}`")
+    if failures:
+        lines += ["", "FAILURES:", ""] + [f"- `{n}`" for n in failures]
+    if unexpected:
+        lines += ["", "UNEXPECTED SKIPS:", ""] + [
+            f"- `{n}`: {r[:120]}" for n, r in unexpected
+        ]
+    lines += [
+        "",
+        "The `tpu`-marked tier runs separately on hardware"
+        " (tools/tpu_smoke.py, tools/tpu_parity.py -> PARITY_TPU.json).",
+        "",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+
+    if proc.returncode != 0 or failures:
+        print("MANIFEST: suite failed", file=sys.stderr)
+        return 1
+    if unexpected:
+        print(f"MANIFEST: {len(unexpected)} unexpected skip(s)",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
