@@ -107,12 +107,13 @@ def bench_svgp(results: dict) -> None:
     from gpflow_tpu.models import SVGP
     from gpflow_tpu.parallel import DataParallelTrainer, make_mesh
 
-    # 250 scanned steps per device dispatch (same rationale as the natgrad
-    # bench below): at ~4.5 ms/step one dispatch carries ~1.1 s of device
-    # work, amortizing the ~9 ms host/tunnel dispatch overhead that at 50
-    # steps/dispatch cost ~4% of the headline (PERFORMANCE.md round 4)
+    # 500 scanned steps per device dispatch (same rationale as the natgrad
+    # bench below): at ~4.5 ms/step one dispatch carries ~2.3 s of device
+    # work, amortizing the ~9 ms host/tunnel dispatch overhead to <0.5%
+    # (round 4 measured 217.8 host-side vs 219.9 device-side at 250
+    # steps/dispatch — about 1% was dispatch, half of it reclaimed here)
     warmup_dispatches = 2
-    timed_steps = 250
+    timed_steps = 500
     reps = 2
 
     rng = np.random.RandomState(0)
