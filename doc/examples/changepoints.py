@@ -5,6 +5,33 @@ The ``ChangePoints`` kernel blends a list of kernels through sigmoids
 parameterised by locations and steepness, modelling 1-D functions with
 regime changes.  We draw prior samples under several parameterisations and
 then recover a change-point location from data by maximum likelihood.
+
+How the blend works (``kernels/changepoints.py``): for K+1 kernels and K
+locations c_k with steepness s_k, define per-point weights from the
+sigmoids sig_k(x) = sigmoid(s_k (x - c_k)). Kernel i is active where
+sig_{i-1} is ~1 and sig_i is ~0, and the covariance between x and x' uses
+the PRODUCT of their activations:
+
+    k(x, x') = sum_i  w_i(x) k_i(x, x') w_i(x')
+
+This keeps positive-definiteness (it is a sum of rescaled PSD kernels) and
+makes the transition width explicit: steepness 5 gives a soft handover
+over ~1/5 of an input unit; steepness -> inf approaches a hard switch.
+
+Three things the example demonstrates:
+1. Prior samples: the same construction with different (locations,
+   steepness) produces visibly different regime structure BEFORE any data
+   — always sanity-check a structured kernel by sampling its prior.
+2. The change-point location and steepness are Parameters: maximum
+   likelihood recovers the true location from data with regime change
+   (the assertion at the end), jointly with each regime's lengthscale.
+3. Composition: each regime kernel is arbitrary (different families,
+   different hyperpriors) — regime models like "smooth before, rough
+   after" are one constructor call.
+
+Identifiability caveat: with data only from one side of a candidate
+location, the sigmoid weight is ~constant there and the location's
+gradient vanishes — initialize locations inside the observed range.
 """
 import numpy as np
 

@@ -5,6 +5,31 @@ The Convolutional kernel sums a base-kernel response over image patches;
 InducingPatches live in patch space, so M inducing *patches* summarize all
 patch positions of all images. Task: classify whether a bright square appears
 in the upper-left or lower-right of a small image.
+
+The construction, layer by layer (``kernels/convolutional.py``,
+``covariances/kuus.py``/``kufs.py``):
+
+* An image x is unrolled into its P overlapping patches
+  x^[1..P] (here 4x4 = 16 patches of 3x3). The latent function is a sum
+  of one shared patch-response function g over positions:
+      f(x) = sum_p g(x^[p]),   g ~ GP(0, k_base)
+  so k(x, x') = sum_{p,q} k_base(x^[p], x'^[q]) — translation structure
+  with far fewer effective parameters than a generic kernel on R^36.
+* ``InducingPatches`` Z live in PATCH space (R^9, not image space):
+  Kuf[m, n] = sum_p k_base(z_m, x_n^[p]) — one inducing patch covaries
+  with every position of every image. M patches therefore summarize
+  N x P patch observations; the example's final check reads the learned
+  patches back as 3x3 tiles.
+* On TPU the patch extraction is one reshape/gather and the (M x NP)
+  base-kernel block is a single fused Pallas/MXU evaluation reshaped to
+  [M, N, P] and summed over P — no Python loop over positions.
+
+This is the GP analog of a single conv layer + global average pooling.
+Per-position ``weights`` (a [P] Parameter, ones by default) recover the
+reference's weighted variant: training them drops translation invariance
+when position matters — here position IS the label, which even the
+uniform sum separates because the patch response itself differs. Deeper
+stacks are out of scope (that is deep-GP territory).
 """
 import numpy as np
 import optax

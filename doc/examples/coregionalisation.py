@@ -2,6 +2,39 @@
 notebook): two correlated outputs observed at different inputs, modeled with
 a Coregion kernel over an output-index column and a SwitchedLikelihood
 holding one noise level per output.
+
+The trick: outputs as an input column
+-------------------------------------
+Multi-output data where each output is observed at ITS OWN inputs does not
+fit the [N, P] layout — here output 1 has N1 points on [0,1] and output 2
+has N2 points on [0,0.5]. The intrinsic-coregionalization model flattens
+everything into one augmented dataset:
+
+    X_aug = [x, output_index],    Y_aug = [y, output_index]
+
+and factorizes the kernel over the two columns:
+
+    k((x,i), (x',j)) = k_base(x, x') * B[i, j],
+    B = W W^T + diag(kappa)   (the Coregion kernel, rank-1 W here)
+
+``active_dims`` does the routing: the Matern32 sees column 0 (the real
+input), Coregion sees column 1 (the index), and the ``*`` composition
+multiplies them. B is the learned between-output covariance — read the
+correlation off its off-diagonal (printed below).
+
+The index column on Y drives ``SwitchedLikelihood``: row n is scored by
+likelihood ``Y[n, -1]``, giving each output its own noise parameter. (Our
+Switched implementation evaluates every sub-likelihood on the full batch
+with masked substitution instead of the reference's dynamic_partition —
+jit needs static shapes; see ``likelihoods/base.py``.)
+
+Why this beats two independent GPs: the outputs share statistical
+strength. Output 2 is only observed on [0, 0.5], but because training
+learns B[0,1] > 0, its predictions on (0.5, 1] are informed by output 1's
+data there — that is what the final finite-prediction check gestures at.
+For many outputs or shared inducing points, graduate to the multioutput
+kernel framework (``doc/examples/multioutput.py``), which is the
+MXU-batched generalization of this construction.
 """
 import numpy as np
 

@@ -4,6 +4,37 @@
 Evaluates every stock single-output kernel on a common grid, demonstrates
 composition (+, *), ``active_dims``, and what lengthscale/variance/period
 do to the covariance structure.
+
+A field guide to choosing among them:
+
+* **SquaredExponential** — infinitely smooth samples; the default for
+  well-behaved continuous functions. Its extreme smoothness can
+  over-confidently interpolate rough data.
+* **Matern52 / Matern32 / Matern12** — decreasing smoothness (2x/1x/0x
+  differentiable). Matern52 is the workhorse for physical data; Matern12
+  (= Exponential) gives Ornstein-Uhlenbeck, fitting rough/noisy series.
+* **RationalQuadratic** — a scale mixture of SquaredExponentials: behaves
+  like several lengthscales at once; its ``alpha`` interpolates (at
+  alpha -> inf it IS SquaredExponential).
+* **Periodic(base, period)** — wraps any stationary base through the
+  sin-warp so correlation depends on distance AROUND the circle; the
+  base's lengthscale controls within-period smoothness.
+* **Cosine** — pure harmonic; useful as a component, rarely alone.
+* **Linear / Polynomial** — non-stationary dot-product kernels; samples
+  are (polynomial) trends. `Linear + Matern52` = trend + correlated
+  residual, the classic additive decomposition.
+* **Constant / White** — bias and iid-noise components for composition
+  (a White component inside a Sum is how you make noise explicit in the
+  kernel rather than in the likelihood).
+* **ArcCosine** — the infinite-width ReLU-network kernel; non-stationary,
+  depth via ``order``.
+
+Every kernel here supports ARD (one lengthscale per input dim — pass a
+vector), ``active_dims`` slicing, and the checks this gallery runs:
+symmetry, positive semidefiniteness on a grid, and K_diag consistency.
+On TPU the whole isotropic family routes through one fused Pallas
+distance-tile kernel (``ops/pallas_distance.py``), so the choice among
+Materns/RBF is statistical, not computational.
 """
 import numpy as np
 

@@ -4,6 +4,33 @@ notebook, ``doc/sphinx/notebooks/getting_started/mean_functions.pct.py``).
 GP models default to a zero mean; a mean function lets the model extrapolate
 structure (here a linear trend) away from the data, and mean functions
 compose with ``+`` and ``*``.
+
+Why the far-field demo below works the way it does: a stationary-kernel GP
+posterior reverts to its PRIOR mean at inputs far from any datum (the
+kernel correlation decays, so the data stop mattering). With the default
+zero mean that means predictions collapse to 0 — visibly wrong for data
+with a trend. Attaching ``Linear(A, b)`` moves the reversion target: the
+GP now models only the RESIDUAL around a trainable trend, and the
+far-field prediction follows the trend line. The mean function's A and b
+are ordinary Parameters, trained jointly with the kernel by the same
+L-BFGS call — nothing special is needed.
+
+Rules of thumb:
+* A mean function changes extrapolation behaviour and frees the kernel
+  from spending lengthscale/variance on global structure; for
+  interpolation well inside the data it matters much less.
+* Prefer the simplest mean that captures known structure (Constant for an
+  offset, Linear for a trend); a flexible mean competes with the kernel
+  for the same variance and can make hyperparameters unidentifiable.
+* Means compose like kernels (``+``, ``*``; demonstrated below), and
+  ``SwitchedMeanFunction`` pairs with ``SwitchedLikelihood``'s index
+  column for per-group offsets (see coregionalisation.py).
+* For a mean outside the built-in family — e.g. a neural network — any
+  callable Module works; ``doc/examples/external_mean_function.py`` uses
+  exactly that.
+
+All mean functions implement ``__call__(X) -> [N, P]`` and are exercised
+against the reference semantics in ``tests/gpflow_tpu/test_functions.py``.
 """
 import numpy as np
 

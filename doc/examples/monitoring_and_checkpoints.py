@@ -2,6 +2,38 @@
 monitoring + saving_and_loading notebooks): scheduled Monitor task groups
 writing TensorBoard scalars, plus periodic orbax checkpoints through an
 ExecuteCallback — and restoring the best state afterwards.
+
+The Monitor architecture (``gpflow_tpu/monitor/``), mirroring the
+reference's exactly:
+
+* a ``MonitorTask`` does one thing when called with the step index —
+  ``ModelToTensorBoard`` walks the model and logs every parameter,
+  ``ScalarToTensorBoard`` logs a named closure's value,
+  ``ExecuteCallback`` runs arbitrary Python (used here for best-loss
+  checkpointing);
+* a ``MonitorTaskGroup`` holds tasks plus a ``period`` — run every N
+  steps. Group cheap tasks (scalars) with period 1 and expensive ones
+  (full-model dump, image rendering) with a long period;
+* ``Monitor(group1, group2, ...)`` is the single callable you invoke as
+  ``monitor(step)`` inside the training loop.
+
+Two TPU-relevant practices shown below:
+* The training step stays a compiled function; monitoring happens OUTSIDE
+  it, reading values only at monitor steps. Never log from inside jit —
+  a host callback in the hot loop serializes the device pipeline. At
+  period p, you pay one device->host sync every p steps and nothing
+  otherwise.
+* The best-checkpoint pattern: track the best seen loss in host state and
+  snapshot with ``save_checkpoint`` only on improvement; after training,
+  ``load_checkpoint`` restores that state regardless of where the last
+  step wandered. For long runs this doubles as preemption insurance —
+  checkpoints are atomic (orbax), so a killed run resumes from the last
+  completed snapshot (the distributed trainer adds elastic re-sharding on
+  top; see PERFORMANCE.md).
+
+TensorBoard event files land in ``log_dir`` (written via
+``torch.utils.tensorboard.SummaryWriter`` — the TF-free event writer);
+run ``tensorboard --logdir <dir>`` to view.
 """
 import tempfile
 

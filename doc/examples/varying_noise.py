@@ -8,6 +8,35 @@ Three ways to give each data point its own noise level, all through the
 1. noise scale as a learned ``Polynomial`` function of X,
 2. per-group noise via ``SwitchedFunction`` over a group column,
 3. fixed empirical noise through a custom ``Function``.
+
+The mechanism (``utilities/parameter_or_function.py``): every ``Gaussian``
+likelihood parameter (``variance`` or ``scale``) accepts EITHER a constant
+Parameter OR any input-dependent ``Function``; internally everything
+routes through ``variance_at(X) -> [N, 1]``, and the GPR marginal
+likelihood simply uses a per-datum noise vector instead of sigma^2 I —
+the Cholesky stays the same size, so input-dependent noise is free at
+training time.
+
+Choosing among the three (and the fourth):
+* **Known noise structure, learnable magnitude** -> demo 1: a small
+  parametric family (Polynomial in X) when you believe noise varies
+  smoothly with the input. Beware flexibility: a high-degree noise
+  polynomial can explain the residuals and flatten the GP.
+* **Known groups** -> demo 2: a trailing group-index column +
+  ``SwitchedFunction`` gives one learned noise level per group (two
+  instruments, two labs, ...). This is the lightweight alternative to a
+  full SwitchedLikelihood when only the noise differs.
+* **Noise measured externally** -> demo 3: wrap the measured per-point
+  values in a custom non-trainable Function (here: a lookup). Typical for
+  data with reported error bars.
+* **Noise to be inferred nonparametrically** -> not this file: put a
+  second GP on the log-noise and use the heteroskedastic likelihood
+  (``doc/examples/heteroskedastic.py``) — strictly more flexible, but
+  needs variational inference instead of exact GPR.
+
+The checks after each fit read the learned noise back through
+``variance_at`` and compare against the generating process — the pattern
+to copy when validating a noise model on real data.
 """
 import numpy as np
 
