@@ -5,6 +5,34 @@ Any callable built from ``Parameter`` leaves can serve as a
 ``MeanFunction``; its weights train jointly with the GP hyperparameters.
 Useful when the prior mean has known-but-complex structure the kernel
 should not have to explain.
+
+Why this works with zero integration code: ``MeanFunction`` is just a
+Module with ``__call__(X) -> [N, P]``. Because Modules are pytrees, the
+MLP's weights appear in ``model.trainable_variables`` automatically and
+flow through the same jit/grad machinery as kernel hyperparameters —
+the Scipy L-BFGS call below optimizes {MLP weights, lengthscale,
+variance, noise} as one vector. Under jit the tanh layers fuse into the
+same XLA program as the kernel math.
+
+When to reach for this vs alternatives:
+* A parametric mean (even a small MLP) is worth it when you KNOW the
+  shape family of the trend and want the GP to model only residuals —
+  the example's quadratic-plus-wiggle data is the canonical case.
+* Beware capacity: a large MLP mean can absorb the entire signal,
+  leaving the GP with nothing (kernel variance -> 0) and erasing the
+  calibrated uncertainty you wanted from a GP. Keep the mean small, or
+  freeze it after pre-training.
+* If you want the network INSIDE the covariance instead (feature
+  extraction), put it in the kernel: see ``doc/examples/gp_nn.py``,
+  which composes a kernel on learned features — a different trade-off
+  (uncertainty then lives in feature space).
+
+The final check reads the fitted mean function back and correlates it
+with the true trend — the MLP must have absorbed the tanh backbone
+(corr > 0.95), leaving the Matern32 only the short-scale residual; the
+far-field prediction at x=10 then follows the MLP instead of reverting
+to zero (the reversion mechanics are explained in
+``doc/examples/mean_functions.py``).
 """
 import numpy as np
 import jax.numpy as jnp

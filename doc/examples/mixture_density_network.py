@@ -7,6 +7,33 @@ Gaussians whose weights/means/scales are the outputs of a neural network.
 All network weights are ``Parameter`` leaves, trained with the same Scipy
 L-BFGS wrapper used for GP models.  Data is the classic inverse-sine
 problem where p(y|x) is multimodal and a plain GP regression must fail.
+
+Why multimodality breaks a GP, and what the MDN does instead: inverting
+y = x + 0.3 sin(2 pi x) + noise gives, for one x, SEVERAL valid y
+branches. Any model whose predictive is a single Gaussian per input
+(every GP regression in this package) can only answer with the average
+of the branches — a prediction in the empty space BETWEEN them. The MDN
+outputs, per input, M mixture logits, M means, and M log-scales; its
+loss is the exact negative log likelihood of the mixture
+
+    -log sum_m softmax(logit_m) N(y | mu_m, sigma_m^2)
+
+evaluated with logsumexp for stability. Branch structure survives
+because nothing forces the density to be unimodal.
+
+What this example is really demonstrating about the framework:
+* ``Module``/``Parameter`` + ``Scipy`` form a general differentiable-
+  model toolkit — nothing in the optimizer or pytree machinery knows
+  this is not a GP (same closure-grad, same transforms, same
+  ``print_summary``).
+* L-BFGS on a neural network works here because the model is small and
+  the NLL is smooth; for bigger networks switch to the optax path
+  (``utilities.training_loop``) — the model object doesn't change.
+* The final check reads the mixture parameters at x=0 and asserts at
+  least two components carry weight > 0.05 with well-separated means —
+  the qualitative multimodal behaviour no GP in this package can
+  produce. (See ``likelihoods/multilatent.py`` for the in-GP route when
+  the non-Gaussianity is mild heteroskedasticity instead.)
 """
 import numpy as np
 import jax
