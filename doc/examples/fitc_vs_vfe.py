@@ -9,6 +9,20 @@ inducing points, but their objectives behave differently:
   GPR exactly.
 * FITC is not a bound; it can OVERESTIMATE the marginal likelihood and
   systematically underestimates the noise variance (Bauer et al. 2016).
+
+``doc/theory/fitc_vs_vfe.md`` derives both objectives and explains WHY
+each behaviour follows from a single structural difference — VFE pays an
+explicit trace penalty for unexplained variance, while FITC gets to
+reinterpret it as free input-dependent noise. The script below is the
+executable version of that note's three claims, in order:
+
+1. Z = X exactness for BOTH models (the trace term and the diagonal
+   correction each vanish when Qff = Kff);
+2. at M << N, VFE's ELBO stays a lower bound on the exact LML evaluated
+   at VFE's own hyperparameters;
+3. FITC's hallmark pathology: its trained noise variance comes out BELOW
+   VFE's on the same data (the mechanism — trading constant noise for the
+   heteroskedastic diag(Kff - Qff) term — is in the note).
 """
 import numpy as np
 

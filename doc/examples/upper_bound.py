@@ -11,6 +11,24 @@ exact log marginal likelihood, so together they SANDWICH it:
 As inducing points are added both bounds tighten, and the gap between them
 is a computable certificate of the sparse approximation's quality — when
 it is small, the approximation provably captures the model evidence.
+(``doc/theory/upper_bound.md`` derives the bound; the short version: the
+upper bound replaces the trace penalty with a worst-case eigenvalue
+correction, so it degrades — widens — rather than breaks when M is too
+small.)
+
+How to use the sandwich in practice, which is what this script sweeps:
+
+* Fit SGPR at increasing M and print (elbo, upper) at each M. The first
+  M where the gap is small relative to |elbo| is a PROOF that more
+  inducing points cannot change the evidence materially — model
+  selection can stop there without ever running exact GPR.
+* The bracket is valid at FIXED hyperparameters (both bounds are
+  functions of the same kernel/noise); compare bounds from the same
+  model object, not across differently-trained models.
+* Cost: ``upper_bound()`` is O(N M^2 + M^3), the same order as the ELBO
+  itself — one extra logdet and a largest-eigenvalue correction — so
+  evaluating it every few training iterations is affordable even on the
+  benchmark's largest N.
 """
 import numpy as np
 
