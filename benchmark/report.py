@@ -35,6 +35,13 @@ _METRICS = [
     ("accuracy", "", 3),
 ]
 
+# Repetition 0 pays the cold XLA compile (deliberately, so the compile
+# cost stays measured); folding it into a 5-rep mean makes the timing
+# spread useless for regression detection. These metrics aggregate over
+# the WARM repetitions (rep >= 1) and the cold rep-0 value is shown in
+# its own column.
+_COLD_METRICS = {"training_time", "training_iteration_time"}
+
 
 def _mean_std(values: Sequence[float]) -> str:
     mean = sum(values) / len(values)
@@ -77,8 +84,10 @@ def render_report(results_dir: str, title: str = "Benchmark results") -> str:
     # "optimizer" is rendered per-row so iteration-time columns are never
     # compared across optimizers: an adam-scan step and an L-BFGS iteration
     # (typically several objective evaluations) are different units.
-    header = ["task", "reps", "optimizer"] + [
-        (f"{name} [{unit}]" if unit else name) for name, unit, _ in _METRICS
+    header = ["task", "reps", "optimizer", "cold_training_time [s]"] + [
+        (f"{name} (warm) [{unit}]" if name in _COLD_METRICS
+         else (f"{name} [{unit}]" if unit else name))
+        for name, unit, _ in _METRICS
     ]
     lines.append("| " + " | ".join(header) + " |")
     lines.append("|" + "---|" * len(header))
@@ -86,10 +95,18 @@ def render_report(results_dir: str, title: str = "Benchmark results") -> str:
         reps = by_task[task]
         optimizers = sorted({r.get("optimizer", "") for r in reps} - {""})
         cells = [task, str(len(reps)), "/".join(optimizers) or "—"]
+        cold = [
+            float(r["training_time"]) for r in reps
+            if r.get("repetition") in (0, "0") and r.get("training_time")
+        ]
+        cells.append(f"{cold[0]:.6g}" if cold else "—")
         for name, _, _ in _METRICS:
+            use = reps
+            if name in _COLD_METRICS and len(reps) > 1:
+                use = [r for r in reps if r.get("repetition") not in (0, "0")]
             vals = [
                 float(r[name])
-                for r in reps
+                for r in use
                 if r.get(name) not in (None, "") and not math.isnan(float(r[name]))
             ]
             cells.append(_mean_std(vals) if vals else "—")

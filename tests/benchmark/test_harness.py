@@ -374,6 +374,10 @@ def test_report_renders_markdown(tmp_path):
                     "repetitions_override": 2}, f)
     md = render_report(str(tmp_path), "T")
     assert "| d/m | 2 |" in md
-    assert "1.5 ±" in md  # mean over reps with std
+    # training_time: rep 0 (cold compile) goes to its own column; warm
+    # reps aggregate. With reps (0, 1): cold = 1.0, warm = just rep 1 = 2.
+    assert "| 1 |" in md  # cold_training_time column
+    assert "cold_training_time" in md and "training_time (warm)" in md
+    assert "0.1 ± 0 |" in md  # non-cold metrics still mean over ALL reps
     assert "repetitions overridden to 2" in md
     assert "Failed / timed-out" in md and "exceeded 10s" in md
