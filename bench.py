@@ -336,19 +336,26 @@ def bench_gpr_nlml(results: dict) -> None:
             from gpflow_tpu.optimizers import Scipy
 
             nlml0 = float(v)
+            opt = Scipy()
+            closure = model.training_loss_closure(compile=False)
+            variables = model.trainable_variables
+            # compile the fused eval outside the timed region (one shared
+            # compile_cache entry; a maxiter=0 call still builds+compiles
+            # the flat value-and-grad)
+            opt.minimize(closure, variables, options={"maxiter": 0})
             t0 = time.perf_counter()
-            res = Scipy().minimize(
-                model.training_loss_closure(compile=False),
-                model.trainable_variables,
-                options={"maxiter": 30},
-            )
+            res = opt.minimize(closure, variables, options={"maxiter": 30})
             dt = time.perf_counter() - t0
             results["gpr_lbfgs_s_n16k"] = round(dt, 2)
             results["gpr_lbfgs_s_per_iter_n16k"] = round(dt / max(res.nit, 1), 3)
             results["gpr_lbfgs_nfev_n16k"] = int(res.nfev)
             results["gpr_lbfgs_nlml_n16k"] = round(-float(res.fun), 1)
             results["gpr_lbfgs_nlml0_n16k"] = round(-nlml0, 1)
-            assert float(res.fun) < nlml0, "L-BFGS failed to improve the NLML"
+            assert float(res.fun) < nlml0, (
+                f"L-BFGS failed to improve the NLML: fun={float(res.fun)} "
+                f"vs start={nlml0}, nit={res.nit}, nfev={res.nfev}, "
+                f"status={res.status}, msg={res.message}"
+            )
 
 
 def main() -> None:

@@ -216,7 +216,9 @@ def cholesky_mm(K: jax.Array) -> jax.Array:
     flow; forward-only evaluation is exactly ``jnp.linalg.cholesky``.
     Gradient error grows ~cond(K) * eps from the explicit inverse (the same
     envelope as the INV_SOLVE conditional path, tested in
-    tests/gpflow_tpu/test_error_envelopes.py).
+    tests/gpflow_tpu/test_error_envelopes.py); backward matmul precision is
+    pinned (see ``_mvn_logp_bwd``) so the envelope does not widen under the
+    FAST_MATMUL speed tier.
     """
     return jnp.linalg.cholesky(K)
 
@@ -253,10 +255,12 @@ def mvn_logp(ks: jax.Array, d: jax.Array) -> jax.Array:
 
     which costs ONE [n, n] matmul (ks^-1 = L^-T L^-1) plus the
     recursive-doubling blocked triangular inverse. Measured at n=16384 f32:
-    value_and_grad 1104 ms (stock) -> see PERFORMANCE.md. The matmuls
-    inherit the global precision (GPFLOW_TPU_FAST_MATMUL tier); the inverse
-    pins HIGHEST internally. Gradient error carries the INV_SOLVE
-    ~cond(ks)*eps envelope (tests/gpflow_tpu/test_error_envelopes.py).
+    value_and_grad 1104 ms (stock) -> see PERFORMANCE.md. Backward matmul
+    precision is pinned independently of the GPFLOW_TPU_FAST_MATMUL tier
+    (HIGH for the [n, n] Kinv product, HIGHEST for the narrow solves — see
+    ``_mvn_logp_bwd`` for the measured failure that motivates this).
+    Gradient error carries the INV_SOLVE ~cond(ks)*eps envelope
+    (tests/gpflow_tpu/test_error_envelopes.py).
     """
     return _mvn_logp_fwd(ks, d)[0]
 
@@ -278,13 +282,21 @@ def _mvn_logp_fwd(
 def _mvn_logp_bwd(
     res: Tuple[jax.Array, jax.Array], dp: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
+    # Precision is pinned UNCONDITIONALLY here — gradient correctness must
+    # not depend on the GPFLOW_TPU_FAST_MATMUL speed tier. At the fast tier
+    # the Kinv product's bf16 rounding (entries of L^-1 are O(cond) large)
+    # made N=16k f32 L-BFGS walk to a 4e9 objective and declare convergence
+    # (round-5 bench capture); HIGH (bf16_3x, f32-equivalent accumulation)
+    # converges to the same optimum as HIGHEST at ~2/3 the backward cost.
+    # beta and the rank-R outer product are narrow — HIGHEST is free there.
+    hi = jax.lax.Precision.HIGHEST
     L, alpha = res
     Linv = _large_triangular_inverse(L)
-    beta = jnp.matmul(_T(Linv), alpha)  # [n, R] = ks^-1 d
-    Kinv = jnp.matmul(_T(Linv), Linv)  # [n, n]
+    beta = jnp.matmul(_T(Linv), alpha, precision=hi)  # [n, R] = ks^-1 d
+    Kinv = jnp.matmul(_T(Linv), Linv, precision=jax.lax.Precision.HIGH)
     # dks = sum_r dp_r (1/2 beta_r beta_r^T) - (sum_r dp_r) (1/2) Kinv
     bscaled = beta * dp[None, :]
-    dks = 0.5 * (jnp.matmul(bscaled, _T(beta)) - jnp.sum(dp) * Kinv)
+    dks = 0.5 * (jnp.matmul(bscaled, _T(beta), precision=hi) - jnp.sum(dp) * Kinv)
     dd = -bscaled
     return dks, dd
 
