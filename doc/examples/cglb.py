@@ -9,9 +9,39 @@ estimate through an auxiliary vector v — so its objective sits BETWEEN the
 SGPR ELBO and the exact GPR marginal likelihood, introducing less
 hyperparameter bias than SGPR at the same inducing set.
 
+Why a tighter bound changes the LEARNED MODEL, not just a number: you
+optimise hyperparameters through the bound, so any gap that VARIES with
+the hyperparameters tilts the optimum. SGPR's trace penalty
+``tr(K - Q)/(2 sigma^2)`` explodes as the lengthscale shrinks (Q can no
+longer track K), so SGPR systematically prefers smoother kernels and
+larger noise than the evidence supports. The first section below measures
+exactly this: over a grid of lengthscales, the maximum gap to the exact
+objective — CGLB's is an order of magnitude smaller than SGPR's on the
+same 10 inducing points. The full derivation of both terms (and why the
+CG estimate is still a valid LOWER bound even when CG is stopped early —
+the ``0.5 r^T Q^-1 r`` error term is itself bounded by the
+preconditioner) is in ``doc/theory/cglb.md``.
+
+Two practical details the walkthrough shows:
+
+* **v is not a trainable.** The auxiliary vector is tuned by CG INSIDE
+  each objective evaluation (warm-started from the previous one, wrapped
+  in stop_gradient), so ``trainable_variables`` contains only kernel,
+  noise, and Z — L-BFGS never sees an N-dimensional parameter. Setting
+  ``v_grad_optimization=True`` flips v into a gradient-trained parameter
+  instead, the paper's other variant.
+* **Prediction has a knob.** ``predict_f(..., cg_tolerance=None)`` uses v
+  as-is (SGPR-cost prediction); a tight tolerance refines the residual
+  mean by more CG on [N, N] — accuracy paid for at serving time, not
+  training time.
+
 TPU-native extension demonstrated at the end: ``matrix_free_chunk`` runs
-every K-matvec in row chunks with rematerialization, so the [N, N] kernel
-matrix is never materialized — exact-GP-bound training at N beyond HBM.
+every K-matvec in row chunks with rematerialization (``jax.checkpoint``
+re-builds the [N, chunk] blocks in the backward pass), so the [N, N]
+kernel matrix is never materialized — exact-GP-bound training at N beyond
+HBM. The chunked objective is verified IDENTICAL to the dense one below;
+tools/exactgp_32k.py and PERFORMANCE.md carry the N=32k wall-clock story
+on a real chip.
 """
 import numpy as np
 

@@ -1,11 +1,43 @@
 """Deep kernel learning: a GP on neural-network features (mirrors the
 reference's tailor/gp_nn notebook, ``doc/sphinx/notebooks/tailor/gp_nn.pct.py``).
 
-The reference wraps a Keras CNN inside a kernel and moves the inducing
-points into feature space via Kuu/Kuf registrations; here the feature
-extractor is a small MLP whose weights are ordinary ``Parameter`` leaves of
-the kernel module - so the whole thing (NN weights + GP hyperparameters +
-variational parameters) trains end-to-end through one jitted loss.
+Why warp the inputs at all
+--------------------------
+A stationary kernel measures similarity by Euclidean distance, so it can
+only represent functions whose characteristic scale is the same everywhere
+in input space. The two-moons data below breaks that assumption: points on
+opposite moons can be closer in R^2 than points on the same moon. Deep
+kernel learning composes a learned feature map with a stationary kernel,
+
+    k(x, x') = k_rbf(g_w(x), g_w(x')),
+
+so the network g_w learns a representation in which the moons ARE
+linearly separable and the GP supplies calibrated uncertainty on top —
+the classic split of labour from Wilson et al. 2016 (AISTATS).
+
+How it plugs into the framework (three extension points, all mirrored
+from the reference):
+
+1. **A custom kernel** — subclass ``Kernel``, implement ``K``/``K_diag``.
+   The MLP weights are ordinary ``Parameter`` leaves of the kernel module,
+   so they appear in ``model.trainable_parameters`` automatically and the
+   whole stack (NN weights + GP hyperparameters + variational parameters)
+   trains end-to-end through ONE jitted Adam loss. The reference needs a
+   Keras model grafted onto a tf.Module for this; here it is just pytree
+   composition.
+2. **A custom inducing-variable type** — ``FeatureSpaceInducingPoints``
+   marks that Z lives in the MLP's OUTPUT space. Inducing points in input
+   space would be wasteful: the conditional only ever sees Z through
+   Kuu/Kuf, and in feature space M points cover the (low-dimensional)
+   manifold the network actually produces.
+3. **Kuu/Kuf dispatch registrations** — the type pair
+   (FeatureSpaceInducingPoints, KernelWithMLP) routes covariance
+   construction so Kuu skips the MLP (Z is already a feature) while Kuf
+   warps only the data side. Registration is resolved at trace time, so
+   there is no dispatch cost inside the compiled step.
+
+The same pattern scales to a CNN on images (swap ``mlp`` for any JAX
+feature extractor) — the GP layer never changes.
 """
 from typing import Optional
 

@@ -14,6 +14,31 @@ Several model classes coincide in special cases with a Gaussian likelihood:
 
 Each approximation's objective must match the exact marginal likelihood,
 and the posteriors must agree at test points.
+
+Why this matters beyond a test
+------------------------------
+Every approximate model here is built from a DIFFERENT code path — VGP
+optimises a whitened full-rank q over f(X) numerically, SVGP goes through
+the inducing-point conditional (in two parameterisations), SGPR and
+GPRFITC use their own collapsed closed forms — yet all five must land on
+the same number, computed by a sixth path (GPR's Cholesky +
+``multivariate_normal``). A bug in any one of the conditional engine, the
+KL, the whitening algebra, or an objective would break a coincidence it
+cannot fake. The reference keeps this notebook for exactly that reason,
+and our test suite pins the same identities numerically
+(``tests/integration/test_method_equivalence.py``); this example is the
+readable version. The companion note ``doc/theory/sanity_check.md``
+derives WHY each identity holds; ``fitc_vs_vfe.py`` shows what happens
+when the coincidences break (Z != X, where FITC and VFE genuinely differ).
+
+Reading the results: the closed-form models (SGPR, GPRFITC at Z=X) match
+to machine precision with NO optimisation — the identity is algebraic.
+The variational ones (VGP, SVGP) match only at their OPTIMUM, so they get
+an L-BFGS run first, with kernel and noise frozen so every model sees the
+same (kernel, noise) pair and only the posterior-approximation quality is
+being compared. The non-whitened SVGP converges slowest: its loss surface
+is preconditioned by Kuu itself, which is exactly the pathology whitening
+(and natural gradients — natgrad_classification.py) exists to fix.
 """
 import numpy as np
 

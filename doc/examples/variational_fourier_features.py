@@ -8,13 +8,41 @@ projections of the GP onto a truncated Fourier basis on an interval
 block-diagonal + low-rank structure and Kuf is the (tail-corrected)
 Fourier basis evaluated at the data.
 
+Why Fourier features instead of inducing POINTS
+-----------------------------------------------
+Classic inducing points summarise the GP by its VALUES at M pseudo-inputs;
+how informative u is depends on where Z sits, and Z must be optimised.
+Inter-domain inducing variables generalise this: u_m = <f, phi_m> for any
+linear functional, and the WHOLE framework only ever touches u through two
+quantities — Kuu = cov(u, u) and Kuf = cov(u, f(X)). Pick phi_m as Fourier
+basis functions on [a, b] and three things happen (Hensman+ 2018):
+
+* u_m summarises f GLOBALLY over the interval (no placement problem —
+  the "locations" are frequencies, fixed by the basis),
+* Kuf is just the basis evaluated at the data (cos/sin of omega_m (x-a),
+  with closed-form exponential tails outside [a, b] — Table 1 of the
+  paper, implemented in the ``Kuf_*_vff`` functions below), so building
+  Kuf costs no kernel evaluations at all, and
+* Kuu is diagonal-plus-rank-1 blockwise (eqs. 110-116), i.e. nearly free
+  to factorise at large M.
+
+The catch: those closed forms exist only for the Matern-1/2 and -3/2
+(and -5/2) kernels in 1-D, which is why this lives in an example rather
+than the core — and why the extension API matters more than the maths.
+
 Demonstrated extension points (same registration story as the reference):
   * subclassing ``InducingVariables``,
   * ``covariances.Kuu.register`` / ``covariances.Kuf.register``,
 after which SVGP, the conditional engine, and the posterior cache all work
-unchanged.  (The reference notebook additionally exploits the structured
-Kuu through a custom posterior; here Kuu is assembled densely - M is small
-- and the structure is kept in the build.)
+unchanged — the main() below trains with the stock Scipy optimizer and
+serves through the stock cached posterior, neither of which knows Fourier
+features exist. Note ``whiten=False``: whitening multiplies by chol(Kuu),
+which would densify exactly the structure VFF exists to exploit. (The
+reference notebook additionally exploits the structured Kuu through a
+custom posterior; here Kuu is assembled densely — M is small — and the
+structure is kept in the build. On TPU the dense [2M-1, 2M-1] Kuu is an
+MXU-friendly shape anyway; structure-exploiting solves only start to win
+past M ~ 1000.)
 """
 import numpy as np
 import jax.numpy as jnp
