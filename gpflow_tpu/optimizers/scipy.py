@@ -260,6 +260,7 @@ class Scipy:
         compile: bool = True,
         allow_unused_variables: bool = False,
         track_loss_history: bool = False,
+        nonfinite_penalty: Optional[float] = None,
         **scipy_kwargs: Any,
     ) -> "scipy.optimize.OptimizeResult":
         """Minimizes ``closure()`` w.r.t. ``variables``
@@ -279,6 +280,18 @@ class Scipy:
             return it as ``result.loss_history`` (reference
             ``scipy.py:154-164,276-290``). Costs one extra (jitted)
             loss-and-gradient evaluation per iteration, as in the reference.
+        :param nonfinite_penalty: if set (e.g. ``1e15``), evaluations whose
+            loss or gradient comes back non-finite return this value with a
+            zero gradient instead — the Armijo test then rejects the trial
+            point and the line search backtracks into the finite region,
+            where scipy's L-BFGS-B would otherwise abort the whole run with
+            ``status=2 ABNORMAL`` on the first NaN. No reference analog
+            (float64 TF rarely NaNs); in float32 on TPU an aggressive trial
+            step can round a Gram matrix indefinite (Cholesky -> NaN) at
+            hyperparameters the optimizer never accepts. The number of
+            guarded evaluations is returned as
+            ``result.n_nonfinite_evals``. Off by default: silently eating
+            NaNs would mask real numerics bugs in parity work.
         :param scipy_kwargs: forwarded to scipy.optimize.minimize (e.g.
             options={"maxiter": 1000}). Prefer ``step_callback`` over
             scipy's raw ``callback``.
@@ -302,6 +315,20 @@ class Scipy:
             allow_unused_variables=allow_unused_variables,
         )
 
+        n_nonfinite = [0]
+        if nonfinite_penalty is not None:
+            inner_func = func
+
+            def func(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+                loss, grad = inner_func(x)
+                if not (np.isfinite(loss) and np.all(np.isfinite(grad))):
+                    n_nonfinite[0] += 1
+                    return (
+                        np.asarray(nonfinite_penalty, dtype=np.float64),
+                        np.zeros_like(grad),
+                    )
+                return loss, grad
+
         if step_callback is not None:
             if "callback" in scipy_kwargs:
                 raise ValueError("Callback passed both via `step_callback` and `callback`")
@@ -318,6 +345,8 @@ class Scipy:
 
         if track_loss_history:
             result["loss_history"] = history
+        if nonfinite_penalty is not None:
+            result["n_nonfinite_evals"] = n_nonfinite[0]
         # assign the optimum back into the parameters
         for v, val in zip(variables, codec.decode(np.asarray(result.x))):
             v.assign_unconstrained(jnp.asarray(val, dtype=v.dtype))

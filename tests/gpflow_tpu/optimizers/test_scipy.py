@@ -287,3 +287,40 @@ def test_fused_path_under_disabled_x64_with_tril_parameter():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def test_nonfinite_penalty_recovers_from_nan_region():
+    """nonfinite_penalty turns a NaN evaluation into a rejected trial point
+    (zero grad + huge loss -> Armijo backtracks) where stock L-BFGS-B
+    aborts the whole run with fun=NaN. Loss is NaN for theta < 0 with the
+    masked optimum at theta=-3, so the line search MUST probe the NaN
+    region on its way to the accessible minimum near the boundary."""
+    import jax.numpy as jnp
+
+    from gpflow_tpu.base import Parameter
+
+    def make():
+        theta = Parameter(np.array([4.0]), name="theta")
+
+        def loss():
+            t = theta.value
+            clean = jnp.sum((t + 3.0) ** 2)
+            return jnp.where(jnp.any(t < 0), jnp.nan, clean)
+
+        return theta, loss
+
+    # without the guard: scipy hits NaN and gives up at a NaN objective
+    theta, loss = make()
+    res_plain = Scipy().minimize(loss, [theta], options={"maxiter": 50})
+    assert not np.isfinite(res_plain.fun)
+
+    # with the guard: converges to the boundary of the finite region
+    theta, loss = make()
+    res = Scipy().minimize(
+        loss, [theta], options={"maxiter": 50}, nonfinite_penalty=1e15
+    )
+    assert np.isfinite(res.fun)
+    assert res.n_nonfinite_evals > 0
+    final = float(np.asarray(theta.value)[0])
+    assert 0.0 <= final < 0.5, final
+    np.testing.assert_allclose(float(res.fun), (final + 3.0) ** 2, rtol=1e-6)
