@@ -144,8 +144,24 @@ class CGLB(SGPR):
         Kv = v @ K if not callable(K) else K(v)
         r = err_t - Kv
         _, error_bound_cols = preconditioner(r)  # per-column [R]
-        lb = jnp.sum(v * (r + 0.5 * Kv))
-        ub = lb + 0.5 * jnp.sum(error_bound_cols)
+        # lb = v.err - 0.5 v^T (K + s2 I) v, with the PSD quadratic forms
+        # clamped one-sided for float32 safety: when CG returns a huge-norm
+        # v (near-null-space directions of Qff at small noise), the kernel
+        # part of v^T K_hat v — true value >= 0 — can round NEGATIVE under
+        # catastrophic cancellation, which INFLATES the "lower bound" above
+        # the evidence and lets an optimizer climb pure rounding error
+        # (observed at N=32k f32: a +2.9e7 "bound" vs a 8.1e4 Titsias upper
+        # bound). Clamping v^T K v at 0 and adding the exactly-computable
+        # s2 ||v||^2 only ever LOWERS lb, so validity is preserved; in
+        # float64 (parity mode) both clamps are no-ops. Same one-sided
+        # guard on the preconditioner quadratic r^T Q^-1 r >= 0.
+        sq = jnp.asarray(sigma_sq, v.dtype)
+        v_norm_sq = jnp.sum(jnp.square(v), axis=-1)  # [R]
+        vKv_kernel = jnp.maximum(
+            jnp.sum(v * Kv, axis=-1) - sq * v_norm_sq, 0.0
+        )
+        lb = jnp.sum(v * err_t) - 0.5 * jnp.sum(vKv_kernel + sq * v_norm_sq)
+        ub = lb + 0.5 * jnp.sum(jnp.maximum(error_bound_cols, 0.0))
 
         if not v_init.trainable and not isinstance(v, jax.core.Tracer):
             v_init.assign(v)

@@ -90,3 +90,37 @@ def test_cglb_multioutput_elbo_and_predict():
     mu, var = m12.predict_f(X[:5])
     assert np.asarray(mu).shape == (5, 2)
     assert np.isfinite(np.asarray(mu)).all() and (np.asarray(var) > 0).all()
+
+
+def test_bound_stays_valid_under_adversarial_aux_vector():
+    """The quadratic-term bound must hold for ANY auxiliary vector v — that
+    is the CGLB construction's defining property. In float32 a huge-norm v
+    (which CG can return near sigma^2 -> 0) used to round the PSD form
+    v^T K_hat v negative, INFLATING the "lower bound" above the evidence;
+    the PSD clamps in quad_term pin the one-sided guarantee instead. Checked
+    against the Titsias upper bound, which dominates the exact evidence."""
+    from gpflow_tpu.models import CGLB
+
+    rngc = np.random.RandomState(4)
+    N, D, M = 256, 2, 12
+    X = rngc.randn(N, D)
+    Y = np.sin(X[:, :1]) + 0.1 * rngc.randn(N, 1)
+
+    model = CGLB(
+        (X, Y),
+        kernel=gpflow_tpu.kernels.SquaredExponential(),
+        inducing_variable=X[:M].copy(),
+        noise_variance=1e-4,
+        v_grad_optimization=True,  # v is a plain parameter: we control it
+    )
+    upper = float(model.upper_bound())
+
+    for scale in (0.0, 1.0, 1e4, -1e4):
+        model.aux_vec.assign(scale * np.ones((1, N)))
+        bound = float(model.elbo())
+        assert np.isfinite(bound)
+        assert bound <= upper + 1e-6 * abs(upper), (scale, bound, upper)
+    # huge v must make the bound very loose (the exact s2||v||^2 term
+    # dominates), not inflate it
+    model.aux_vec.assign(1e4 * np.ones((1, N)))
+    assert float(model.elbo()) < -1e3
