@@ -358,11 +358,69 @@ def bench_gpr_nlml(results: dict) -> None:
             )
 
 
+def bench_cglb_matrix_free(results: dict) -> None:
+    """Exact-GP-bound objective past HBM: matrix-free CGLB at N=32k
+    (chunked K matvecs, never materializes [N, N]; PERFORMANCE.md
+    'matrix-free CGLB at N=32k'). Records the per-evaluation cost of the
+    jitted bound and of one fused value_and_grad L-BFGS evaluation.
+
+    Runs at the bf16x3 'high' tier regardless of the bench-global raw-bf16
+    setting: CG on (K + s2 I) is the one bench path where raw-bf16 matvec
+    rounding degrades convergence (PERFORMANCE.md; precision is baked at
+    trace time, hence the context around the compiles)."""
+    import jax
+
+    from gpflow_tpu import kernels
+    from gpflow_tpu.models import CGLB
+    from gpflow_tpu.optimizers import Scipy
+
+    n, m, chunk = 32768, 1024, 4096
+    rng = np.random.RandomState(1)
+    X = rng.rand(n, D).astype(np.float32)
+    Y = np.sin(X[:, :1] * 3).astype(np.float32) + 0.1 * rng.randn(n, 1).astype(
+        np.float32
+    )
+    model = CGLB(
+        (X, Y),
+        kernel=kernels.SquaredExponential(lengthscales=np.ones(D, np.float32)),
+        inducing_variable=X[rng.permutation(n)[:m]].copy(),
+        noise_variance=0.1,
+        matrix_free_chunk=chunk,
+    )
+    with jax.default_matmul_precision("high"):
+        loss = model.training_loss_closure(compile=True)
+        v = float(loss())  # compile
+        assert np.isfinite(v)
+        n_calls = 3
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            out = loss()
+        float(out)
+        results["cglb_mf_obj_ms_n32k"] = round(
+            1000 * (time.perf_counter() - t0) / n_calls, 1
+        )
+
+        # 5 capped L-BFGS iterations through the fused Scipy boundary: the
+        # sustained seconds per value_and_grad evaluation (compile excluded)
+        opt = Scipy()
+        closure = model.training_loss_closure(compile=False)
+        variables = model.trainable_variables
+        opt.minimize(closure, variables, options={"maxiter": 0})
+        t0 = time.perf_counter()
+        res = opt.minimize(
+            closure, variables, options={"maxiter": 5}, nonfinite_penalty=1e15
+        )
+        dt = time.perf_counter() - t0
+        results["cglb_mf_lbfgs_s_per_eval_n32k"] = round(dt / max(res.nfev, 1), 3)
+        assert float(res.fun) < v, "CGLB L-BFGS failed to improve the bound"
+
+
 def main() -> None:
     results: dict = {}
     bench_svgp(results)
     bench_natgrad_nonconjugate(results)
     bench_gpr_nlml(results)
+    bench_cglb_matrix_free(results)
 
     steps_per_sec = results["svgp_steps_per_sec"]
     # perfect-efficiency A100 bound on the reference at its f64 default
