@@ -37,7 +37,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Skips that are expected and tolerated, as (nodeid substring, reason
 # substring). Anything else skipping fails the manifest.
 EXPECTED_SKIPS: list = [
-    # none currently — the suite is expected to run everything on CPU
+    # whitened gauss_kl has no K argument, so the K-vs-K_cholesky
+    # equivalence cell of the (q_sqrt x K) grid is structurally empty for
+    # K=None; the shared fixture keeps the grid uniform and the skip
+    # visible (2 cells: [diag-white], [tril-white])
+    ("test_gauss_kl_cholesky_argument_equivalent", "no K to factor"),
 ]
 
 
