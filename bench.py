@@ -10,6 +10,8 @@ Metrics (all on the attached TPU chip, float32):
      N^2 kernel + N^3 Cholesky, reference gpr.py:91-107) per evaluation.
   4. serving_points_per_sec — cached-posterior predict_f throughput at
      M=2048, B=8192 (matmul-only alpha/Qinv serving path).
+  5. extras: natgrad non-conjugate steps/s, exact-GP L-BFGS at N=16k, and
+     matrix-free CGLB objective/value_and_grad at N=32k (no [N, N]).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
