@@ -182,34 +182,13 @@ def _run_child_task(
     for rep in range(repetitions):
         print(f"[benchmark]   rep {rep}", flush=True)
         rows.append(_collect_metrics(task, rep))
-        with open(out_path, "w") as f:
+        # atomic update: a parent-side timeout can kill this process at any
+        # moment, and a partially-written JSON would lose EVERY completed
+        # rep (the parent's _partial_rows would fail to parse it)
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump(rows, f)
-
-
-def _run_child(suite_name: str, task_index: int, rep: int, out_path: str) -> None:
-    """Entry point of the per-task subprocess: runs ONE (task, rep) and
-    writes its metrics row as JSON."""
-    # a sitecustomize may force JAX_PLATFORMS at interpreter start; honor the
-    # PARENT's resolved platform instead (runtime config beats the env var as
-    # long as no backend has initialized yet)
-    plat = os.environ.get("GPFLOW_TPU_CHILD_JAX_PLATFORMS")
-    if plat:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
-
-    from .benchmarks import get_suite
-
-    task = get_suite(suite_name).get_tasks()[task_index]
-    maxiter_override = os.environ.get("GPFLOW_TPU_BENCH_MAXITER")
-    if maxiter_override:
-        task = task._replace(maxiter=int(maxiter_override))
-    row = _collect_metrics(task, rep)
-    with open(out_path, "w") as f:
-        json.dump(row, f)
+        os.replace(tmp_path, out_path)
 
 
 def _run_task_isolated(
@@ -309,9 +288,6 @@ def _gather_metadata(suite_name: str, num_tasks: int) -> Dict[str, Any]:
 
 
 def main() -> None:
-    if len(sys.argv) >= 2 and sys.argv[1] == "--_child":
-        _run_child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
-        return
     if len(sys.argv) >= 2 and sys.argv[1] == "--_child_task":
         _run_child_task(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
         return

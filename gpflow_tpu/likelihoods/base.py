@@ -303,9 +303,14 @@ class SwitchedLikelihood(ScalarLikelihood):
         super().__init__(**kwargs)
         self.likelihoods = list(likelihood_list)
 
+    # No return spec: the dispatched method returns [batch...] (log_prob,
+    # predict_log_density) or [batch..., P] (conditional moments) depending
+    # on func_name, and a second anonymous variadic ("[batch..., ...]") is
+    # never bindable — the checker would silently skip it, documenting
+    # coverage that does not exist. Each public caller carries the precise
+    # contract instead.
     @check_shapes(
         "args[all]: [batch..., .]",
-        "return: [batch..., ...]",
     )
     def _masked_apply(self, args: Sequence[TensorType], func_name: str) -> jax.Array:
         args_list = [jnp.asarray(a) for a in args]

@@ -73,7 +73,12 @@ class RobustMax(Module):
     )
     def __call__(self, F: TensorType) -> jax.Array:
         F = jnp.asarray(F)
-        i = jnp.argmax(F, axis=1)
+        # argmax over the LATENT axis (last), not axis=1: the contract
+        # admits leading batch dims (quadrature/sample-expanded F), where
+        # axis=1 would silently reduce a batch dim instead. Identical to
+        # the reference's tf.argmax(F, 1) for the [N, latent_dim] case
+        # (reference multiclass.py:64).
+        i = jnp.argmax(F, axis=-1)
         one_hot = jax.nn.one_hot(i, self.num_classes, dtype=F.dtype)
         eps = self.epsilon.value
         return one_hot * (1.0 - eps) + (1.0 - one_hot) * self.eps_k1

@@ -318,15 +318,31 @@ class Scipy:
         n_nonfinite = [0]
         if nonfinite_penalty is not None:
             inner_func = func
+            seen_finite = [False]
 
             def func(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
                 loss, grad = inner_func(x)
                 if not (np.isfinite(loss) and np.all(np.isfinite(grad))):
+                    if not seen_finite[0]:
+                        # The guard exists for NaN line-search TRIALS. A
+                        # non-finite loss at the starting point is a broken
+                        # model, and returning (penalty, zero-grad) there
+                        # would make L-BFGS-B declare instant "convergence"
+                        # (projected gradient 0) with success=True at the
+                        # unusable initial parameters.
+                        raise FloatingPointError(
+                            "Loss or gradient is non-finite at the initial "
+                            "parameters; nonfinite_penalty only guards "
+                            "line-search trial points. Fix the model/"
+                            "initialization (jitter, noise floor, dtype) "
+                            "instead."
+                        )
                     n_nonfinite[0] += 1
                     return (
                         np.asarray(nonfinite_penalty, dtype=np.float64),
                         np.zeros_like(grad),
                     )
+                seen_finite[0] = True
                 return loss, grad
 
         if step_callback is not None:

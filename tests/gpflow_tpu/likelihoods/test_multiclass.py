@@ -222,3 +222,20 @@ def test_ordinal_invalid_label_is_nan_not_wrapped():
     assert np.isnan(lp[2]) and np.isnan(lp[3])
     lp_j = np.asarray(jax.jit(lambda f, y: lik.log_prob(X, f, y))(F, Y))
     np.testing.assert_array_equal(np.isnan(lp_j), np.isnan(lp))
+
+
+def test_robustmax_call_broadcasts_leading_batch_dims():
+    """__call__'s contract admits leading batch dims (quadrature/sample-
+    expanded F); the argmax must reduce the LATENT axis, so a rank-3 input
+    must equal the row-by-row rank-2 result (argmax over axis=1 would
+    silently reduce a batch dim instead)."""
+    K = 3
+    rm = likelihoods.RobustMax(K, epsilon=1e-3)
+    rng = np.random.RandomState(7)
+    F = rng.randn(4, 5, K)
+    batched = np.asarray(rm(F))
+    assert batched.shape == (4, 5, K)
+    for s in range(4):
+        np.testing.assert_allclose(batched[s], np.asarray(rm(F[s])), rtol=1e-12)
+    # probabilities: 1-eps at the argmax, eps/(K-1) elsewhere, rows sum to 1
+    np.testing.assert_allclose(batched.sum(-1), 1.0, rtol=1e-9)

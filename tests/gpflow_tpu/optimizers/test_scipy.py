@@ -324,3 +324,22 @@ def test_nonfinite_penalty_recovers_from_nan_region():
     final = float(np.asarray(theta.value)[0])
     assert 0.0 <= final < 0.5, final
     np.testing.assert_allclose(float(res.fun), (final + 3.0) ** 2, rtol=1e-6)
+
+
+def test_nonfinite_penalty_raises_on_broken_initial_point():
+    """A non-finite FIRST evaluation is a broken model, not a line-search
+    trial: returning (penalty, zero-grad) there would let L-BFGS-B declare
+    instant success at the unusable starting parameters."""
+    import jax.numpy as jnp
+
+    from gpflow_tpu.base import Parameter
+
+    theta = Parameter(np.array([-4.0]), name="theta")
+
+    def loss():
+        t = theta.value
+        return jnp.where(jnp.any(t < 0), jnp.nan, jnp.sum(t**2))
+
+    with pytest.raises(FloatingPointError, match="initial"):
+        Scipy().minimize(loss, [theta], options={"maxiter": 10},
+                         nonfinite_penalty=1e15)

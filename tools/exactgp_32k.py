@@ -48,8 +48,9 @@ def main() -> None:
     # it at ~1e4, comfortably inside f32 CG territory (true noise is 1e-2).
     ap.add_argument("--noise-floor", type=float, default=1e-4)
     args = ap.parse_args()
-    if args.fast != "0":
-        os.environ["GPFLOW_TPU_FAST_MATMUL"] = args.fast
+    # assign unconditionally: '--fast 0' must also OVERRIDE an inherited
+    # GPFLOW_TPU_FAST_MATMUL from the shell, not silently keep it
+    os.environ["GPFLOW_TPU_FAST_MATMUL"] = args.fast
 
     import jax
 
