@@ -38,8 +38,11 @@ _METRICS = [
 # Repetition 0 pays the cold XLA compile (deliberately, so the compile
 # cost stays measured); folding it into a 5-rep mean makes the timing
 # spread useless for regression detection. These metrics aggregate over
-# the WARM repetitions (rep >= 1) and the cold rep-0 value is shown in
-# its own column.
+# the WARM repetitions (rep >= 1) and the cold rep-0 TRAINING time is
+# shown in its own column. The cold per-iteration value gets no column of
+# its own: it is exactly cold_training_time / n_training_iterations, both
+# of which are rendered (keeping the table one column narrower); the raw
+# rep-0 row survives in results.csv regardless.
 _COLD_METRICS = {"training_time", "training_iteration_time"}
 
 

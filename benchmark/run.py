@@ -4,11 +4,17 @@ with a seeded rng, warm-up predict, train with Scipy L-BFGS recording
 iterations/time, predict (nlpd/mae/rmse), build posterior and time cached
 prediction; append one row per repetition to <dest>/results.csv).
 
-Isolation (reference A.3): each (task, repetition) runs in a FRESH
-subprocess with a timeout (default 3600 s, ``--task-timeout``) so one
-hanging or crashing task cannot poison the suite — its row records
-``status: timeout|error`` and the run continues. ``--isolation inprocess``
-restores the fast shared-process mode for debugging.
+Isolation (reference A.3): each TASK runs all its repetitions in ONE
+fresh subprocess with a per-rep timeout (default 3600 s,
+``--task-timeout``; the process gets timeout*reps) so one hanging or
+crashing task cannot poison the suite — its row records ``status:
+timeout|error`` and the run continues. Per-task (not per-rep) isolation
+is deliberate: reps 1..N-1 share rep 0's XLA compile, which is what the
+cold_training_time vs warm columns measure. The tradeoff: a crash in rep
+k abandons that task's remaining reps (the completed rows survive — the
+child rewrites its results file atomically after every rep).
+``--isolation inprocess`` restores the fast shared-process mode for
+debugging.
 """
 from __future__ import annotations
 

@@ -281,8 +281,10 @@ class Scipy:
             ``scipy.py:154-164,276-290``). Costs one extra (jitted)
             loss-and-gradient evaluation per iteration, as in the reference.
         :param nonfinite_penalty: if set (e.g. ``1e15``), evaluations whose
-            loss or gradient comes back non-finite return this value with a
-            zero gradient instead — the Armijo test then rejects the trial
+            loss or gradient comes back non-finite return this value (auto-
+            raised to 10x the largest finite |loss| seen, so it can never
+            read as an improvement) with a zero gradient instead — the
+            Armijo test then rejects the trial
             point and the line search backtracks into the finite region,
             where scipy's L-BFGS-B would otherwise abort the whole run with
             ``status=2 ABNORMAL`` on the first NaN. No reference analog
@@ -319,6 +321,8 @@ class Scipy:
         if nonfinite_penalty is not None:
             inner_func = func
             seen_finite = [False]
+            max_abs_loss = [0.0]
+            best_finite: list = [None]  # (loss, x.copy()) of the best finite eval
 
             def func(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
                 loss, grad = inner_func(x)
@@ -338,11 +342,22 @@ class Scipy:
                             "instead."
                         )
                     n_nonfinite[0] += 1
+                    # The penalty must DOMINATE every finite loss seen, or
+                    # it becomes an attractor: with current loss 1e16 and a
+                    # fixed 1e15 penalty, a NaN trial would pass both Wolfe
+                    # tests (lower f, zero directional derivative) and be
+                    # ACCEPTED as the new iterate — L-BFGS-B would then
+                    # declare success inside the NaN region. Scaling by the
+                    # largest |finite loss| keeps rejection unconditional.
+                    pen = max(float(nonfinite_penalty), 10.0 * max_abs_loss[0])
                     return (
-                        np.asarray(nonfinite_penalty, dtype=np.float64),
+                        np.asarray(pen, dtype=np.float64),
                         np.zeros_like(grad),
                     )
                 seen_finite[0] = True
+                max_abs_loss[0] = max(max_abs_loss[0], abs(float(loss)))
+                if best_finite[0] is None or float(loss) < best_finite[0][0]:
+                    best_finite[0] = (float(loss), np.array(x, copy=True))
                 return loss, grad
 
         if step_callback is not None:
@@ -363,6 +378,15 @@ class Scipy:
             result["loss_history"] = history
         if nonfinite_penalty is not None:
             result["n_nonfinite_evals"] = n_nonfinite[0]
+            # On an abnormal line-search exit scipy can hand back a
+            # PENALIZED iterate (fun == the penalty, x inside the non-finite
+            # region); never assign that into the model — restore the best
+            # finite point actually evaluated instead.
+            if best_finite[0] is not None and (
+                not np.isfinite(result.fun) or result.fun > best_finite[0][0]
+            ):
+                result["fun"] = best_finite[0][0]
+                result["x"] = best_finite[0][1]
         # assign the optimum back into the parameters
         for v, val in zip(variables, codec.decode(np.asarray(result.x))):
             v.assign_unconstrained(jnp.asarray(val, dtype=v.dtype))

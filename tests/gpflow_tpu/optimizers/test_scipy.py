@@ -343,3 +343,34 @@ def test_nonfinite_penalty_raises_on_broken_initial_point():
     with pytest.raises(FloatingPointError, match="initial"):
         Scipy().minimize(loss, [theta], options={"maxiter": 10},
                          nonfinite_penalty=1e15)
+
+
+def test_nonfinite_penalty_scales_above_large_finite_losses():
+    """The penalty must dominate every finite loss seen: with losses ~1e16
+    and a fixed 1e15 penalty, a NaN trial would otherwise read as an
+    IMPROVEMENT (lower f, zero slope), be accepted, and L-BFGS-B would
+    declare success inside the NaN region."""
+    import jax.numpy as jnp
+
+    from gpflow_tpu.base import Parameter
+
+    theta = Parameter(np.array([4.0]), name="theta")
+
+    def loss():
+        t = theta.value
+        clean = 1e16 * jnp.sum((t + 3.0) ** 2)
+        return jnp.where(jnp.any(t < 0), jnp.nan, clean)
+
+    res = Scipy().minimize(
+        loss, [theta], options={"maxiter": 60}, nonfinite_penalty=1e15
+    )
+    final = float(np.asarray(theta.value)[0])
+    # never a fake success at a penalized/NaN point ...
+    assert not (bool(res.success) and res.fun >= 1e15)
+    # ... and the assigned parameters are the best FINITE point evaluated
+    # (scipy's abnormal exit may internally end on a penalized iterate)
+    assert np.isfinite(res.fun) and res.fun <= 1e16 * (4.0 + 3.0) ** 2
+    assert final >= 0.0, final
+    assert np.isfinite(float(loss())), "assigned parameters must be usable"
+    np.testing.assert_allclose(float(res.fun), 1e16 * (final + 3.0) ** 2,
+                               rtol=1e-6)

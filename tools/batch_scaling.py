@@ -23,18 +23,17 @@ os.environ.setdefault("GPFLOW_FLOAT", "float32")
 os.environ.setdefault("GPFLOW_TPU_FAST_MATMUL", "1")
 os.environ.setdefault("GPFLOW_TPU_INV_SOLVE", "1")
 
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# the single source of truth for the FLOP model and chip peak — a fix to
+# bench.py's accounting must not silently leave this table on an old model
+from bench import _bf16_peak_flops, _svgp_step_flops as step_flops
 
 M, D = 2048, 8
 N = 1_000_000
-
-
-def step_flops(m: int, b: int, d: int) -> float:
-    """Same documented FLOP model as bench.py's _svgp_step_flops."""
-    mm = 2.0 * m * m * b
-    fwd = 2 * mm + m**3 / 3 + m**3 / 3 + 3 * m * b * d + 2 * m * m * d + 4 * m * b
-    bwd = 4 * mm + 4 * 2 * m**3 + 2 * 3 * m * b * d
-    return fwd + bwd
 
 
 def main() -> None:
@@ -51,7 +50,7 @@ def main() -> None:
     from gpflow_tpu.models import SVGP
     from gpflow_tpu.parallel import DataParallelTrainer, make_mesh
 
-    peak = 197e12 if "v5 lite" in jax.devices()[0].device_kind.lower() else None
+    peak = _bf16_peak_flops()
     rng = np.random.RandomState(0)
     X = rng.rand(N, D).astype(np.float32) * 4.0
     w = rng.randn(D, 1).astype(np.float32)
